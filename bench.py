@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with a count() action (results are
+not collected to the driver — we measure engine time, not IPC)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, join-agg topk, multi-join star, windows,
+# sessionization, text pipeline, minhash dedup, ANN.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "sessionize",
+    "users_latest",
+    "rollup_revenue",
+    "token_count",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_force",
+    "ann_lsh",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    from event_data_etl_gcs_spark.queries import all_queries
+    from event_data_etl_gcs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_queries()
+
+    # Warm the JVM/catalog with one trivial action so query 1 doesn't pay
+    # session startup.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata (SURVEY.md Phase 4 north star).
+
+Spark-side plumbing is real and tested: schema contract, Arrow-batched
+``mapInPandas`` decode/feature-extract stage, partition-preserving shape.
+The codec itself is STUBBED — image/audio libraries are not in this
+container — behind ``decode_stub`` (deterministic fake features) and
+``decode_real`` (raises NotImplementedError, the integration point for
+PIL/librosa/ffmpeg).
+
+Scale notes: binary payloads ride in parquet pages like any column;
+``spark.sql.files.maxPartitionBytes`` bounds per-task memory; the decode
+stage is map-only (no shuffle) and Arrow-batched, so at 100 TB it scales
+with executor count. Metadata filters (mime/width/dur) are ordinary
+columns — pushed down, so decode only runs on surviving rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# The engine's multimodal column contract: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), False),
+        StructField("meta", MapType(StringType(), StringType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for tests/demos: wrap the documents table's text as fake
+    binary payloads under the media contract."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """Deterministic fake feature vector: byte-histogram moments.
+
+    Stands in for a real image/audio embedder; replace with the actual
+    codec in ``decode_real``.
+    """
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    n = len(payload)
+    return [
+        float(n % 997),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload[:64]) % 9973),
+        float(min(payload)),
+        float(max(payload)),
+        float(sum(b % 2 for b in payload[:128])),
+        float(n % 31),
+    ]
+
+
+def decode_stub(media: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage over the media contract.
+
+    mapInPandas: each task receives an iterator of pandas batches — the
+    per-batch shape (not per-row) is what makes this viable at scale.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else None),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest() if p is not None else None
+                    ),
+                    "features": payloads.map(
+                        lambda p: _stub_features(bytes(p)) if p is not None else None
+                    ),
+                }
+            )
+
+    return media.mapInPandas(process, schema=DECODED_SCHEMA)
+
+
+def decode_real(media: DataFrame) -> DataFrame:
+    """Integration point for real codecs (PIL / torchaudio / ffmpeg).
+
+    Not implemented in this container — the Spark-side contract
+    (schema, batching, partitioning) is identical to decode_stub.
+    """
+    raise NotImplementedError(
+        "real media codecs are not available in this environment; "
+        "use decode_stub for the plumbing path"
+    )

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (SURVEY.md Phase 4).
+
+Two paths:
+  * ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+    set against the corpus; per-row dot products are native Catalyst
+    lambdas in double precision (left-to-right summation — deterministic
+    and oracle-matchable). At 100 TB the corpus side stays partitioned,
+    queries broadcast, ranking is a per-query window over corpus
+    partitions — no corpus shuffle until the final top-k reduction.
+  * ``lsh_bucket_topk`` — random-hyperplane LSH: a deterministic integer
+    formula picks hyperplane signs, each vector maps to a bucket id
+    (map-only), and search joins query buckets to corpus buckets before
+    ranking — the quadratic step is confined to one bucket. Recall is
+    approximate by construction.
+
+Both are pure DataFrame ops with exact DuckDB oracles (the hyperplane
+pattern is integer-derived, not RNG-derived, so both engines agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic hyperplane sign pattern: sign(j, d) = +1 if
+# ((j+1)*73856093 + d*19349663) % 97 < 48 else -1. Integer-only -> portable.
+LSH_PLANES = 16
+LSH_C1 = 73856093
+LSH_C2 = 19349663
+LSH_MOD = 97
+LSH_HALF = 48
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Double-precision dot product of two float-array columns.
+
+    Casting each element to double before multiply/add makes the result
+    bit-identical to any engine that sums left-to-right in double.
+    """
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def duck_norm(a: str) -> str:
+    return f"sqrt({duck_dot(a, a)})"
+
+
+def hyperplane_sign_sql(j: int, vec: str) -> str:
+    """Spark SQL: sign of dot(vec, h_j) with the deterministic ±1 plane.
+
+    The plane constant is precomputed in Python and emitted as a long
+    literal — (j+1)*C1 + d*C2 overflows int32 (ANSI mode would error).
+    """
+    base = (j + 1) * LSH_C1
+    return (
+        f"aggregate(transform(sequence(1, size({vec})), d -> "
+        f"CASE WHEN ({base}L + CAST(d - 1 AS BIGINT) * {LSH_C2}L) % {LSH_MOD} < {LSH_HALF} "
+        f"THEN CAST(element_at({vec}, d) AS DOUBLE) "
+        f"ELSE -CAST(element_at({vec}, d) AS DOUBLE) END), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def duck_hyperplane_sign(j: int, vec: str) -> str:
+    base = (j + 1) * LSH_C1
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({vec}) + 1), d -> "
+        f"CASE WHEN (CAST({base} AS BIGINT) + (d - 1) * CAST({LSH_C2} AS BIGINT)) "
+        f"% {LSH_MOD} < {LSH_HALF} "
+        f"THEN CAST({vec}[d] AS DOUBLE) ELSE -CAST({vec}[d] AS DOUBLE) END)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def bucket_sql(vec: str, n_planes: int = LSH_PLANES) -> str:
+    """LSH bucket id: n_planes sign bits packed into a long."""
+    bits = " + ".join(
+        f"(CASE WHEN {hyperplane_sign_sql(j, vec)} > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(n_planes)
+    )
+    return f"({bits})"
+
+
+def duck_bucket(vec: str, n_planes: int = LSH_PLANES) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {duck_hyperplane_sign(j, vec)} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(n_planes)
+    )
+    return f"({bits})"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Self-matches excluded. Query side is broadcast (small by contract);
+    ranking ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.expr(norm_sql(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.expr(norm_sql(vec_col)).alias("cnorm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.expr(dot_sql("qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only within the query's LSH bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.expr(norm_sql(vec_col)).alias("qnorm"),
+        F.expr(bucket_sql(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.expr(norm_sql(vec_col)).alias("cnorm"),
+        F.expr(bucket_sql(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.expr(dot_sql("qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cos_sim >= threshold)
+    within LSH buckets — the scale path: candidate generation is a bucket
+    equi-join, never an all-pairs cross product."""
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(norm_sql(vec_col)).alias("nrm"),
+        F.expr(bucket_sql(vec_col)).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (
+            F.expr(dot_sql("a.v", "b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,210 @@
+"""Text-analysis operators: tokenization, language ID, quality scoring,
+token counting, document fingerprinting (SURVEY.md Phase 4 north star).
+
+All hot-path expressions are native Catalyst lambdas (transform /
+aggregate / filter over arrays) — JVM-side, no Python serialization.
+The hash primitives are *portable polynomial hashes* (integer arithmetic
+only) so every operator here has an exact DuckDB oracle — unlike
+xxhash64/murmur which are engine-specific.
+
+Convention: multi-step expressions stage intermediate arrays (tokens,
+shingles, hashes) as real columns, so each is computed once instead of
+being inlined into every lambda.
+
+At 100 TB these are embarrassingly parallel map-only operators: no
+shuffle; filters and projections on other columns still push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus for polynomial hashing: large prime < 2^30 so a*h+b stays in int64.
+HASH_P = 1_000_000_007
+HASH_BASE = 31
+
+# Deterministic marker lexicons for the language-ID heuristic. Order fixed:
+# ties break toward the first listed language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "los", "que", "una", "es", "y"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "et"),
+    "zh": ("de", "shi", "bu", "le", "zai", "you", "wo"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be",
+)
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# =========================================================================
+# Spark-SQL expression builders (strings for F.expr)
+# =========================================================================
+
+def tokens_sql(col: str) -> str:
+    """Whitespace tokenization; empty/blank text -> empty array (not [''])."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN array() "
+        f"ELSE split(trim({col}), '\\\\s+') END"
+    )
+
+
+def char_hash_sql(col: str) -> str:
+    """Polynomial rolling hash over the characters of a string expression.
+
+    Explicit 1-based substring indexing — identical semantics in Spark and
+    DuckDB (split-on-empty-pattern is engine-dependent). sequence() is
+    guarded because Spark's sequence(1, 0) is *descending*, not empty.
+    """
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0L ELSE "
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> ascii(substring({col}, i, 1))), "
+        f"0L, (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_P}) END"
+    )
+
+
+def token_hashes_sql(tok_col: str) -> str:
+    """Array of polynomial hashes, one per token of an array column."""
+    return f"transform({tok_col}, t -> {char_hash_sql('t')})"
+
+
+def shingles_sql(tok_col: str, k: int = 3) -> str:
+    """k-token shingles (space-joined) of a token-array column; <k tokens
+    -> empty array."""
+    parts = ", ".join(f"element_at({tok_col}, i + {j})" for j in range(k))
+    return (
+        f"CASE WHEN size({tok_col}) < {k} THEN array() ELSE "
+        f"transform(sequence(1, size({tok_col}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def shingle_hashes_sql(shingle_col: str) -> str:
+    """Distinct polynomial hashes of a shingle-array column."""
+    return f"array_distinct(transform({shingle_col}, s -> {char_hash_sql('s')}))"
+
+
+# =========================================================================
+# DuckDB oracle builders (same math, DuckDB syntax)
+# =========================================================================
+
+def duck_tokens(col: str) -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim({col}), '\\s+') END"
+    )
+
+
+def duck_char_hash(col: str) -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii(substring({col}, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_P}) END"
+    )
+
+
+def duck_token_hashes(tok_col: str) -> str:
+    return f"list_transform({tok_col}, t -> {duck_char_hash('t')})"
+
+
+def duck_shingles(tok_col: str, k: int = 3) -> str:
+    parts = ", ".join(f"{tok_col}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({tok_col}) < {k} THEN CAST([] AS VARCHAR[]) ELSE "
+        f"list_transform(range(1, len({tok_col}) - {k - 2}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def duck_shingle_hashes(shingle_col: str) -> str:
+    return f"list_distinct(list_transform({shingle_col}, s -> {duck_char_hash('s')}))"
+
+
+# =========================================================================
+# DataFrame-level operators
+# =========================================================================
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
+    return df.withColumn(out, F.expr(tokens_sql(text_col)))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc-level token/char counts (whitespace tokenizer)."""
+    return with_tokens(df, text_col).withColumns(
+        {
+            "n_tokens": F.expr("size(toks)").cast("long"),
+            "n_chars_text": F.length(text_col).cast("long"),
+        }
+    ).drop("toks")
+
+
+def language_id_column(tok_col: str = "toks") -> Column:
+    """Marker-lexicon language ID over a token-array column: argmax of
+    per-language marker counts, 'und' when nothing matches. Deterministic
+    tie-break = LANG_MARKERS declaration order. Integer logic -> exact
+    oracle."""
+    scores = {
+        lang: F.expr(f"size(filter({tok_col}, t -> t IN ({_sql_list(words)})))")
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Reversed CASE chain: first language in declaration order wins ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def duck_language_id(tok_col: str = "toks") -> str:
+    score = {
+        lang: f"len(list_filter({tok_col}, t -> t IN ({_sql_list(words)})))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    chain = " ".join(
+        f"WHEN {best} > 0 AND {score[lang]} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"CASE {chain} ELSE 'und' END"
+
+
+def quality_columns(text_col: str = "text", tok_col: str = "toks") -> dict[str, Column]:
+    """Deterministic quality features. Ratios are double divisions of
+    exact integers — bit-identical across engines, no rounding needed."""
+    n_tokens = F.expr(f"size({tok_col})")
+    n_chars = F.length(text_col)
+    n_stop = F.expr(f"size(filter({tok_col}, t -> t IN ({_sql_list(STOPWORDS)})))")
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+    one = F.lit(1)
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": (n_chars - (n_tokens - one)).cast("double")
+        / F.greatest(n_tokens, one),
+        "stopword_ratio": n_stop.cast("double") / F.greatest(n_tokens, one),
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, one),
+    }
+
+
+def duck_quality_select(text_col: str = "text", tok_col: str = "toks") -> dict[str, str]:
+    n_tokens = f"len({tok_col})"
+    n_chars = f"length({text_col})"
+    n_stop = f"len(list_filter({tok_col}, t -> t IN ({_sql_list(STOPWORDS)})))"
+    n_punct = f"({n_chars} - length(regexp_replace({text_col}, '[.,!?;:]', '', 'g')))"
+    return {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "mean_token_len": (
+            f"(CAST({n_chars} - ({n_tokens} - 1) AS DOUBLE) / greatest({n_tokens}, 1))"
+        ),
+        "stopword_ratio": f"(CAST({n_stop} AS DOUBLE) / greatest({n_tokens}, 1))",
+        "punct_ratio": f"(CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1))",
+    }

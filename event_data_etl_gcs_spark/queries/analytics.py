@@ -1,0 +1,582 @@
+"""General query surface (SURVEY.md §7 Phase 3): aggregations, rollup/cube,
+top-k, set ops, semi/anti joins, ranking windows, lead/lag, frame specs,
+sessionization, JSON path, pivot, string/date/conditional functions.
+
+These are "absent from the reference but declared engine surface"
+(SURVEY.md §2.4) — Catalyst provides the operators; we pin semantics with
+DuckDB oracles.
+
+Float discipline: aggregates that feed the correctness gate use exact
+DECIMAL sums cast back to double (see functions/numeric.py) so results
+are bit-identical regardless of partitioning — a property a 1000-executor
+run needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (
+    exact_avg,
+    exact_sum,
+    exact_sum_disc_price,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_exact_sum_disc_price,
+)
+from ..sources.catalog import load_table
+from .registry import query
+
+
+# --- Aggregation headliners (TPC-H-ish) ------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        f"{sql_exact_sum('l_quantity')} AS sum_qty, "
+        f"{sql_exact_sum('l_extendedprice')} AS sum_base_price, "
+        f"{sql_exact_sum_disc_price('l_extendedprice', 'l_discount')} AS sum_disc_price, "
+        f"{sql_exact_avg('l_quantity')} AS avg_qty, "
+        f"{sql_exact_avg('l_extendedprice')} AS avg_price, "
+        f"{sql_exact_avg('l_discount', scale=4)} AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-11-01' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    doc=(
+        "Flagship: TPC-H Q1-style pricing summary — scan-heavy groupBy/agg "
+        "with map-side partial aggregation; the shape that dominates at "
+        "100 TB (no join, one shuffle on a low-cardinality key)."
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum_disc_price("l_extendedprice", "l_discount").alias(
+                "sum_disc_price"
+            ),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount", scale=4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle=(
+        "SELECT l.l_orderkey, "
+        f"{sql_exact_sum_disc_price('l.l_extendedprice', 'l.l_discount')} AS revenue, "
+        "o.o_orderdate "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    ),
+    doc=(
+        "TPC-H Q3-style: selective dim filter -> fact join -> agg -> "
+        "deterministic top-k. Customer side broadcast; lineitem/orders "
+        "join shuffles on orderkey."
+    ),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum_disc_price("l_extendedprice", "l_discount").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle=(
+        "SELECT n.n_name AS nation, "
+        f"{sql_exact_sum_disc_price('l.l_extendedprice', 'l.l_discount')} AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY n.n_name"
+    ),
+    doc=(
+        "TPC-H Q5-style multi-way star join (fact + 5 dims) with the "
+        "local-supplier correlated key condition; all dims broadcast."
+    ),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(exact_sum_disc_price("l_extendedprice", "l_discount").alias("revenue"))
+    )
+
+
+# --- Grouping sets / rollup / cube ------------------------------------------
+
+@query(
+    "rollup_revenue",
+    oracle=(
+        "SELECT r_name, n_name, "
+        "CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gid, "
+        f"{sql_exact_sum('c_acctbal')} AS total_acctbal, COUNT(*) AS n_cust "
+        "FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)"
+    ),
+    doc="Hierarchical rollup (region -> nation -> grand total) with grouping_id.",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        exact_sum("c_acctbal").alias("total_acctbal"),
+        F.count("*").alias("n_cust"),
+    ).select("r_name", "n_name", "gid", "total_acctbal", "n_cust")
+
+
+@query(
+    "cube_event_counts",
+    oracle=(
+        "SELECT event_type, CAST(year(ts) AS INTEGER) AS year, "
+        "CAST(GROUPING(event_type) * 2 + GROUPING(year(ts)) AS INTEGER) AS gid, "
+        "COUNT(*) AS n "
+        "FROM events GROUP BY CUBE (event_type, year(ts))"
+    ),
+    doc="CUBE over two dimensions with grouping_id.",
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("year", F.year("ts").cast("int"))
+    return ev.cube("event_type", "year").agg(
+        F.grouping_id().cast("int").alias("gid"), F.count("*").alias("n")
+    )
+
+
+# --- Set operations -----------------------------------------------------------
+
+@query(
+    "set_union",
+    oracle=(
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION "
+        "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000"
+    ),
+    doc="UNION (distinct) of two key sets.",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle=(
+        "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "INTERSECT "
+        "SELECT o_custkey AS custkey FROM orders"
+    ),
+    doc="INTERSECT of two key sets.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle=(
+        "SELECT c_custkey AS custkey FROM customer "
+        "EXCEPT SELECT o_custkey AS custkey FROM orders"
+    ),
+    doc="EXCEPT — customers that never ordered.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+# --- Semi / anti joins ----------------------------------------------------------
+
+@query(
+    "semi_join",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "              AND o.o_orderpriority = '1-URGENT')"
+    ),
+    doc="Left semi join — customers with at least one urgent order.",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    doc="Left anti join — customers with no orders.",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- Window functions --------------------------------------------------------
+
+@query(
+    "rank_windows",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, c_acctbal, "
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+        "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+        "CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk, "
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile "
+        "FROM customer "
+        "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)"
+    ),
+    doc="Ranking window family: row_number / rank / dense_rank / ntile.",
+)
+def rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "lead_lag_gaps",
+    oracle=(
+        "SELECT event_id, user_id, ts, "
+        "epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) AS gap_ms, "
+        "LEAD(event_type) OVER w AS next_event_type "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    doc="lead/lag: inter-event gap per user in milliseconds.",
+)
+def lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))).alias(
+            "gap_ms"
+        ),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "rolling_sum",
+    oracle=(
+        "SELECT event_id, user_id, ts, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value "
+        "FROM events"
+    ),
+    doc="Explicit frame spec: 3-row rolling sum per user (exact decimal).",
+)
+def rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "rolling_value"
+        ),
+    )
+
+
+@query(
+    "sessionize",
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER "
+        "    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000 "
+        "    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "  THEN 1 ELSE 0 END AS is_start FROM events"
+        "), sessions AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged"
+        ") SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+        "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end "
+        "FROM sessions GROUP BY user_id, session_seq"
+    ),
+    doc=(
+        "Sessionization (30-min inactivity gap): lag -> boundary flag -> "
+        "running sum -> per-session aggregate. One shuffle on user_id; "
+        "windows and the final groupBy reuse the same partitioning."
+    ),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(gap_ms.isNull() | (gap_ms > 30 * 60 * 1000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("is_start").over(wrun).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- Semi-structured / pivot ----------------------------------------------------
+
+@query(
+    "json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "FROM events"
+    ),
+    doc="JSON path extraction from a string column (props).",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle=(
+        "SELECT user_id, "
+        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, "
+        "COUNT(*) FILTER (WHERE event_type = 'error') AS error, "
+        "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "COUNT(*) FILTER (WHERE event_type = 'view') AS view "
+        "FROM events GROUP BY user_id"
+    ),
+    doc="Pivot: per-user counts by event type (explicit value list).",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot+count leaves null for absent combinations; align with COUNT FILTER = 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+# --- Scalar function families -----------------------------------------------------
+
+@query(
+    "string_funcs",
+    oracle=(
+        "SELECT c_custkey, upper(c_name) AS upper_name, "
+        "substring(c_name, 1, 8) AS prefix, "
+        "CAST(length(c_name) AS INTEGER) AS name_len, "
+        "concat(c_mktsegment, '#', c_name) AS tagged, "
+        "regexp_extract(c_name, '([0-9]+)', 1) AS digits, "
+        "replace(c_name, 'Customer', 'Cust') AS shortname "
+        "FROM customer"
+    ),
+    doc="String function family: upper/substring/length/concat/regexp/replace.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_name")).alias("tagged"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("shortname"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle=(
+        "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, "
+        "CAST(o_orderdate AS DATE) + 30 AS due_date, "
+        "date_trunc('month', o_orderdate) AS month_start, "
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, "
+        "CAST(quarter(o_orderdate) AS INTEGER) AS quarter, "
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INTEGER)"
+        " AS days_to_2025 "
+        "FROM orders"
+    ),
+    doc="Date/time function family: cast/add/trunc/last_day/quarter/datediff.",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("quarter"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).cast("int").alias(
+            "days_to_2025"
+        ),
+    )
+
+
+@query(
+    "conditional_funcs",
+    oracle=(
+        "SELECT c_custkey, "
+        "CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid' "
+        "ELSE 'rich' END AS balance_band, "
+        "coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_nb, "
+        "greatest(c_acctbal, 0.0) AS floored_bal, "
+        "least(c_acctbal, 1000.0) AS capped_bal "
+        "FROM customer"
+    ),
+    doc="Conditional family: CASE WHEN / coalesce / nullif / greatest / least.",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_nb"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("capped_bal"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle=(
+        "SELECT p_partkey, abs(p_retailprice - 1000) AS abs_diff, "
+        "ceil(p_retailprice) AS price_ceil, floor(p_retailprice) AS price_floor, "
+        "round(p_retailprice, 1) AS price_round, "
+        "sqrt(abs(p_retailprice)) AS price_sqrt, "
+        "CAST(p_size % 5 AS INTEGER) AS size_mod "
+        "FROM part"
+    ),
+    doc="Math family (IEEE-exact subset): abs/ceil/floor/round/sqrt/mod.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("abs_diff"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round("p_retailprice", 1).alias("price_round"),
+        F.sqrt(F.abs("p_retailprice")).alias("price_sqrt"),
+        (F.col("p_size") % 5).cast("int").alias("size_mod"),
+    )
+
+
+@query(
+    "agg_minmax_distinct",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n, "
+        "COUNT(DISTINCT c_nationkey) AS n_nations, "
+        "MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal "
+        "FROM customer GROUP BY c_mktsegment"
+    ),
+    doc="count / count distinct / min / max aggregation family.",
+)
+def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )

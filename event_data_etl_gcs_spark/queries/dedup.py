@@ -1,0 +1,196 @@
+"""Deduplication queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    duck_minhash_lsh_pairs_sql,
+    duck_simhash,
+    minhash_lsh_pairs,
+    with_simhash,
+)
+from ..operators.text import duck_token_hashes, duck_tokens
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle=(
+        "SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY text HAVING COUNT(*) > 1"
+    ),
+    doc=(
+        "Exact dedup (hash-groupBy on content): duplicate groups with a "
+        "deterministic keeper. The dropDuplicates shape with a pinned "
+        "winner instead of an arbitrary one."
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact_keep",
+    oracle=(
+        "SELECT doc_id, lang, source FROM documents d "
+        "WHERE doc_id = (SELECT MIN(doc_id) FROM documents d2 WHERE d2.text = d.text)"
+    ),
+    doc="Exact dedup, surviving-rows form: keep the min-id copy of each text.",
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keeper = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keeper, ["text", "doc_id"], "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=duck_minhash_lsh_pairs_sql(threshold=0.5),
+    doc=(
+        "Near-dup pairs: 3-token shingles -> 8 portable MinHashes -> 4-band "
+        "LSH candidate join -> exact Jaccard verify >= 0.5. The quadratic "
+        "step only ever sees band collisions."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    oracle=(
+        "WITH base AS (SELECT doc_id, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        "hashed AS (SELECT doc_id, "
+        f"{duck_token_hashes('toks')} AS tok_hashes FROM base) "
+        f"SELECT doc_id, {duck_simhash('tok_hashes')} AS simhash, "
+        f"{duck_simhash('tok_hashes')} % 65536 AS band_lo, "
+        f"{duck_simhash('tok_hashes')} // 65536 AS band_hi "
+        "FROM hashed"
+    ),
+    doc=(
+        "SimHash (32-bit, portable token hashes) + 16-bit half-bands as "
+        "hamming-neighbor blocking keys."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_simhash(docs).select("doc_id", "simhash", "band_lo", "band_hi")
+
+
+@query(
+    "dedup_simhash_candidates",
+    oracle=(
+        "WITH base AS (SELECT doc_id, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        "hashed AS (SELECT doc_id, "
+        f"{duck_token_hashes('toks')} AS tok_hashes FROM base), "
+        f"sh AS (SELECT doc_id, {duck_simhash('tok_hashes')} AS simhash FROM hashed), "
+        "bands AS ("
+        "  SELECT doc_id, simhash, 0 AS band_id, simhash % 65536 AS key FROM sh "
+        "  UNION ALL "
+        "  SELECT doc_id, simhash, 1 AS band_id, simhash // 65536 AS key FROM sh"
+        ") "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+        "FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.key = b.key "
+        "AND a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+    ),
+    doc=(
+        "SimHash near-dup candidates: half-band blocking join, then "
+        "hamming distance <= 6 filter."
+    ),
+)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_simhash(docs).select("doc_id", "simhash", "band_lo", "band_hi")
+    bands = sh.select(
+        "doc_id", "simhash", F.lit(0).alias("band_id"), F.col("band_lo").alias("key")
+    ).union(
+        sh.select(
+            "doc_id", "simhash", F.lit(1).alias("band_id"), F.col("band_hi").alias("key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=(
+        "WITH base AS (SELECT doc_id, source, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        "sh AS (SELECT doc_id, source, "
+        "list_distinct("
+        "CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE "
+        "list_transform(range(1, len(toks) - 1), "
+        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END"
+        ") AS shset FROM base) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / "
+        " len(list_distinct(list_concat(a.shset, b.shset)))) AS jaccard "
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id "
+        "WHERE len(list_distinct(list_concat(a.shset, b.shset))) > 0 AND "
+        "(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) / "
+        " len(list_distinct(list_concat(a.shset, b.shset)))) >= 0.3"
+    ),
+    doc=(
+        "Exact n-gram (3-token shingle) Jaccard within source blocks — "
+        "blocking bounds the pair count; at scale the blocking key is an "
+        "LSH band instead of source."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import shingles_sql, tokens_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("toks", F.expr(tokens_sql("text")))
+        .withColumn("shset", F.array_distinct(F.expr(shingles_sql("toks"))))
+        .select("doc_id", "source", "shset")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.expr("size(array_intersect(a.shset, b.shset))").alias("n_int"),
+        F.expr("size(array_union(a.shset, b.shset))").alias("n_uni"),
+    )
+    return (
+        pairs.filter(F.col("n_uni") > 0)
+        .withColumn("jaccard", F.col("n_int").cast("double") / F.col("n_uni"))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,127 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_dedup_pairs,
+    duck_bucket,
+    duck_dot,
+    duck_norm,
+    lsh_bucket_topk,
+)
+from ..sources.catalog import load_table
+from .registry import query
+
+N_QUERY_VECS = 10
+TOP_K = 5
+
+
+def _duck_knn_sql(bucketed: bool) -> str:
+    """Shared oracle skeleton for brute-force and LSH top-k."""
+    bucket_cols = f", {duck_bucket('embedding')} AS bucket" if bucketed else ""
+    join_cond = (
+        "c.bucket = q.bucket AND c.vec_id <> q.vec_id"
+        if bucketed
+        else "c.vec_id <> q.vec_id"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding, {duck_norm('embedding')} AS nrm{bucket_cols}
+  FROM embeddings
+), q AS (
+  SELECT * FROM vecs WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_sim
+  FROM vecs c JOIN q ON {join_cond}
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query(
+    "ann_brute_force",
+    oracle=_duck_knn_sql(bucketed=False),
+    doc=(
+        "Exact cosine top-k (baseline ANN): broadcast query set x corpus, "
+        "double-precision dot products, deterministic tie-break."
+    ),
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries_df, k=TOP_K)
+
+
+@query(
+    "ann_lsh",
+    oracle=_duck_knn_sql(bucketed=True),
+    doc=(
+        "LSH-bucketed approximate top-k: deterministic random-hyperplane "
+        "bucket ids (map-only), candidate join confined to the query's "
+        "bucket — the scale path for ANN."
+    ),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_bucket_topk(emb, queries_df, k=TOP_K)
+
+
+@query(
+    "embedding_dedup",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id AS id, embedding AS v, {duck_norm('embedding')} AS nrm,
+         {duck_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.id < b.id
+WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.9
+""",
+    doc=(
+        "Embedding-cosine near-duplicate pairs within LSH buckets "
+        "(cos >= 0.9) — candidate generation never goes quadratic."
+    ),
+)
+def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(emb, threshold=0.9)
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       MIN(CAST(embedding[1] AS DOUBLE)) AS min_dim0,
+       MAX(CAST(embedding[1] AS DOUBLE)) AS max_dim0,
+       MIN(vec_id) AS min_vec_id
+FROM embeddings GROUP BY label
+""",
+    doc=(
+        "Grouped vector statistics (IVF-style coarse-cell stats): "
+        "per-label counts and exact component extrema. (Float component "
+        "SUMs are deliberately excluded from the oracle surface: "
+        "double->decimal conversion is not portable across engines.)"
+    ),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min(F.element_at("embedding", 1).cast("double")).alias("min_dim0"),
+        F.max(F.element_at("embedding", 1).cast("double")).alias("max_dim0"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

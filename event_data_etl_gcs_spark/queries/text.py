@@ -1,0 +1,141 @@
+"""Text-analysis queries over the documents table, with exact DuckDB
+oracles generated from the same constants as the Spark expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    char_hash_sql,
+    duck_char_hash,
+    duck_language_id,
+    duck_quality_select,
+    duck_tokens,
+    language_id_column,
+    quality_columns,
+    token_count,
+    tokens_sql,
+    with_tokens,
+)
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "token_count",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_text "
+        "FROM documents"
+    ),
+    doc="Whitespace token count + char count per document.",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_tokens", "n_chars_text")
+
+
+@query(
+    "token_stats_by_lang",
+    oracle=(
+        "WITH t AS (SELECT lang, "
+        f"CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens FROM documents) "
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, "
+        "(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) AS avg_tokens "
+        "FROM t GROUP BY lang"
+    ),
+    doc="Corpus token statistics grouped by language (exact integer sums).",
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = token_count(docs)
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=(
+        "WITH base AS (SELECT doc_id, lang, "
+        f"{duck_tokens('text')} AS toks FROM documents) "
+        f"SELECT doc_id, lang AS lang_true, {duck_language_id('toks')} AS lang_pred "
+        "FROM base"
+    ),
+    doc=(
+        "Heuristic language ID (marker-lexicon argmax, deterministic "
+        "tie-break) alongside the labeled language."
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_tokens(docs).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        language_id_column("toks").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=(
+        "WITH base AS (SELECT doc_id, text, "
+        f"{duck_tokens('text')} AS toks FROM documents) "
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{expr} AS {name}" for name, expr in duck_quality_select().items()
+        )
+        + " FROM base"
+    ),
+    doc=(
+        "Quality scoring: token count, mean token length, stopword ratio, "
+        "punctuation ratio — exact integer/double arithmetic."
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_columns()
+    return with_tokens(docs).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=(
+        f"SELECT doc_id, {duck_char_hash('text')} AS fingerprint FROM documents"
+    ),
+    doc=(
+        "Document fingerprint: polynomial rolling hash over the full "
+        "character stream (portable across engines, unlike xxhash64)."
+    ),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.expr(char_hash_sql("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "fingerprint_dup_groups",
+    oracle=(
+        f"WITH fp AS (SELECT doc_id, {duck_char_hash('text')} AS fingerprint "
+        "FROM documents) "
+        "SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper "
+        "FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1"
+    ),
+    doc="Fingerprint-level duplicate groups (hash-groupBy dedup shape).",
+)
+def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.expr(char_hash_sql("text")).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,53 @@
+"""Table catalog over a directory of parquet tables.
+
+The driver testdata layout (TESTDATA.md) is ``{dir}/{name}.parquet``.
+Reads are plain ``spark.read.parquet`` — the vectorized Parquet reader
+with Catalyst filter pushdown and column pruning; at 100 TB the same call
+reads a partitioned table directory and prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong, session.py); we truncate to
+# microseconds — the same conversion DuckDB applies on read.
+TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs correctness depends on, whatever session we
+    were handed (the driver harness builds its own SparkSession):
+      * nanosAsLong — parquet TIMESTAMP(NANOS) is unreadable otherwise;
+      * UTC session timezone — reproducible timestamp semantics
+        (SURVEY.md §7 hard-part 1).
+    Both are runtime-settable SQL confs; no-ops on sessions from
+    session.get_spark which already set them."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in TS_NANO_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

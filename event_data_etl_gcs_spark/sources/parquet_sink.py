@@ -1,0 +1,44 @@
+"""Partitioned Parquet sink.
+
+Reference behaviors reproduced (SURVEY.md §2.1 S5-S7):
+  * overwrite-mode partitioned writes
+    (``spark-jobs/sparkify_etl.py:50-54,166-170,210-214``),
+  * unpartitioned writes (``:70-72,141-143``).
+
+Scale-posture replacements:
+  * The reference's ``coalesce(1)`` (``sparkify_etl_2.py:79,107``) is NOT
+    the default — it serializes the final stage through one task. We size
+    output files by target rows-per-file instead; ``single_file=True``
+    remains available for the small-export parity case.
+  * Dynamic partition overwrite (set in session.py) so incremental runs
+    replace only the partitions they produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_partitions: int | None = None,
+    single_file: bool = False,
+) -> None:
+    out = df
+    if single_file:
+        out = out.coalesce(1)
+    elif target_partitions is not None:
+        if partition_by:
+            # Cluster rows by the partition columns so each Hive partition
+            # is written by few tasks -> few right-sized files, no
+            # small-file explosion at high task counts.
+            out = out.repartition(target_partitions, *partition_by)
+        else:
+            out = out.repartition(target_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from event_data_etl_gcs_spark.schemas import TESTDATA_TABLES
+from event_data_etl_gcs_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style normalization: columns sorted by name, rows sorted by
+    all columns, index dropped. DATE columns are coerced to datetime64
+    (Spark's toPandas yields datetime.date objects, DuckDB datetime64 —
+    same values, different carriers)."""
+    import datetime
+
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c])
+    out = df[sorted(df.columns)]
+    if len(out):
+        out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out.reset_index(drop=True)
+
+
+def assert_oracle_match(spark, duck, spec, sf_dir: str = SF_ORACLE) -> None:
+    """Run a QuerySpec's Spark query and DuckDB oracle; require identical
+    normalized frames (exact values — floats included)."""
+    got = normalize(spec.fn(spark, sf_dir).toPandas())
+    want = normalize(duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{spec.name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True, obj=spec.name
+    )
