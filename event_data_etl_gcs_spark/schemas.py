@@ -52,6 +52,7 @@ LOG_DATA_SCHEMA = StructType(
         StructField("song", StringType(), True),
         StructField("status", IntegerType(), False),
         StructField("ts", DoubleType(), False),
+        StructField("userAgent", StringType(), True),
         StructField("userId", StringType(), True),
     ]
 )

@@ -45,7 +45,13 @@ def read_json_events(
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good_rows_without_corrupt_col, corrupt_rows) — dead-letter split."""
+    """(good_rows_without_corrupt_col, corrupt_rows) — dead-letter split.
+
+    Spark disallows queries that reference *only* the internal corrupt
+    column of a JSON scan; caching materializes the parsed rows first
+    (the documented workaround), and both halves reuse the same scan.
+    """
+    df = df.cache()
     good = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = df.filter(df[CORRUPT_COL].isNotNull())
     return good, bad

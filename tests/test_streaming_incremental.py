@@ -1,0 +1,55 @@
+"""Structured-Streaming incremental mode: Available-Now drain, exactly-once
+file bookkeeping across restarts, cross-batch dedup within the watermark."""
+
+from __future__ import annotations
+
+import json
+
+from event_data_etl_gcs_spark.streaming.incremental import (
+    run_incremental_available_now,
+)
+
+from .test_sparkify_pipeline import MS, T0, _log_row
+
+
+def _write_file(d, name, rows):
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_available_now_incremental(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_file(
+        raw, "f1.json",
+        [
+            _log_row(ts=T0, userId="u1", level="free"),
+            _log_row(ts=T0 + 60 * MS, userId="u1", level="paid", itemInSession=1),
+            _log_row(ts=T0, userId="u2", page="Home"),  # filtered
+        ],
+    )
+    run_incremental_available_now(spark, str(raw), out, ckpt)
+    users1 = spark.read.parquet(f"{out}/users")
+    assert users1.count() == 1  # u1 latest within the batch
+    assert users1.collect()[0].level == "paid"
+    time1 = spark.read.parquet(f"{out}/time").count()
+    assert time1 == 2
+
+    # Second run: one NEW file (plus an exact duplicate event of f1 that
+    # the watermarked dropDuplicates must swallow within the run).
+    _write_file(
+        raw, "f2.json",
+        [
+            _log_row(ts=T0 + 120 * MS, userId="u3", level="free", itemInSession=2),
+            _log_row(ts=T0 + 120 * MS, userId="u3", level="free", itemInSession=2),
+        ],
+    )
+    run_incremental_available_now(spark, str(raw), out, ckpt)
+    users2 = spark.read.parquet(f"{out}/users")
+    # f1 NOT reprocessed (checkpoint): still one u1 row, plus one u3 row
+    assert users2.count() == 2
+    assert {r.user_id for r in users2.collect()} == {"u1", "u3"}
+    # duplicate event deduped -> exactly one new time row
+    assert spark.read.parquet(f"{out}/time").count() == 3

@@ -1,0 +1,91 @@
+"""Unit tests for the training-data operators beyond the oracle gate:
+multimodal decode plumbing, ANN recall sanity, dedup operator behavior on
+crafted near-duplicates."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.dedup import minhash_lsh_pairs, with_simhash
+from event_data_etl_gcs_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_stub,
+    documents_as_media,
+)
+from event_data_etl_gcs_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from event_data_etl_gcs_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_decode_stub_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "srcX"), (2, "", "en", "srcX")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.media_id: r for r in decode_stub(documents_as_media(docs)).collect()}
+    assert out[1].n_bytes == 11
+    assert out[1].sha256 == hashlib.sha256(b"hello world").hexdigest()
+    assert len(out[1].features) == FEATURE_DIM
+    assert out[1].features[1] == float(b"h"[0])  # first byte
+    assert out[2].n_bytes == 0
+    assert out[2].features == [0.0] * FEATURE_DIM
+
+
+def test_multimodal_metadata_filter_pushes_before_decode(spark):
+    """Metadata predicates must reduce rows before the decode stage."""
+    docs = load_table(spark, SF, "documents")
+    media = documents_as_media(docs).filter(F.col("meta")["lang"] == "en")
+    n_en = media.count()
+    decoded = decode_stub(media)
+    assert decoded.count() == n_en < docs.count()
+
+
+def test_ann_lsh_is_subset_semantics(spark):
+    """LSH top-k must (a) only return same-bucket neighbors, (b) agree
+    with brute force on any neighbor it does return (same cosine)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(emb, q, k=50).collect()
+    }
+    lsh = lsh_bucket_topk(emb, q, k=5).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:
+            assert abs(bf[key] - r.cos_sim) == 0.0  # identical doubles
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant river bank"
+    )
+    near = base.replace("quiet", "silent")  # 1-token edit
+    far = "completely different content with no overlap at all whatsoever here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)],  # 4 = exact copy
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in k for k in pairs)
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near)], "doc_id long, text string"
+    )
+    sh = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    hamming = bin(sh[1] ^ sh[2]).count("1")
+    assert hamming <= 8  # 1-token edit out of 10 flips few bits
