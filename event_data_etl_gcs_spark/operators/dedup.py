@@ -5,14 +5,20 @@ Spark-first design:
   * Exact dedup = hash groupBy (one shuffle on the content key, map-side
     partial aggregation).
   * MinHash signatures and SimHash are map-only column expressions over
-    the portable polynomial hashes in operators.text — no shuffle until
-    the candidate join.
-  * LSH candidate generation = self-equi-join on (band_id, band_hash):
-    Catalyst plans a shuffle hash / sort-merge join on the band key, which
-    is exactly the "bucket join" an LSH index does at scale; band keys
-    spread uniformly so skew is bounded.
-  * Verification (exact Jaccard on shingle sets) happens only on
-    candidate pairs — the quadratic step never touches the full corpus.
+    the portable polynomial hashes in operators.text. Each signature is
+    built as ONE let-bound expression (see text.let_sql) so Catalyst's
+    projection collapse cannot re-evaluate the hash chain per consumer,
+    and the signature frame is cached as the materialization barrier
+    before its two consumers (band join + Jaccard verify). At cluster
+    scale the same barrier is a persisted signature table.
+  * LSH candidate generation = self-equi-join on (band_id, band_key):
+    Catalyst plans a shuffle/broadcast hash join on the band key — exactly
+    the "bucket join" an LSH index does at scale; band keys spread
+    uniformly so skew is bounded. The quadratic step never touches the
+    full corpus.
+  * Verification (exact Jaccard on shingle-hash sets) joins the arrays
+    back by doc id for candidate pairs only, instead of shipping the
+    arrays through the 4x-exploded band shuffle.
 
 All integer arithmetic -> every operator has an exact DuckDB oracle.
 """
@@ -24,11 +30,13 @@ from pyspark.sql import functions as F
 
 from .text import (
     HASH_P,
-    duck_shingle_hashes,
-    duck_shingles,
+    duck_let,
+    duck_shingle_hash_set,
+    duck_token_hashes,
     duck_tokens,
-    shingle_hashes_sql,
-    shingles_sql,
+    let_sql,
+    shingle_hash_set_sql,
+    token_hashes_sql,
     tokens_sql,
 )
 
@@ -38,36 +46,66 @@ MINHASH_A = (452930477, 949121103, 260933191, 577932821, 383339053, 823987307, 1
 MINHASH_B = (83173903, 274582805, 592314181, 430183029, 721549031, 131159933, 936523877, 357151253)
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band -> candidate if any band matches
+ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def minhash_signature_sql(hash_col: str, j: int) -> str:
-    """Spark SQL: j-th MinHash of a shingle-hash-array column; empty set -> HASH_P
-    (sentinel larger than any real hash, so empty docs never collide)."""
-    a, b = MINHASH_A[j], MINHASH_B[j]
-    return (
-        f"CASE WHEN size({hash_col}) = 0 THEN {HASH_P}L ELSE "
-        f"array_min(transform({hash_col}, h -> (h * {a} + {b}) % {HASH_P})) END"
+def _minhash_params_array_sql() -> str:
+    structs = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"array({structs})"
+
+
+def minhash_signature_struct_sql(text_col: str) -> str:
+    """ONE Spark expression producing struct(sh_hashes, mhs):
+    distinct shingle hashes + the N_HASHES MinHash values. Empty shingle
+    set -> sentinel HASH_P (never collides with a real hash)."""
+    mhs = (
+        f"transform({_minhash_params_array_sql()}, p -> "
+        f"CASE WHEN size(sh) = 0 THEN {HASH_P}L ELSE "
+        f"array_min(transform(sh, h -> (h * p.a + p.b) % {HASH_P})) END)"
+    )
+    return let_sql(
+        shingle_hash_set_sql(text_col),
+        "sh",
+        f"named_struct('sh_hashes', sh, 'mhs', {mhs})",
     )
 
 
-def duck_minhash_signature(hash_col: str, j: int) -> str:
-    a, b = MINHASH_A[j], MINHASH_B[j]
-    return (
-        f"CASE WHEN len({hash_col}) = 0 THEN CAST({HASH_P} AS BIGINT) ELSE "
-        f"list_min(list_transform({hash_col}, h -> (h * {a} + {b}) % {HASH_P})) END"
+def duck_minhash_signature_cols() -> str:
+    """DuckDB: mh_0..mh_{N-1} select-list items from an `sh_hashes` column."""
+    items = []
+    for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+        items.append(
+            f"CASE WHEN len(sh_hashes) = 0 THEN CAST({HASH_P} AS BIGINT) ELSE "
+            f"list_min(list_transform(sh_hashes, h -> (h * {a} + {b}) % {HASH_P})) END"
+            f" AS mh_{j}"
+        )
+    return ", ".join(items)
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, sh_hashes, mhs) — cached: this is the materialization barrier
+    both LSH banding and Jaccard verification read from."""
+    spark = df.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        # spread the CPU-heavy hashing across all cores even when the
+        # input is one small parquet file
+        .repartition(nparts)
+        .select("id", F.expr(minhash_signature_struct_sql("text")).alias("sig"))
+        .select("id", F.col("sig.sh_hashes").alias("sh_hashes"), F.col("sig.mhs").alias("mhs"))
     )
+    return sig.cache()
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds mh_0..mh_{N-1} MinHash signature columns (map-only)."""
-    out = (
-        df.withColumn("toks", F.expr(tokens_sql(text_col)))
-        .withColumn("shingles", F.expr(shingles_sql("toks")))
-        .withColumn("sh_hashes", F.expr(shingle_hashes_sql("shingles")))
-    )
+    out = df.withColumn("__sig", F.expr(minhash_signature_struct_sql(text_col)))
     for j in range(N_HASHES):
-        out = out.withColumn(f"mh_{j}", F.expr(minhash_signature_sql("sh_hashes", j)))
-    return out.drop("toks", "shingles")
+        out = out.withColumn(f"mh_{j}", F.col("__sig.mhs")[j])
+    return out.withColumn("sh_hashes", F.col("__sig.sh_hashes")).drop("__sig")
 
 
 def minhash_lsh_pairs(
@@ -79,60 +117,44 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    Jaccard is exact on distinct shingle-hash sets, computed only for
-    band-collision candidates.
     """
-    sig = (
-        with_minhash(df, text_col)
+    sig = minhash_signatures(df, id_col, text_col).filter(
         # docs with no shingles (<3 tokens) all share the sentinel
         # signature and would cross-collide; they can't be near-dups.
-        .filter(F.expr("size(sh_hashes) > 0"))
-        .select(
-            F.col(id_col).alias("id"),
-            "sh_hashes",
-            *[f"mh_{j}" for j in range(N_HASHES)],
-        )
+        F.expr("size(sh_hashes) > 0")
     )
-    rows_per_band = N_HASHES // N_BANDS
-    # band key = struct of the band's signature rows; explode to (band_id, key)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"mh_{b * rows_per_band + r}").alias(f"k{r}")
-            for r in range(rows_per_band)
-        ]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.struct(*cols).alias("key"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            *[F.col("mhs")[b * ROWS_PER_BAND + r].alias(f"k{r}") for r in range(ROWS_PER_BAND)],
         )
-    exploded = sig.select(
-        "id", "sh_hashes", F.explode(F.array(*bands)).alias("band")
-    ).select("id", "sh_hashes", F.col("band.band_id").alias("band_id"), F.col("band.key").alias("key"))
-
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select("id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "id", "band.*"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    key_eq = (F.col("a.band_id") == F.col("b.band_id"))
+    for r in range(ROWS_PER_BAND):
+        key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
     cand = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh_hashes").alias("ha"),
-            F.col("b.sh_hashes").alias("hb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        a.join(b, key_eq & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    jac = cand.withColumn(
-        "jaccard",
-        F.when(
-            F.expr("size(array_union(ha, hb))") == 0, F.lit(0.0)
-        ).otherwise(
-            F.expr("size(array_intersect(ha, hb))").cast("double")
-            / F.expr("size(array_union(ha, hb))")
-        ),
+    ha = sig.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("ha"))
+    hb = sig.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("hb"))
+    jac = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("n_int", F.expr("size(array_intersect(ha, hb))"))
+        .withColumn("n_uni", F.expr("size(array_union(ha, hb))"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_uni") == 0, F.lit(0.0)).otherwise(
+                F.col("n_int").cast("double") / F.col("n_uni")
+            ),
+        )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -144,41 +166,34 @@ def duck_minhash_lsh_pairs_sql(
     threshold: float = 0.5,
 ) -> str:
     """DuckDB oracle for minhash_lsh_pairs — same constants, same math."""
-    toks = duck_tokens(text_col)
-    rows_per_band = N_HASHES // N_BANDS
-    mh_cols = ", ".join(
-        f"{duck_minhash_signature('sh_hashes', j)} AS mh_{j}" for j in range(N_HASHES)
-    )
     band_rows = " UNION ALL ".join(
-        "SELECT id, sh_hashes, {b} AS band_id, [{keys}] AS key FROM sig".format(
+        "SELECT id, {b} AS band_id, [{keys}] AS key FROM sig".format(
             b=b,
-            keys=", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)),
+            keys=", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
         )
         for b in range(N_BANDS)
     )
     return f"""
-WITH base AS (
-  SELECT {id_col} AS id, {toks} AS toks, {text_col} AS text FROM {table}
-), sh AS (
-  SELECT id, {duck_shingles('toks')} AS shingles FROM base
-), hashed AS (
-  SELECT id, {duck_shingle_hashes('shingles')} AS sh_hashes FROM sh
+WITH hashed AS (
+  SELECT {id_col} AS id, {duck_shingle_hash_set(text_col)} AS sh_hashes
+  FROM {table}
 ), sig AS (
-  SELECT id, sh_hashes, {mh_cols} FROM hashed WHERE len(sh_hashes) > 0
+  SELECT id, sh_hashes, {duck_minhash_signature_cols()}
+  FROM hashed WHERE len(sh_hashes) > 0
 ), bands AS (
   {band_rows}
 ), cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         any_value(a.sh_hashes) AS ha, any_value(b.sh_hashes) AS hb
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id
-  GROUP BY a.id, b.id
 ), jac AS (
   SELECT id_a, id_b,
-    CASE WHEN len(list_distinct(list_concat(ha, hb))) = 0 THEN 0.0
-         ELSE CAST(len(list_intersect(ha, hb)) AS DOUBLE)
-              / len(list_distinct(list_concat(ha, hb))) END AS jaccard
+    CASE WHEN len(list_distinct(list_concat(sa.sh_hashes, sb.sh_hashes))) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(sa.sh_hashes, sb.sh_hashes)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh_hashes, sb.sh_hashes))) END AS jaccard
   FROM cand
+  JOIN sig sa ON sa.id = cand.id_a
+  JOIN sig sb ON sb.id = cand.id_b
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
@@ -189,41 +204,39 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
 SIMHASH_BITS = 32
 
 
-def simhash_sql(token_hash_col: str) -> str:
-    """Spark SQL: 32-bit SimHash of a token-hash-array column.
-
-    bit b set iff sum over tokens of (+1 if bit b of token hash else -1) > 0.
-    """
-    return (
+def simhash_struct_sql(text_col: str) -> str:
+    """ONE Spark expression: 32-bit SimHash of a text column via portable
+    token hashes. bit b set iff sum over tokens of (+1 if bit b of token
+    hash else -1) > 0."""
+    bits = (
         f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
-        f"CASE WHEN aggregate({token_hash_col}, 0L, "
+        f"CASE WHEN aggregate(th, 0L, "
         f"(acc, h) -> acc + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1 "
         f"THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, b) ELSE 0L END), "
         f"0L, (acc, x) -> acc + x)"
     )
+    tok_hashes = let_sql(tokens_sql(text_col), "tk", token_hashes_sql("tk"))
+    return let_sql(tok_hashes, "th", bits)
 
 
-def duck_simhash(token_hash_col: str) -> str:
-    return (
+def duck_simhash_expr(text_col: str) -> str:
+    bits = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(0, {SIMHASH_BITS}), b -> "
-        f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), {token_hash_col}), "
+        f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
         f"(acc, h) -> acc + CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1 "
         f"THEN 1 ELSE -1 END) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), "
         f"(acc, x) -> acc + x)"
     )
+    tok_hashes = duck_let(duck_tokens(text_col), "tk", duck_token_hashes("tk"))
+    return duck_let(tok_hashes, "th", bits)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds simhash + two 16-bit half-band columns (candidate blocking
-    keys: near-dups at hamming distance <= ~2 usually share a half)."""
-    from .text import token_hashes_sql
-
-    out = (
-        df.withColumn("toks", F.expr(tokens_sql(text_col)))
-        .withColumn("tok_hashes", F.expr(token_hashes_sql("toks")))
-        .withColumn("simhash", F.expr(simhash_sql("tok_hashes")))
+    keys: near-dups at small hamming distance usually share a half)."""
+    return (
+        df.withColumn("simhash", F.expr(simhash_struct_sql(text_col)))
         .withColumn("band_lo", F.expr("simhash % 65536").cast("long"))
         .withColumn("band_hi", F.expr("simhash div 65536").cast("long"))
     )
-    return out.drop("toks", "tok_hashes")

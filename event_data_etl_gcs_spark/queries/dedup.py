@@ -7,11 +7,11 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     duck_minhash_lsh_pairs_sql,
-    duck_simhash,
+    duck_simhash_expr,
     minhash_lsh_pairs,
     with_simhash,
 )
-from ..operators.text import duck_token_hashes, duck_tokens
+from ..operators.text import duck_tokens
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -70,14 +70,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash",
     oracle=(
-        "WITH base AS (SELECT doc_id, "
-        f"{duck_tokens('text')} AS toks FROM documents), "
-        "hashed AS (SELECT doc_id, "
-        f"{duck_token_hashes('toks')} AS tok_hashes FROM base) "
-        f"SELECT doc_id, {duck_simhash('tok_hashes')} AS simhash, "
-        f"{duck_simhash('tok_hashes')} % 65536 AS band_lo, "
-        f"{duck_simhash('tok_hashes')} // 65536 AS band_hi "
-        "FROM hashed"
+        f"WITH sh AS (SELECT doc_id, {duck_simhash_expr('text')} AS simhash "
+        "FROM documents) "
+        "SELECT doc_id, simhash, simhash % 65536 AS band_lo, "
+        "simhash // 65536 AS band_hi FROM sh"
     ),
     doc=(
         "SimHash (32-bit, portable token hashes) + 16-bit half-bands as "
@@ -92,11 +88,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_simhash_candidates",
     oracle=(
-        "WITH base AS (SELECT doc_id, "
-        f"{duck_tokens('text')} AS toks FROM documents), "
-        "hashed AS (SELECT doc_id, "
-        f"{duck_token_hashes('toks')} AS tok_hashes FROM base), "
-        f"sh AS (SELECT doc_id, {duck_simhash('tok_hashes')} AS simhash FROM hashed), "
+        f"WITH sh AS (SELECT doc_id, {duck_simhash_expr('text')} AS simhash "
+        "FROM documents), "
         "bands AS ("
         "  SELECT doc_id, simhash, 0 AS band_id, simhash % 65536 AS key FROM sh "
         "  UNION ALL "

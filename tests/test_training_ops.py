@@ -66,7 +66,9 @@ def test_ann_lsh_is_subset_semantics(spark):
 def test_minhash_finds_planted_near_duplicate(spark):
     base = (
         "the quick brown fox jumps over the lazy dog and keeps running "
-        "through the quiet green field toward the distant river bank"
+        "through the quiet green field toward the distant river bank "
+        "where tall willows lean over slow water and small birds trade "
+        "short bright calls across the warm afternoon air until dusk"
     )
     near = base.replace("quiet", "silent")  # 1-token edit
     far = "completely different content with no overlap at all whatsoever here"
