@@ -11,6 +11,7 @@ from .registry import QuerySpec, all_queries, get_query, query
 # Importing the modules populates the registry.
 from . import parity  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

@@ -40,12 +40,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     same values, different carriers)."""
     import datetime
 
+    import numpy as np
+
     df = df.copy()
     for c in df.columns:
         if df[c].dtype == object:
             sample = df[c].dropna()
-            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+            if not len(sample):
+                continue
+            head = sample.iloc[0]
+            if isinstance(head, datetime.date):
                 df[c] = pd.to_datetime(df[c])
+            elif isinstance(head, (list, tuple, np.ndarray)):
+                # arrays aren't sortable/hashable in pandas; tuples are
+                df[c] = df[c].map(lambda v: v if v is None else tuple(v))
     out = df[sorted(df.columns)]
     if len(out):
         out = out.sort_values(by=list(out.columns), ignore_index=True)
