@@ -159,13 +159,15 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def duck_minhash_lsh_pairs_sql(
+def duck_minhash_lsh_ctes(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> str:
-    """DuckDB oracle for minhash_lsh_pairs — same constants, same math."""
+    """DuckDB CTE fragments computing `mh_pairs(id_a, id_b, jaccard)` from
+    `table` — composable into larger WITH statements (same constants and
+    math as minhash_lsh_pairs)."""
     band_rows = " UNION ALL ".join(
         "SELECT id, {b} AS band_id, [{keys}] AS key FROM sig".format(
             b=b,
@@ -173,8 +175,7 @@ def duck_minhash_lsh_pairs_sql(
         )
         for b in range(N_BANDS)
     )
-    return f"""
-WITH hashed AS (
+    return f"""hashed AS (
   SELECT {id_col} AS id, {duck_shingle_hash_set(text_col)} AS sh_hashes
   FROM {table}
 ), sig AS (
@@ -194,9 +195,20 @@ WITH hashed AS (
   FROM cand
   JOIN sig sa ON sa.id = cand.id_a
   JOIN sig sb ON sb.id = cand.id_b
-)
-SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
-"""
+), mh_pairs AS (
+  SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+)"""
+
+
+def duck_minhash_lsh_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for minhash_lsh_pairs — same constants, same math."""
+    ctes = duck_minhash_lsh_ctes(table, id_col, text_col, threshold)
+    return f"WITH {ctes} SELECT id_a, id_b, jaccard FROM mh_pairs"
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -12,6 +12,8 @@ from .registry import QuerySpec, all_queries, get_query, query
 from . import parity  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

@@ -1,0 +1,118 @@
+"""Event-time windowing queries (the batch faces of the streaming
+operators in streaming/windowed.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_exact_sum
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "tumbling_window_counts",
+    oracle=(
+        "SELECT date_trunc('day', ts) AS window_start, event_type, "
+        "COUNT(*) AS n, "
+        f"{sql_exact_sum('value')} AS total_value "
+        "FROM events GROUP BY date_trunc('day', ts), event_type"
+    ),
+    doc=(
+        "Tumbling event-time window aggregation (F.window) — the batch "
+        "face of the streaming windowed count; one shuffle on "
+        "(window, type)."
+    ),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle=(
+        "WITH slides AS (SELECT unnest(["
+        "date_trunc('hour', ts), "
+        "date_trunc('hour', ts) - INTERVAL 1 HOUR, "
+        "date_trunc('hour', ts) - INTERVAL 2 HOUR, "
+        "date_trunc('hour', ts) - INTERVAL 3 HOUR]) AS window_start, event_id "
+        "FROM events) "
+        "SELECT window_start, COUNT(*) AS n FROM slides GROUP BY window_start"
+    ),
+    doc=(
+        "Sliding event-time window (4h length, 1h slide): each event lands "
+        "in 4 windows. Spark's F.window(slideDuration) vs an explicit "
+        "unnest replication in the oracle."
+    ),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "session_window_counts",
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, "
+        "  CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER "
+        "    (PARTITION BY user_id ORDER BY ts)) > 1800000 "
+        "    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "  THEN 1 ELSE 0 END AS is_start FROM events"
+        "), sess AS ("
+        "  SELECT user_id, ts, SUM(is_start) OVER (PARTITION BY user_id "
+        "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged"
+        ") SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events "
+        "FROM sess GROUP BY user_id, sid"
+    ),
+    doc=(
+        "Native session_window (30-min gap) aggregation — Spark's built-in "
+        "session windows vs the lag/running-sum formulation in the oracle. "
+        "(events have unique ts per user at this scale, so both agree.)"
+    ),
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)"
+        " AS n_bpe_tokens "
+        "FROM documents"
+    ),
+    doc=(
+        "BPE-ish regex token counting (word pieces + standalone "
+        "punctuation) complementing the whitespace tokenizer."
+    ),
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
