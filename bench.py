@@ -24,9 +24,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q6_revenue_delta",
     "sessionize",
     "users_latest",
     "rollup_revenue",
+    "tumbling_window_counts",
     "token_count",
     "text_quality",
     "dedup_exact",
@@ -35,6 +37,7 @@ BENCH_QUERIES = [
     "ann_brute_force",
     "ann_lsh",
     "multimodal_decode",
+    "training_corpus_select",
 ]
 
 

@@ -1,0 +1,57 @@
+"""Skew mitigation: salted joins and two-phase aggregation.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+partitions at runtime — that's the first line of defense. These manual
+operators cover what AQE can't:
+
+  * ``salted_join`` — a hot key on the probe side explodes one build row
+    into SALT copies so the probe rows hash to SALT different partitions.
+    Use when one side is dimension-ish but a handful of fact keys carry
+    a disproportionate share of rows (the classic power-law user).
+  * ``two_phase_agg_count`` — pre-aggregate on (key, salt) then merge:
+    bounds any single task's group size for high-skew group-bys whose
+    aggregate is reassociable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join where `fact[key]` may be heavily skewed: fact rows get a
+    random salt in [0, salt), dim rows are replicated across all salts,
+    and the join key becomes (key, salt) — a hot key's rows now spread
+    over `salt` partitions. Dim grows by `salt`x, so keep it small or
+    broadcast instead when it fits."""
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_fact.join(salted_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def two_phase_agg_count(
+    df: DataFrame,
+    key: str,
+    salt: int = 16,
+) -> DataFrame:
+    """COUNT(*) per key with bounded task-level group sizes: phase 1
+    counts per (key, salt), phase 2 merges per key. Same pattern extends
+    to any commutative-associative aggregate."""
+    phase1 = (
+        df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(F.count("*").alias("__partial"))
+    )
+    return phase1.groupBy(key).agg(F.sum("__partial").alias("n"))

@@ -1,0 +1,103 @@
+"""Semi-structured data surface: JSON parse/serialize, struct build and
+extract, embedding vector norms."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import duck_norm, norm_sql
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "from_json_struct",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k, "
+        "CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k2 "
+        "FROM events"
+    ),
+    doc=(
+        "from_json into a typed struct then field math — the schema-on-read "
+        "path for embedded JSON payloads."
+    ),
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") * 2).alias("k2"),
+    )
+
+
+@query(
+    "to_json_roundtrip",
+    oracle=(
+        "SELECT event_id, "
+        "concat('{\"type\":\"', event_type, '\",\"uid\":', CAST(user_id AS VARCHAR), '}')"
+        " AS payload "
+        "FROM events"
+    ),
+    doc=(
+        "to_json serialization of a built struct (compact key order "
+        "pinned by construction)."
+    ),
+)
+def to_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"), F.col("user_id").alias("uid")
+            )
+        ).alias("payload"),
+    )
+
+
+@query(
+    "struct_build_extract",
+    oracle=(
+        "SELECT o_orderkey, "
+        "{'status': o_orderstatus, 'price': o_totalprice}.status AS status_out, "
+        "round({'status': o_orderstatus, 'price': o_totalprice}.price, 0) AS price_rounded "
+        "FROM orders WHERE o_orderkey < 100"
+    ),
+    doc="named_struct build + field extraction.",
+)
+def struct_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    return o.select(
+        "o_orderkey",
+        s["status"].alias("status_out"),
+        F.round(s["price"], 0).alias("price_rounded"),
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle=(
+        f"SELECT vec_id, {duck_norm('embedding')} AS l2_norm, "
+        f"CAST({duck_norm('embedding')} BETWEEN 0.9 AND 1.1 AS BOOLEAN) AS near_unit "
+        "FROM embeddings"
+    ),
+    doc=(
+        "Vector norms as a map-only expression (sequential double "
+        "summation — deterministic and oracle-exact); the normalize step "
+        "of any embedding pipeline."
+    ),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.expr(norm_sql("embedding"))
+    return emb.select(
+        "vec_id",
+        nrm.alias("l2_norm"),
+        nrm.between(0.9, 1.1).alias("near_unit"),
+    )
