@@ -118,6 +118,60 @@ def decode_stub(media: DataFrame, batch_size: int = 1024) -> DataFrame:
     return media.mapInPandas(process, schema=DECODED_SCHEMA)
 
 
+# --- A real binary format: PPM images --------------------------------------
+#
+# The stub above fakes features; this path exercises TRUE binary parsing:
+# deterministic P6 PPM images are synthesized from document text (header +
+# pixel bytes cycled from the utf-8 text), and the decoder parses the
+# header and computes pixel statistics from the raw bytes — the exact
+# plumbing an image pipeline needs, minus only the external codec.
+
+def synthesize_ppm_images(documents: DataFrame) -> DataFrame:
+    """Deterministic fake camera: doc text -> P6 PPM binary payload.
+    Dimensions derive from doc_id; pixels cycle the utf-8 text bytes."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 4 + int(doc_id) % 5
+                h = 3 + int(doc_id) % 4
+                n = w * h * 3
+                src = text.encode("utf-8") or b"\x00"
+                body = (src * (n // len(src) + 1))[:n]
+                payloads.append(b"P6\n%d %d\n255\n" % (w, h) + body)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """Parse the P6 header and compute pixel statistics from raw bytes —
+    Arrow-batched, schema-stable, map-only."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_pixel_bytes": [], "mean_pixel": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, dims, maxval, body = b.split(b"\n", 3)
+                w, h = (int(x) for x in dims.split())
+                assert magic == b"P6" and maxval == b"255"
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixel_bytes"].append(len(body))
+                out["mean_pixel"].append(sum(body) / len(body) if body else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        parse,
+        schema="media_id long, width long, height long, n_pixel_bytes long, mean_pixel double",
+    )
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Integration point for real codecs (PIL / torchaudio / ffmpeg).
 

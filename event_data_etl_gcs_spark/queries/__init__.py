@@ -15,6 +15,7 @@ from . import analytics2  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
+from . import tpch_more  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    duck_minhash_lsh_ctes,
     duck_minhash_lsh_pairs_sql,
     duck_simhash_expr,
     minhash_lsh_pairs,
@@ -134,6 +135,37 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .distinct()
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=(
+        f"WITH RECURSIVE {duck_minhash_lsh_ctes(threshold=0.5)}, "
+        "edges AS ("
+        "  SELECT id_a AS u, id_b AS v FROM mh_pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs"
+        "), reach AS ("
+        "  SELECT u AS node, u AS component FROM edges "
+        "  UNION SELECT v AS node, v AS component FROM edges "
+        "  UNION SELECT e.u AS node, r.component FROM edges e "
+        "  JOIN reach r ON e.v = r.node"
+        ") "
+        "SELECT node AS doc_id, MIN(component) AS cluster_rep "
+        "FROM reach GROUP BY node"
+    ),
+    doc=(
+        "Iterative connected components (min-label propagation) over the "
+        "MinHash near-dup pairs: pairs -> dedup clusters with a "
+        "deterministic representative. The oracle computes reachability "
+        "with a recursive CTE."
+    ),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_clusters(pairs)
 
 
 @query(

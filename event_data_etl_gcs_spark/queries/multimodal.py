@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_stub, documents_as_media
+from ..operators.multimodal import (
+    decode_ppm,
+    decode_stub,
+    documents_as_media,
+    synthesize_ppm_images,
+)
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -47,3 +52,39 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     return decode_stub(media)
+
+
+@query(
+    "multimodal_image_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS width,
+         3 + doc_id % 4 AS height,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS bts
+  FROM documents
+), calc AS (
+  SELECT doc_id AS media_id, width, height,
+         width * height * 3 AS n_pixel_bytes,
+         len(bts) AS src_len,
+         list_sum(bts) AS src_sum,
+         bts
+  FROM base
+)
+SELECT media_id, width, height, n_pixel_bytes,
+       CAST((n_pixel_bytes // src_len) * src_sum
+            + COALESCE(list_sum(bts[1:(n_pixel_bytes % src_len)]), 0) AS DOUBLE)
+       / n_pixel_bytes AS mean_pixel
+FROM calc
+""",
+    doc=(
+        "True binary-format plumbing: P6 PPM images synthesized from doc "
+        "text, header-parsed and pixel-averaged via Arrow mapInPandas — "
+        "the oracle recomputes the byte math relationally, so even this "
+        "Python-decoded path is value-checked."
+    ),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_ppm(synthesize_ppm_images(docs))
