@@ -1,0 +1,124 @@
+"""Temporal join operators Spark's API lacks: as-of join and range
+(interval) join — expressed as compositions of native DataFrame ops
+(SURVEY.md Phase 4 'custom operators' path (a): composition, not UDF).
+
+As-of join (nearest previous match per key):
+    Implemented with the union-sort-carry technique: tag both inputs,
+    union on (key, ts), and per key in time order carry the last right
+    row forward with a window `last(..., ignorenulls)`. ONE shuffle on
+    the key — same cost class as a regular join, no point-in-time
+    subqueries, no skew beyond the key distribution. This is the
+    standard large-scale formulation (a sort-merge as-of).
+
+Range join (value/interval containment):
+    Naive form is a cross join with a BETWEEN filter — quadratic. The
+    scale path buckets the range dimension: each interval is exploded to
+    the fixed-width buckets it overlaps, probes join on their bucket,
+    then an exact BETWEEN filter removes false positives. Join fan-out is
+    bounded by interval_width/bucket_width + 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach `right_values` from the right row with
+    the greatest `right_ts` <= `left_ts` (strict: < ) within the same
+    `on` key; nulls when no prior right row exists.
+
+    Ties: a right row AT the left timestamp wins (non-strict), matching
+    DuckDB's ASOF JOIN (>=) semantics. Multiple right rows at the same
+    timestamp: the values of the last in (ts, natural input order) — pass
+    pre-deduped right frames for full determinism.
+    """
+    lcols = left.columns
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tagged = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
+    for c in lcols:
+        if c not in (on,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in right_values:
+        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None))
+
+    unioned = l_tagged.select(
+        on, "__ts", "__is_left", *[c for c in lcols if c != on], *[f"__r_{c}" for c in right_values]
+    ).unionByName(
+        r_tagged.select(
+            on, "__ts", "__is_left", *[c for c in lcols if c != on], *[f"__r_{c}" for c in right_values]
+        )
+    )
+
+    # Right rows sort before left rows at equal ts (non-strict: a quote AT
+    # the event time is visible to it); after left rows when strict.
+    order_within_ts = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), order_within_ts)
+        .rowsBetween(Window.unboundedPreceding, 0 if not strict else -1)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in right_values
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *lcols,
+        *[F.col(f"__carried_{c}").alias(c) for c in right_values],
+    )
+    return out
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    start <= point < end, via fixed-width bucket co-partitioning.
+
+    Each interval explodes to ceil(width/bucket_width)+1 bucket rows;
+    points map to one bucket; the equi-join on bucket replaces the cross
+    join, and the exact BETWEEN filter runs on candidates only.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor(F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bucket", how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

@@ -16,6 +16,7 @@ from . import timeseries  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
+from . import temporal  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

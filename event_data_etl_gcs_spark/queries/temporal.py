@@ -1,0 +1,113 @@
+"""Temporal/custom-join queries: as-of join, bucketed range join,
+MERGE-style upsert — operators Spark's API lacks, built as compositions
+and checked against native DuckDB equivalents (DuckDB has a real ASOF
+JOIN, making this a strong cross-engine semantic check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal_joins import asof_join, range_join_bucketed
+from ..operators.upsert import merge_upsert
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle=(
+        "SELECT e.event_id, e.user_id, e.ts, e.event_type, "
+        "p.purchase_value, p.purchase_ts "
+        "FROM events e ASOF LEFT JOIN ("
+        "  SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts "
+        "  FROM events WHERE event_type = 'purchase'"
+        ") p ON e.user_id = p.user_id AND e.ts >= p.ts"
+    ),
+    doc=(
+        "As-of join: attach each user's most recent prior (or "
+        "concurrent) purchase to every event. Spark side = union-sort-"
+        "carry composition (one shuffle); oracle = DuckDB's native ASOF "
+        "JOIN — a true cross-engine semantics check."
+    ),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["purchase_value", "purchase_ts"],
+    )
+    return out
+
+
+@query(
+    "range_join_value_bands",
+    oracle=(
+        "WITH bands AS ("
+        "  SELECT i AS band_id, CAST(i * 40 AS DOUBLE) AS lo, "
+        "         CAST(i * 40 + 60 AS DOUBLE) AS hi "
+        "  FROM unnest(range(0, 5)) AS r(i)"
+        ") "
+        "SELECT e.event_id, b.band_id, b.lo, b.hi FROM events e "
+        "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+    ),
+    doc=(
+        "Range (interval containment) join via fixed-width bucket "
+        "co-partitioning: overlapping value bands x events without a "
+        "cross join; exact BETWEEN filter on bucket candidates only."
+    ),
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = (
+        spark.range(0, 5)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 40).cast("double").alias("lo"),
+            (F.col("id") * 40 + 60).cast("double").alias("hi"),
+        )
+    )
+    joined = range_join_bucketed(
+        ev, bands, point_col="value", start_col="lo", end_col="hi", bucket_width=20.0
+    )
+    return joined.select("event_id", "band_id", "lo", "hi")
+
+
+@query(
+    "merge_upsert_events",
+    oracle=(
+        "WITH updates AS ("
+        "  SELECT event_id, user_id, value + 1000 AS value FROM events "
+        "  WHERE event_id >= 700 AND event_id < 900"
+        "), target AS ("
+        "  SELECT event_id, user_id, value FROM events WHERE event_id < 800"
+        ") "
+        "SELECT * FROM updates "
+        "UNION ALL "
+        "SELECT t.* FROM target t WHERE NOT EXISTS ("
+        "  SELECT 1 FROM updates u WHERE u.event_id = t.event_id)"
+    ),
+    doc=(
+        "MERGE-style upsert (WHEN MATCHED UPDATE / WHEN NOT MATCHED "
+        "INSERT) as anti-join + union — updates replace overlapping keys, "
+        "new keys insert, untouched rows survive."
+    ),
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(F.col("event_id") < 800).select("event_id", "user_id", "value")
+    updates = (
+        ev.filter((F.col("event_id") >= 700) & (F.col("event_id") < 900))
+        .select("event_id", "user_id", (F.col("value") + 1000).alias("value"))
+    )
+    return merge_upsert(target, updates, keys=["event_id"])

@@ -44,6 +44,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
     df = df.copy()
     for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64") and str(df[c].dtype) != "datetime64[ns]":
+            # unify datetime units (Spark->ns, DuckDB->us); with NaT
+            # present pandas otherwise compares raw int64 representations
+            df[c] = df[c].astype("datetime64[ns]")
         if df[c].dtype == object:
             sample = df[c].dropna()
             if not len(sample):
