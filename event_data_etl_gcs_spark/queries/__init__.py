@@ -17,6 +17,8 @@ from . import corpus  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import tpch_more  # noqa: E402,F401
 from . import temporal  # noqa: E402,F401
+from . import gapfill  # noqa: E402,F401
+from . import nullsafe  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
