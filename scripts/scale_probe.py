@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Scale probe: measured evidence for the engine's scale posture.
+
+1. Synthesizes a ~10x testdata (lineitem ~6M rows, events ~100k, docs
+   50k) plus a deliberately skewed events table (one user owns ~40% of
+   rows) under /tmp/spark_graft_scale/.
+2. Runs the headline queries at 1x and 10x, recording wall time — the
+   scaling exponent is the evidence that plans are shuffle- and
+   partition-sane (near-linear => no quadratic step or collapsed
+   parallelism hiding in a plan).
+3. Runs the skew scenarios: plain window/groupBy on the hot key with AQE,
+   and the salted alternatives, recording times.
+
+Output: SCALE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/tmp/spark_graft_scale"
+SRC = "/root/testdata/sf0.1"
+FACTOR = 10
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "sessionize",
+    "dedup_minhash_lsh",
+    "ann_lsh",
+    "training_corpus_select",
+]
+
+
+def synthesize(spark) -> None:
+    os.makedirs(BASE, exist_ok=True)
+    if os.path.exists(f"{BASE}/_done"):
+        return
+    # 10x replication with key-space offsets so cardinalities scale too.
+    for name, key_cols in [
+        ("lineitem", {"l_orderkey": 1_000_000}),
+        ("orders", {"o_orderkey": 1_000_000, "o_custkey": 10_000}),
+        ("customer", {"c_custkey": 10_000}),
+        ("events", {"event_id": 10_000_000, "user_id": 1_000}),
+        ("documents", {"doc_id": 1_000_000}),
+        ("embeddings", {"vec_id": 1_000_000}),
+    ]:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        copies = []
+        for i in range(FACTOR):
+            c = src
+            for col, stride in key_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{BASE}/x10/{name}.parquet")
+    for name in ["region", "nation", "supplier", "part"]:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{BASE}/x10/{name}.parquet"
+        )
+    # skewed events: hot user 0 owns ~40% of a 1M-row table
+    ev = spark.read.parquet(f"{BASE}/x10/events.parquet")
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.rand(seed=7) < 0.4, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    skewed.write.mode("overwrite").parquet(f"{BASE}/skewed_events.parquet")
+    open(f"{BASE}/_done", "w").write("ok")
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from event_data_etl_gcs_spark.queries import all_queries
+
+    specs = all_queries()
+    out = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 2)
+    return out
+
+
+def run_skew(spark) -> dict[str, float]:
+    from event_data_etl_gcs_spark.operators.skew import two_phase_agg_count
+
+    ev = spark.read.parquet(f"{BASE}/skewed_events.parquet")
+    dim = ev.select("user_id").distinct().withColumn("tag", F.lit(1))
+    res = {}
+
+    t0 = time.perf_counter()
+    ev.groupBy("user_id").agg(
+        F.count("*"), F.sum("value"), F.max("ts")
+    ).count()
+    res["groupby_hot_key_aqe"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    two_phase_agg_count(ev, "user_id").count()
+    res["groupby_hot_key_salted"] = round(time.perf_counter() - t0, 2)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    t0 = time.perf_counter()
+    ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).count()
+    res["window_hot_key"] = round(time.perf_counter() - t0, 2)
+    return res
+
+
+def main() -> None:
+    from event_data_etl_gcs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    synthesize(spark)
+
+    t1 = run_headline(spark, SRC)
+    t10 = run_headline(spark, f"{BASE}/x10")
+    skew = run_skew(spark)
+
+    lines = [
+        "# SCALE — measured scaling evidence (local[32])",
+        "",
+        "10x data replication (lineitem 600k -> 6M rows, key spaces scaled),",
+        "min of 2 runs per query. A near-linear (or sublinear, where a",
+        "selective filter or broadcast dominates) ratio is the evidence that",
+        "no plan hides a quadratic step or a parallelism collapse.",
+        "",
+        "| query | 1x (s) | 10x (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in HEADLINE:
+        r = t10[name] / t1[name] if t1[name] else float("nan")
+        lines.append(f"| {name} | {t1[name]} | {t10[name]} | {r:.1f}x |")
+    lines += [
+        "",
+        "## Skew (1M events, hot key = 40% of rows)",
+        "",
+        "| scenario | time (s) |",
+        "|---|---|",
+        f"| groupBy on hot key (AQE, map-side partials) | {skew['groupby_hot_key_aqe']} |",
+        f"| two-phase salted count | {skew['groupby_hot_key_salted']} |",
+        f"| window row_number on hot key (one task gets 40%) | {skew['window_hot_key']} |",
+        "",
+        "Aggregations shrug off key skew (map-side partial aggregation",
+        "bounds the hot partition); windows genuinely serialize the hot",
+        "key's partition — the documented mitigation is pre-bucketed salted",
+        "windows or restructuring to aggregation (operators/skew.py).",
+        "",
+        "Regenerate: `python scripts/scale_probe.py` (writes this file).",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
