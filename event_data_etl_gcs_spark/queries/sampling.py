@@ -1,0 +1,96 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (df.sample) is seed- and partitioning-dependent — useless
+for reproducible corpus construction. These operators sample by CONTENT
+HASH: the same document lands on the same side of the cut on any cluster
+layout, any engine, any rerun — and adding data never changes the verdict
+on existing rows (the property dataset versioning needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import HASH_P, char_hash_sql, duck_char_hash
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "deterministic_sample",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, lang, {duck_char_hash('text')} AS fp FROM documents) "
+        "SELECT doc_id, lang FROM h WHERE fp % 100 < 20"
+    ),
+    doc=(
+        "Content-hash sampling (~20%): membership depends only on the "
+        "text, so it is stable across reruns, partitionings, and engines "
+        "— unlike df.sample."
+    ),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.expr(char_hash_sql("text")))
+        .filter(F.col("fp") % 100 < 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "stratified_balance_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang, {duck_char_hash('text')} AS fp FROM documents
+), stats AS (
+  SELECT lang, COUNT(*) AS n FROM h GROUP BY lang
+), target AS (
+  SELECT MIN(n) AS min_n FROM stats
+), rates AS (
+  SELECT s.lang, CAST(t.min_n AS DOUBLE) / s.n AS rate FROM stats s, target t
+)
+SELECT h.doc_id, h.lang FROM h JOIN rates r ON h.lang = r.lang
+WHERE (h.fp % {HASH_P}) < r.rate * {HASH_P}
+""",
+    doc=(
+        "Class-balancing stratified sample: per-language keep-rate = "
+        "min_class_count / class_count, applied via the content-hash cut "
+        "— every stratum downsamples toward the smallest, "
+        "deterministically. (Broadcast rate table; one scan.)"
+    ),
+)
+def stratified_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.withColumn("fp", F.expr(char_hash_sql("text")))
+    stats = h.groupBy("lang").agg(F.count("*").alias("n"))
+    min_n = stats.agg(F.min("n").alias("min_n"))
+    rates = stats.crossJoin(F.broadcast(min_n)).select(
+        "lang", (F.col("min_n").cast("double") / F.col("n")).alias("rate")
+    )
+    return (
+        h.join(F.broadcast(rates), "lang")
+        .filter((F.col("fp") % HASH_P) < F.col("rate") * HASH_P)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "train_test_split",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, {duck_char_hash('text')} AS fp FROM documents) "
+        "SELECT doc_id, CASE WHEN fp % 10 < 8 THEN 'train' "
+        "WHEN fp % 10 < 9 THEN 'valid' ELSE 'test' END AS split FROM h"
+    ),
+    doc=(
+        "Stable 80/10/10 train/valid/test assignment by content hash — "
+        "a document can never leak across splits between dataset versions."
+    ),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.expr(char_hash_sql("text")) % 10
+    return docs.select(
+        "doc_id",
+        F.when(fp < 8, "train").when(fp < 9, "valid").otherwise("test").alias("split"),
+    )

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): operator semantics on random
+inputs, checked against independent Python models. Complements the
+fixed-data oracle gate with adversarial small cases (ties, empty groups,
+nulls, boundary timestamps)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.relational import argmax_latest
+from event_data_etl_gcs_spark.operators.temporal_joins import asof_join
+from event_data_etl_gcs_spark.operators.upsert import merge_upsert
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=5),  # ts (small -> ties likely)
+        st.integers(min_value=0, max_value=100),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(data=rows)
+@SETTINGS
+def test_argmax_latest_keeps_all_ties(spark, data):
+    df = spark.createDataFrame(data or [(0, 0, 0)], "k int, ts int, v int")
+    if not data:
+        df = df.limit(0)
+    got = {(r.k, r.ts, r.v) for r in argmax_latest(df, ["k"], "ts").collect()}
+    by_key: dict[int, int] = {}
+    for k, ts, _ in data:
+        by_key[k] = max(by_key.get(k, ts), ts)
+    want = {(k, ts, v) for (k, ts, v) in data if ts == by_key[k]}
+    assert got == want
+
+
+@given(data=rows)
+@SETTINGS
+def test_merge_upsert_model(spark, data):
+    half = len(data) // 2
+    target_rows = [(k, ts, v) for (k, ts, v) in data[:half]]
+    update_rows = [(k, ts, v) for (k, ts, v) in data[half:]]
+    # key-unique both sides (upsert contract)
+    target = {k: (k, ts, v) for (k, ts, v) in target_rows}
+    updates = {k: (k, ts, v) for (k, ts, v) in update_rows}
+    t_df = spark.createDataFrame(list(target.values()) or [(0, 0, 0)], "k int, ts int, v int")
+    u_df = spark.createDataFrame(list(updates.values()) or [(0, 0, 0)], "k int, ts int, v int")
+    if not target:
+        t_df = t_df.limit(0)
+    if not updates:
+        u_df = u_df.limit(0)
+    got = {r.k: (r.k, r.ts, r.v) for r in merge_upsert(t_df, u_df, ["k"]).collect()}
+    want = {**target, **updates}
+    assert got == want
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 10)), min_size=1, max_size=15
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SETTINGS
+def test_asof_join_model(spark, left, right):
+    # unique right (key, ts) -> deterministic contract
+    rmap = {(k, ts): (k, ts, k * 100 + ts) for (k, ts) in right}
+    l_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid int, k int, ts int"
+    )
+    r_df = spark.createDataFrame(list(rmap.values()), "k int, ts int, rv int")
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            l_df, r_df, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(left):
+        prior = [rv for (rk, rts, rv) in rmap.values() if rk == k and rts <= ts]
+        want = max(
+            prior,
+            key=lambda rv: [rts for (rk, rts, v) in rmap.values() if v == rv][0],
+            default=None,
+        )
+        assert got[i] == want, (i, k, ts, got[i], want)
