@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "ann_lsh",
     "multimodal_decode",
     "training_corpus_select",
+    "asof_join_last_purchase",
+    "ann_ivf_cells",
+    "term_frequencies",
+    "train_test_split",
+    "gap_fill_daily_counts",
 ]
 
 

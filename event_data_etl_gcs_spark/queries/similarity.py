@@ -8,10 +8,12 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine_dedup_pairs,
+    dot_sql,
     duck_bucket,
     duck_dot,
     duck_norm,
     lsh_bucket_topk,
+    norm_sql,
 )
 from ..sources.catalog import load_table
 from .registry import query
@@ -75,6 +77,63 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return lsh_bucket_topk(emb, queries_df, k=TOP_K)
+
+
+@query(
+    "ann_ivf_cells",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding, {duck_norm('embedding')} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT * FROM vecs WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_sim
+  FROM vecs c JOIN q ON c.label = q.label AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=(
+        "IVF-style ANN: the label column acts as the coarse-quantizer "
+        "cell; search only within the query's cell (candidate set = one "
+        "cell, not the corpus). The inverted-file pattern as an equi-join."
+    ),
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").alias("v"),
+        F.expr(norm_sql("embedding")).alias("nrm"),
+    )
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        vecs.join(F.broadcast(q), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.expr(dot_sql("qv", "v")) / (F.col("qnrm") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 @query(

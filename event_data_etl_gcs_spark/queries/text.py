@@ -105,6 +105,34 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "term_frequencies",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+        "), stats AS ("
+        "  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df "
+        "  FROM toks GROUP BY term"
+        ") SELECT term, tf, df FROM stats ORDER BY tf DESC, term LIMIT 30"
+    ),
+    doc=(
+        "Corpus vocabulary statistics: explode terms -> term frequency + "
+        "document frequency, top 30 — the TF/DF backbone of quality "
+        "filters and BM25 (integer-exact; log-weighted variants stay "
+        "engine-side because libm isn't bit-portable)."
+    ),
+)
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(30)
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=(
         f"SELECT doc_id, {duck_char_hash('text')} AS fingerprint FROM documents"
