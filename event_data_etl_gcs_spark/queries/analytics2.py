@@ -8,7 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import sql_exact_sum
 from ..sources.catalog import load_table, register_views
 from .registry import query
 

@@ -15,7 +15,6 @@ from ..operators.text import (
     language_id_column,
     quality_columns,
     token_count,
-    tokens_sql,
     with_tokens,
 )
 from ..sources.catalog import load_table

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter pruning: selective join sides inject bloom
+        # filters into the probe-side scan — at 100 TB this is the
+        # difference between scanning the fact table and scanning the
+        # fraction of it that can possibly join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Object-store-friendly committer (replaces the reference's GCS
         # connector tuning at sparkify_etl.py:232 with the general knob).
