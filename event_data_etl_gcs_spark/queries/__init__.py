@@ -20,6 +20,7 @@ from . import temporal  # noqa: E402,F401
 from . import gapfill  # noqa: E402,F401
 from . import nullsafe  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import strings2  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-BASE = "/tmp/spark_graft_scale"
+BASE = os.environ.get("SCALE_PROBE_BASE", "/tmp/spark_graft_scale")
 SRC = "/root/testdata/sf0.1"
-FACTOR = 10
+FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "10"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -41,7 +41,7 @@ HEADLINE = [
 
 def synthesize(spark) -> None:
     os.makedirs(BASE, exist_ok=True)
-    if os.path.exists(f"{BASE}/_done"):
+    if os.path.exists(f"{BASE}/_done_{FACTOR}"):
         return
     # 10x replication with key-space offsets so cardinalities scale too.
     for name, key_cols in [
@@ -62,19 +62,19 @@ def synthesize(spark) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(f"{BASE}/x10/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{BASE}/x{FACTOR}/{name}.parquet")
     for name in ["region", "nation", "supplier", "part"]:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
-            f"{BASE}/x10/{name}.parquet"
+            f"{BASE}/x{FACTOR}/{name}.parquet"
         )
     # skewed events: hot user 0 owns ~40% of a 1M-row table
-    ev = spark.read.parquet(f"{BASE}/x10/events.parquet")
+    ev = spark.read.parquet(f"{BASE}/x{FACTOR}/events.parquet")
     skewed = ev.withColumn(
         "user_id",
         F.when(F.rand(seed=7) < 0.4, F.lit(0)).otherwise(F.col("user_id")),
     )
     skewed.write.mode("overwrite").parquet(f"{BASE}/skewed_events.parquet")
-    open(f"{BASE}/_done", "w").write("ok")
+    open(f"{BASE}/_done_{FACTOR}", "w").write("ok")
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
@@ -128,26 +128,26 @@ def main() -> None:
     synthesize(spark)
 
     t1 = run_headline(spark, SRC)
-    t10 = run_headline(spark, f"{BASE}/x10")
+    tN = run_headline(spark, f"{BASE}/x{FACTOR}")
     skew = run_skew(spark)
 
     lines = [
-        "# SCALE — measured scaling evidence (local[32])",
+        f"# SCALE — measured scaling evidence (local[32], factor {FACTOR}x)",
         "",
-        "10x data replication (lineitem 600k -> 6M rows, key spaces scaled),",
+        f"{FACTOR}x data replication (lineitem 600k -> {FACTOR*600000} rows, key spaces scaled),",
         "min of 2 runs per query. A near-linear (or sublinear, where a",
         "selective filter or broadcast dominates) ratio is the evidence that",
         "no plan hides a quadratic step or a parallelism collapse.",
         "",
-        "| query | 1x (s) | 10x (s) | ratio |",
+        f"| query | 1x (s) | {FACTOR}x (s) | ratio |",
         "|---|---|---|---|",
     ]
     for name in HEADLINE:
-        r = t10[name] / t1[name] if t1[name] else float("nan")
-        lines.append(f"| {name} | {t1[name]} | {t10[name]} | {r:.1f}x |")
+        r = tN[name] / t1[name] if t1[name] else float("nan")
+        lines.append(f"| {name} | {t1[name]} | {tN[name]} | {r:.1f}x |")
     lines += [
         "",
-        "## Skew (1M events, hot key = 40% of rows)",
+        f"## Skew ({FACTOR*100_000} events, hot key = 40% of rows)",
         "",
         "| scenario | time (s) |",
         "|---|---|",
@@ -162,7 +162,8 @@ def main() -> None:
         "",
         "Regenerate: `python scripts/scale_probe.py` (writes this file).",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"), "w") as f:
+    suffix = "" if FACTOR == 10 else f"_{FACTOR}x"
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"SCALE{suffix}.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
     spark.stop()
