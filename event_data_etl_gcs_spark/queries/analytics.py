@@ -84,8 +84,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "TPC-H Q3-style: selective dim filter -> fact join -> agg -> "
-        "deterministic top-k. Customer side broadcast; lineitem/orders "
-        "join shuffles on orderkey."
+        "deterministic top-k. Broadcast left to AQE runtime sizing "
+        "(customer scales with SF; only bounded tables get explicit hints)."
     ),
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +93,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(exact_sum_disc_price("l_extendedprice", "l_discount").alias("revenue"))
@@ -118,7 +118,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "TPC-H Q5-style multi-way star join (fact + 5 dims) with the "
-        "local-supplier correlated key condition; all dims broadcast."
+        "local-supplier correlated key condition. Explicit broadcast only "
+        "for the bounded nation/region tables; customer/supplier scale "
+        "with SF, so AQE sizes those joins at runtime."
     ),
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,9 +132,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )

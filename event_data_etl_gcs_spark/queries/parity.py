@@ -281,7 +281,7 @@ def join_multikey_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return li.join(
-        F.broadcast(dim),
+        dim,
         (li["l_partkey"] == dim["pk"]) & (li["l_suppkey"] == dim["sk"]),
         "left",
     ).select("l_orderkey", "l_linenumber", "l_quantity", F.col("pk").alias("matched_part"))
@@ -298,8 +298,8 @@ def join_multikey_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     doc=(
         "J3: left outer USING-column join attaching dimension attributes "
-        "to a fact (ref songplays⟕time on start_time, sparkify_etl.py:191-193); "
-        "dim side broadcast."
+        "to a fact (ref songplays⟕time on start_time, sparkify_etl.py:191-193). "
+        "Broadcast left to AQE (customer scales with SF)."
     ),
 )
 def join_left_using(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +309,7 @@ def join_left_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
     )
-    return o.join(F.broadcast(c), "custkey", "left")
+    return o.join(c, "custkey", "left")
 
 
 @query(
@@ -338,7 +338,7 @@ def fact_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.min("ts").alias("first_seen")
     )
     purchases = ev.filter(F.col("event_type") == "purchase")
-    return purchases.join(F.broadcast(user_dim), "user_id", "left").select(
+    return purchases.join(user_dim, "user_id", "left").select(
         "event_id",
         F.col("ts").alias("start_time"),
         "user_id",

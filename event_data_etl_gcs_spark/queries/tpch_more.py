@@ -57,7 +57,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(exact_sum_disc_price("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -116,7 +116,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     return joined.agg(
         (
             F.lit(100.0)
@@ -176,7 +176,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     from ..functions.numeric import exact_sum_disc_price
 
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
