@@ -172,6 +172,95 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     )
 
 
+# --- Video-shaped payloads: frame sampling + resize ------------------------
+#
+# A "video" here is a binary payload of N fixed-size frames (deterministic
+# synthetic stand-in for a real container format). frame_sample keeps
+# every k-th frame; resize_frames downsamples each frame by integer
+# striding. Real codecs (ffmpeg) slot into the same mapInPandas shape.
+
+FRAME_W, FRAME_H = 8, 6
+FRAME_BYTES = FRAME_W * FRAME_H
+
+
+def synthesize_videos(documents: DataFrame, n_frames: int = 12) -> DataFrame:
+    """doc text -> fake video: n_frames frames of FRAME_BYTES, bytes
+    cycled from the text with a per-frame offset."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                src = text.encode("utf-8") or b"\x00"
+                frames = []
+                for f in range(n_frames):
+                    body = (src[f % len(src):] + src * (FRAME_BYTES // len(src) + 2))[
+                        :FRAME_BYTES
+                    ]
+                    frames.append(body)
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_frames": [n_frames] * len(payloads),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary, n_frames int"
+    )
+
+
+def frame_sample(videos: DataFrame, every_k: int = 4) -> DataFrame:
+    """Keep every k-th frame; output one row per sampled frame with a
+    deterministic frame checksum (sum of bytes) — the row-generating
+    (flatMap) shape of video preprocessing."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sum": []}
+            for mid, payload, n in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                b = bytes(payload)
+                for f in range(0, int(n), every_k):
+                    frame = b[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_sum"].append(sum(frame))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        sample, schema="media_id long, frame_idx int, frame_sum long"
+    )
+
+
+def resize_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
+    """Integer-stride downsample of each frame (every stride-th pixel per
+    axis) — the resize stage's plumbing; a real resampler (PIL) slots in
+    per-frame unchanged."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "small": []}
+            for mid, payload, n in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                b = bytes(payload)
+                for f in range(int(n)):
+                    frame = b[f * FRAME_BYTES:(f + 1) * FRAME_BYTES]
+                    small = bytes(
+                        frame[y * FRAME_W + x]
+                        for y in range(0, FRAME_H, stride)
+                        for x in range(0, FRAME_W, stride)
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["small"].append(small)
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        resize, schema="media_id long, frame_idx int, small binary"
+    )
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Integration point for real codecs (PIL / torchaudio / ffmpeg).
 
