@@ -15,7 +15,7 @@ operators cover what AQE can't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,39 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_topn_per_key(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    n: int,
+    tiebreak: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Top-n rows per key when some keys are hot enough that a plain
+    window serializes (SCALE_100x.md skew table): phase 1 takes the local
+    top-n within (key, salt) — bounding every task's sort to its salt
+    share — phase 2 re-ranks only the surviving salt*n rows per key.
+    Exact: the global top-n is contained in the union of salt-local
+    top-ns. Descending order; ties broken by `tiebreak` ascending."""
+    w1 = Window.partitionBy(key, "__salt").orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).asc()
+    )
+    phase1 = (
+        df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak).asc()
+    )
+    return (
+        phase1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .withColumnRenamed("__rn", "rank")
+    )
 
 
 def two_phase_agg_count(

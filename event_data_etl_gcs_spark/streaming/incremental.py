@@ -57,12 +57,19 @@ def run_incremental_available_now(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     dedup_keys: tuple[str, ...] = ("userId", "sessionId", "itemInSession", "start_time"),
+    dedup_within_watermark: bool = False,
 ) -> None:
     """Drain the raw-directory backlog into users/time parquet tables.
 
     Blocks until the Available-Now drain finishes. Re-running after new
     files land processes only the new files (checkpointed source index);
     duplicate events within the watermark horizon are dropped.
+
+    ``dedup_within_watermark=True`` uses dropDuplicatesWithinWatermark:
+    dedup keys then need NOT include the event-time column (duplicates
+    with slightly different timestamps — e.g. re-sent with a new ingest
+    ts — still collapse), and state eviction is driven purely by the
+    watermark rather than key-space growth.
     """
     from ..plans.sparkify import build_time, build_users
 
@@ -71,8 +78,12 @@ def run_incremental_available_now(
         raw.filter(F.col("page") == "NextSong")
         .withColumn("start_time", epoch_millis_to_timestamp("ts"))
         .withWatermark("start_time", watermark)
-        .dropDuplicates([*dedup_keys])
     )
+    if dedup_within_watermark:
+        keys = [k for k in dedup_keys if k != "start_time"]
+        events = events.dropDuplicatesWithinWatermark(keys)
+    else:
+        events = events.dropDuplicates([*dedup_keys])
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()

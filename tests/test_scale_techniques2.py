@@ -1,0 +1,85 @@
+"""Scale techniques, batch 2: salted top-n windows, runtime bloom-filter
+pruning, sorted-write row-group layout."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.skew import salted_topn_per_key
+from event_data_etl_gcs_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_topn_matches_plain_window(spark):
+    ev = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    plain = {
+        (r.user_id, r.rank): r.event_id
+        for r in ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    salted = {
+        (r.user_id, r.rank): r.event_id
+        for r in salted_topn_per_key(
+            ev, key="user_id", order_col="value", n=3, tiebreak="event_id"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_bloom_filter_pruning_in_plan(spark):
+    """A selective small-side join over a big probe side should inject a
+    runtime bloom filter into the probe scan (SMJ path; broadcast joins
+    don't need one)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try:
+        o = load_table(spark, "/root/testdata/sf0.01", "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_sorted_write_produces_tight_rowgroup_stats(spark, tmp_path):
+    """sortWithinPartitions on the range-filter column -> parquet row
+    groups with narrow, non-overlapping min/max — the layout property
+    that makes range predicates skip row groups at scan time."""
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    path = str(tmp_path / "li_sorted")
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_shipdate")
+        .write.option("parquet.block.size", 256 * 1024)
+        .parquet(path)
+    )
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) > 3  # small block size -> several row groups
+    ranges.sort()
+    overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if a[1] > b[0])
+    assert overlaps == 0, ranges  # sorted layout: disjoint min/max ranges

@@ -53,3 +53,25 @@ def test_available_now_incremental(spark, tmp_path):
     assert {r.user_id for r in users2.collect()} == {"u1", "u3"}
     # duplicate event deduped -> exactly one new time row
     assert spark.read.parquet(f"{out}/time").count() == 3
+
+
+def test_dedup_within_watermark_collapses_resends(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same logical event re-sent with
+    a slightly different timestamp still collapses (keys exclude ts)."""
+    raw = tmp_path / "raw2"
+    raw.mkdir()
+    out = str(tmp_path / "wh2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_file(
+        raw, "f1.json",
+        [
+            _log_row(ts=T0, userId="u1", sessionId=1, itemInSession=0),
+            # resend of the same (user, session, item) 5s later
+            _log_row(ts=T0 + 5 * MS, userId="u1", sessionId=1, itemInSession=0),
+        ],
+    )
+    run_incremental_available_now(
+        spark, str(raw), out, ckpt, dedup_within_watermark=True
+    )
+    # one logical event -> one time row (plain dropDuplicates would keep 2)
+    assert spark.read.parquet(f"{out}/time").count() == 1
