@@ -137,6 +137,26 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_trained",
+    oracle=None,  # float->decimal centroid means aren't engine-portable;
+    # determinism + recall are pinned in tests/test_ivf.py instead
+    doc=(
+        "Trained IVF ANN: k-means-lite coarse centroids (deterministic "
+        "decimal-mean training, pinned init), corpus inverted by nearest "
+        "cell, queries probe the 3 nearest cells. The data-adaptive scale "
+        "path beyond the label-cell and LSH variants."
+    ),
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    cents = train_ivf_centroids(emb, k=8, iterations=2)
+    return ivf_topk(emb, queries_df, cents, k=TOP_K, n_probe=3)
+
+
+@query(
     "embedding_dedup",
     oracle=f"""
 WITH vecs AS (

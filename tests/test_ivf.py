@@ -1,0 +1,49 @@
+"""IVF ANN index: training determinism, recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.ivf import ivf_topk, train_ivf_centroids
+from event_data_etl_gcs_spark.operators.similarity import brute_force_topk
+from event_data_etl_gcs_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_centroid_training_is_deterministic(spark):
+    emb = load_table(spark, SF, "embeddings")
+    c1 = train_ivf_centroids(emb, k=8, iterations=2).collect()
+    c2 = train_ivf_centroids(emb.repartition(7), k=8, iterations=2).collect()
+    m1 = {r.cell: list(r.centroid) for r in c1}
+    m2 = {r.cell: list(r.centroid) for r in c2}
+    assert m1.keys() == m2.keys()
+    for cell in m1:
+        assert m1[cell] == m2[cell]  # bit-identical despite repartition
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cents = train_ivf_centroids(emb, k=8, iterations=2)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random 64-d gaussian vectors are a worst case for coarse cells;
+    # the structural guarantee is bounded candidate sets + deterministic
+    # results, with recall well above chance (8 cells, 3 probed).
+    assert recall >= 0.4, recall
+    # every approx neighbor's cosine must equal the exact computation
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in ivf_topk(emb, queries, cents, k=5, n_probe=3).collect():
+        assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
