@@ -21,6 +21,8 @@ from . import gapfill  # noqa: E402,F401
 from . import nullsafe  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import strings2  # noqa: E402,F401
+from . import tpch3  # noqa: E402,F401
+from . import quality_audit  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

@@ -22,6 +22,43 @@ from ..schemas import TESTDATA_TABLES
 TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+_PACKAGE_SHIPPED: set[int] = set()
+
+
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Pandas-UDF / mapInPandas closures reference module-level helpers;
+    cloudpickle serializes those BY MODULE REFERENCE, so workers must be
+    able to import ``event_data_etl_gcs_spark``. When the driver process
+    runs from another cwd (sys.path tweaks don't propagate to workers),
+    that import fails — shipping a zip of the package makes every
+    operator work regardless of the host process's environment."""
+    key = id(spark.sparkContext)
+    if key in _PACKAGE_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_root):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_root)
+                        )
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _PACKAGE_SHIPPED.add(key)
+
+
 def _ensure_runtime_confs(spark: SparkSession) -> None:
     """Pin the runtime confs correctness depends on, whatever session we
     were handed (the driver harness builds its own SparkSession):
@@ -29,9 +66,11 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
       * UTC session timezone — reproducible timestamp semantics
         (SURVEY.md §7 hard-part 1).
     Both are runtime-settable SQL confs; no-ops on sessions from
-    session.get_spark which already set them."""
+    session.get_spark which already set them. Also ships the package to
+    Python workers (see _ensure_package_on_workers)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_package_on_workers(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
