@@ -7,11 +7,19 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from event_data_etl_gcs_spark.queries import all_queries
+# Robust under by-file-path import from any cwd: the engine package lives
+# next to this file.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from event_data_etl_gcs_spark.queries import all_queries  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
