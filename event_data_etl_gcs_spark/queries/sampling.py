@@ -76,6 +76,29 @@ def stratified_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fixed_size_sample",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, lang, {duck_char_hash('text')} AS fp FROM documents) "
+        "SELECT doc_id, lang FROM h ORDER BY fp, doc_id LIMIT 50"
+    ),
+    doc=(
+        "Exact-size deterministic sample: take the 50 lowest content "
+        "hashes — the distributed form of reservoir sampling with a "
+        "stable, content-addressed reservoir (a global top-k, not a "
+        "global sort)."
+    ),
+)
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.expr(char_hash_sql("text")))
+        .orderBy("fp", "doc_id")
+        .limit(50)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
     "train_test_split",
     oracle=(
         f"WITH h AS (SELECT doc_id, {duck_char_hash('text')} AS fp FROM documents) "
