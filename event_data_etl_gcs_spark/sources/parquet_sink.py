@@ -26,10 +26,28 @@ def write_parquet_table(
     mode: str = "overwrite",
     target_partitions: int | None = None,
     single_file: bool = False,
+    range_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
 ) -> None:
+    """Parquet write with layout control.
+
+    * ``range_by`` — repartitionByRange on these columns: files cover
+      disjoint key ranges (globally clustered output; range predicates
+      prune whole files via footer stats).
+    * ``sort_within_by`` — sortWithinPartitions before writing: row
+      groups inside each file get tight, disjoint min/max stats, so
+      range predicates also skip row groups (property pinned in
+      tests/test_scale_techniques2.py).
+    """
     out = df
     if single_file:
         out = out.coalesce(1)
+    elif range_by:
+        out = (
+            out.repartitionByRange(target_partitions, *range_by)
+            if target_partitions
+            else out.repartitionByRange(*range_by)
+        )
     elif target_partitions is not None:
         if partition_by:
             # Cluster rows by the partition columns so each Hive partition
@@ -38,6 +56,8 @@ def write_parquet_table(
             out = out.repartition(target_partitions, *partition_by)
         else:
             out = out.repartition(target_partitions)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -83,3 +83,33 @@ def test_sorted_write_produces_tight_rowgroup_stats(spark, tmp_path):
     ranges.sort()
     overlaps = sum(1 for a, b in zip(ranges, ranges[1:]) if a[1] > b[0])
     assert overlaps == 0, ranges  # sorted layout: disjoint min/max ranges
+
+def test_range_partitioned_write_clusters_files(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions -> files covering
+    disjoint key ranges (whole-file pruning for range predicates)."""
+    import glob
+
+    from event_data_etl_gcs_spark.sources.parquet_sink import write_parquet_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    path = str(tmp_path / "li_ranged")
+    write_parquet_table(
+        li, path, target_partitions=8,
+        range_by=["l_shipdate"], sort_within_by=["l_shipdate"],
+    )
+    file_ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins = [meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups)]
+        maxs = [meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups)]
+        file_ranges.append((min(mins), max(maxs)))
+    assert len(file_ranges) >= 4
+    file_ranges.sort()
+    overlaps = sum(1 for a, b in zip(file_ranges, file_ranges[1:]) if a[1] > b[0])
+    assert overlaps == 0, file_ranges
+    # data intact
+    assert spark.read.parquet(path).count() == li.count()
