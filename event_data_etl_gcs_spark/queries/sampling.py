@@ -76,6 +76,57 @@ def stratified_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source, {duck_char_hash('text')} AS fp FROM documents
+), stats AS (
+  SELECT source, COUNT(*) AS n FROM h GROUP BY source
+), tot AS (
+  SELECT SUM(n) AS total, CAST(SUM(sqrt(CAST(n AS DOUBLE))) AS DOUBLE) AS z
+  FROM stats
+), rates AS (
+  SELECT s.source,
+         least(1.0, (0.3 * t.total) * (sqrt(CAST(s.n AS DOUBLE)) / t.z) / s.n)
+         AS rate
+  FROM stats s, tot t
+)
+SELECT h.doc_id, h.source FROM h JOIN rates r ON h.source = r.source
+WHERE (h.fp % {HASH_P}) < r.rate * {HASH_P}
+""",
+    doc=(
+        "Temperature-smoothed source mixing (alpha=0.5): per-source "
+        "keep-rate proportional to sqrt(count), normalized to a 30% "
+        "corpus budget — upsamples rare sources relative to their share, "
+        "the standard pretraining-mixture move. sqrt is IEEE-exact, so "
+        "even this smoothed policy is engine-portable and reproducible."
+    ),
+)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.withColumn("fp", F.expr(char_hash_sql("text")))
+    stats = h.groupBy("source").agg(F.count("*").alias("n"))
+    tot = stats.agg(
+        F.sum("n").alias("total"),
+        F.sum(F.sqrt(F.col("n").cast("double"))).cast("double").alias("z"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.3) * F.col("total"))
+            * (F.sqrt(F.col("n").cast("double")) / F.col("z"))
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    return (
+        h.join(F.broadcast(rates), "source")
+        .filter((F.col("fp") % HASH_P) < F.col("rate") * HASH_P)
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "fixed_size_sample",
     oracle=(
         f"WITH h AS (SELECT doc_id, lang, {duck_char_hash('text')} AS fp FROM documents) "
