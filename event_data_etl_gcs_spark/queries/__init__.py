@@ -23,6 +23,7 @@ from . import sampling  # noqa: E402,F401
 from . import strings2  # noqa: E402,F401
 from . import tpch3  # noqa: E402,F401
 from . import tpch4  # noqa: E402,F401
+from . import tpch5  # noqa: E402,F401
 from . import quality_audit  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
