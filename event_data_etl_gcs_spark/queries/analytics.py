@@ -543,7 +543,10 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     oracle=(
         "SELECT p_partkey, abs(p_retailprice - 1000) AS abs_diff, "
-        "ceil(p_retailprice) AS price_ceil, floor(p_retailprice) AS price_floor, "
+        # Spark's ceil/floor return BIGINT; DuckDB's return DOUBLE. Cast the
+        # oracle so the driver's value hash sees 1055, not 1055.0.
+        "CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil, "
+        "CAST(floor(p_retailprice) AS BIGINT) AS price_floor, "
         "round(p_retailprice, 1) AS price_round, "
         "sqrt(abs(p_retailprice)) AS price_sqrt, "
         "CAST(p_size % 5 AS INTEGER) AS size_mod "

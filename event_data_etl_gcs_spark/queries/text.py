@@ -41,7 +41,7 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH t AS (SELECT lang, "
         f"CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens FROM documents) "
-        "SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens, "
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
         "(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) AS avg_tokens "
         "FROM t GROUP BY lang"
     ),

@@ -69,8 +69,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle=(
         "SELECT o_orderpriority, "
-        "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count, "
-        "SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS other_count "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count, "
+        "CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS other_count "
         "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
         "WHERE l.l_quantity >= 30 "
         "GROUP BY o_orderpriority"
