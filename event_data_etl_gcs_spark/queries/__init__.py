@@ -6,7 +6,7 @@ string over the same tables. ``__spark_entry__.py`` exposes this registry
 to the driver's correctness gate.
 """
 
-from .registry import QuerySpec, all_queries, get_query, query
+from .registry import QuerySpec, all_queries, get_query, query, set_priority
 
 # Importing the modules populates the registry.
 from . import parity  # noqa: E402,F401
@@ -30,4 +30,38 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 
-__all__ = ["QuerySpec", "all_queries", "get_query", "query"]
+# The correctness driver checks a prefix of the inventory (round 1: the
+# first 50 registered names, which were all parity/analytics because of
+# module import order — none of the dedup/ANN/multimodal/sampling entries
+# got a driver row). This explicit prefix spans every operator family:
+# SURVEY §2 parity core (15), LLM-pipeline ops (23), headline analytics
+# including round-1 red rows (12). Everything else follows in registration
+# order, previously-driver-green analytics first.
+set_priority([
+    # --- SURVEY §2 parity core ------------------------------------------
+    "scan_project", "project_rename", "filter_eq", "filter_compound",
+    "derived_column", "distinct_rows", "window_max", "argmax_latest",
+    "users_latest", "time_dimension", "surrogate_key_stable",
+    "join_full_outer", "join_multikey_left", "join_left_using",
+    "fact_enrich",
+    # --- text analysis ---------------------------------------------------
+    "token_count", "token_stats_by_lang", "lang_id", "text_quality",
+    "term_frequencies", "doc_fingerprint",
+    # --- deduplication ---------------------------------------------------
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "dedup_ngram_jaccard",
+    # --- similarity search ----------------------------------------------
+    "ann_brute_force", "ann_lsh", "ann_ivf_cells", "embedding_dedup",
+    # --- multimodal ------------------------------------------------------
+    "multimodal_meta", "multimodal_image_stats", "multimodal_decode",
+    # --- sampling / splits / corpus pipeline -----------------------------
+    "deterministic_sample", "stratified_balance_sample", "train_test_split",
+    "temperature_mix_sample", "training_corpus_select",
+    # --- headline analytics (incl. round-1 red rows, now fixed) ----------
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "q6_revenue_delta", "q4_order_priority", "sessionize", "math_funcs",
+    "approx_count_distinct", "rollup_revenue", "asof_join_last_purchase",
+    "range_join_value_bands", "merge_upsert_events",
+])
+
+__all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -19,6 +19,7 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
+_PRIORITY: list[str] = []
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
@@ -33,8 +34,26 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def set_priority(names: list[str]) -> None:
+    """Set the inventory's leading order: ``all_queries()`` emits these
+    names first (in this order), then everything else in registration
+    order. The correctness driver checks a prefix of the inventory, so the
+    prefix must span every operator family — SURVEY §2 parity core, the
+    LLM-pipeline ops (dedup/ANN/multimodal/text/sampling/corpus), and the
+    headline analytics — not just whichever modules imported first."""
+    unknown = [n for n in names if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"priority names not registered: {unknown}")
+    _PRIORITY.clear()
+    _PRIORITY.extend(names)
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY}
+    for n, spec in _REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = spec
+    return ordered
 
 
 def get_query(name: str) -> QuerySpec:
