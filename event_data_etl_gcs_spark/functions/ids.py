@@ -19,15 +19,57 @@ def monotonic_id() -> Column:
     return F.monotonically_increasing_id()
 
 
-def stable_row_id(df: DataFrame, order_by: list[str], name: str = "row_id") -> DataFrame:
-    """Deterministic dense 1-based id by an explicit total order.
+def stable_row_id(
+    df: DataFrame,
+    order_by: list[str],
+    name: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense 1-based id by an explicit total order — WITHOUT
+    a global single-partition window.
 
-    Costs one global sort (single-partition window) — acceptable for
-    dimension-sized frames; for 100 TB facts prefer ``monotonic_id`` or a
-    key derived from the data (e.g. xxhash64 of natural keys).
+    Shape: range-repartition + sort on the order keys (a distributed sort,
+    every task holds one key range), local index = monotonically_increasing_id
+    minus its per-partition minimum, global id = local index + the
+    cumulative row count of all earlier partitions. The per-partition
+    stats frame is one row per partition, so its cumulative-sum window is
+    bounded by the partition count, not the data; it is broadcast back.
+    The result is independent of where the range boundaries fall, so it is
+    stable across runs and cluster sizes as long as ``order_by`` is a
+    total order (ties would be numbered in an unspecified order — same
+    caveat as ``row_number`` itself).
+
+    ``order_by`` columns should be non-null: Spark sorts nulls first,
+    DuckDB/ANSI engines default to nulls last.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(name, F.row_number().over(w))
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(nparts, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mono", F.monotonically_increasing_id())
+        # barrier: __pid/__mono must be computed once and reused by both
+        # consumers below (stats + final join), not re-evaluated
+        .cache()
+    )
+    stats = parted.groupBy("__pid").agg(
+        F.count("*").alias("__n"), F.min("__mono").alias("__base")
+    )
+    # range partitions are ordered by key, so cumulative count over __pid
+    # order = rows before this partition in the global order
+    offw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid",
+        "__base",
+        F.coalesce(F.sum("__n").over(offw), F.lit(0)).alias("__offset"),
+    )
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            name, (F.col("__mono") - F.col("__base") + F.col("__offset") + 1)
+        )
+        .drop("__pid", "__mono", "__base", "__offset")
+    )
 
 
 def content_hash_id(*cols: str) -> Column:

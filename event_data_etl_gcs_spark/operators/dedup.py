@@ -113,16 +113,84 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``collapse_identical`` (default on) runs exact dedup FIRST: identical
+    texts are collapsed to a min-id representative, banding + Jaccard
+    verification run over distinct texts only, and member pairs are
+    expanded back afterwards (intra-group pairs get jaccard 1.0 without
+    touching the shingle arrays; cross-group pairs inherit the rep-pair
+    jaccard). Without this, a group of c identical documents lands
+    c*(c-1)/2 candidate pairs in the verify join and each pair pays the
+    full array_intersect — the measured 32x blow-up at 100x replication
+    (SCALE_100x.md). With it, the verify cost depends only on the number
+    of DISTINCT texts; the group expansion is a cheap integer join. The
+    output is identical either way (identical texts share every band, so
+    the naive path also emits all intra-group pairs at jaccard 1.0).
+    Pass False only when the input is already exact-deduped.
     """
-    sig = minhash_signatures(df, id_col, text_col).filter(
-        # docs with no shingles (<3 tokens) all share the sentinel
-        # signature and would cross-collide; they can't be near-dups.
+    if not collapse_identical:
+        sig = minhash_signatures(df, id_col, text_col).filter(
+            # docs with no shingles (<3 tokens) all share the sentinel
+            # signature and would cross-collide; they can't be near-dups.
+            F.expr("size(sh_hashes) > 0")
+        )
+        return _lsh_pairs_from_sig(sig, threshold)
+
+    # Exact-dedup-first: one hash window on the text assigns each row its
+    # group's min-id representative (single shuffle, no join back).
+    from pyspark.sql import Window
+
+    mem = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("rep_id", F.min("id").over(Window.partitionBy("text")))
+    )
+    # (id, rep_id) barrier: consumed by the intra- and cross-group
+    # expansions below. Tiny (two longs per row).
+    mem_ids = mem.select("id", "rep_id").cache()
+    reps = mem.filter(F.col("id") == F.col("rep_id")).select("id", "text")
+    sig = minhash_signatures(reps, "id", "text").filter(
         F.expr("size(sh_hashes) > 0")
     )
+    rep_pairs = _lsh_pairs_from_sig(sig, threshold)
+
+    # Intra-group: every member pair of a duplicate group is jaccard 1.0 —
+    # but only for groups whose text actually has shingles (the no-shingle
+    # filter above must apply to members exactly as it does to reps).
+    shingled = sig.select(F.col("id").alias("rep_id"))
+    x, y = mem_ids.alias("x"), mem_ids.alias("y")
+    intra = (
+        x.join(y, (F.col("x.rep_id") == F.col("y.rep_id")) & (F.col("x.id") < F.col("y.id")))
+        .join(shingled.alias("s"), F.col("x.rep_id") == F.col("s.rep_id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # Cross-group: jaccard(a, b) for identical-text members equals the
+    # rep-pair jaccard; expand each rep pair to the member cross product.
+    ma = mem_ids.select(F.col("rep_id").alias("id_a"), F.col("id").alias("m_a"))
+    mb = mem_ids.select(F.col("rep_id").alias("id_b"), F.col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def _lsh_pairs_from_sig(sig: DataFrame, threshold: float) -> DataFrame:
+    """Banding + candidate join + exact Jaccard verify over a cached
+    (id, sh_hashes, mhs) signature frame."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),

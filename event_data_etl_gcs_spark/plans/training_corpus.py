@@ -48,7 +48,11 @@ def exact_dedup_keep_min(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def near_dedup_keep_min(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    pairs = minhash_lsh_pairs(docs, id_col=id_col, threshold=NEAR_DUP_THRESHOLD)
+    # Texts here are already exact-deduped by the previous stage, so the
+    # operator's own collapse-identical pass would be a redundant shuffle.
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, threshold=NEAR_DUP_THRESHOLD, collapse_identical=False
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 

@@ -218,17 +218,20 @@ def time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id, user_id FROM events WHERE event_type = 'purchase'"
     ),
     doc=(
-        "F3: deterministic surrogate key (row_number over explicit order) "
-        "— the stable alternative to the reference's "
-        "monotonically_increasing_id (sparkify_etl.py:206, SURVEY.md §4.3-5)."
+        "F3: deterministic surrogate key — the stable alternative to the "
+        "reference's monotonically_increasing_id (sparkify_etl.py:206, "
+        "SURVEY.md §4.3-5). Distributed form: range-partitioned sort + "
+        "per-partition offsets (functions/ids.py), no global "
+        "single-partition window."
     ),
 )
 def surrogate_key_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ids import stable_row_id
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy("event_id")
-    return ev.select(
-        F.row_number().over(w).alias("row_id"), "event_id", "user_id"
-    )
+    return stable_row_id(
+        ev.select("event_id", "user_id"), order_by=["event_id"]
+    ).select("row_id", "event_id", "user_id")
 
 
 # --- J: joins ---------------------------------------------------------------

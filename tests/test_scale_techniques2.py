@@ -113,3 +113,29 @@ def test_range_partitioned_write_clusters_files(spark, tmp_path):
     assert overlaps == 0, file_ranges
     # data intact
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_stable_row_id_plan_is_distributed(spark):
+    """stable_row_id must not funnel the data through a global
+    single-partition window: the data path is a range repartition + local
+    sort + broadcast join of per-partition offsets. The only
+    SinglePartition exchange allowed is the one over the per-partition
+    stats frame (<= #partitions rows, post-aggregation)."""
+    from event_data_etl_gcs_spark.functions.ids import stable_row_id
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    out = stable_row_id(ev, order_by=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # any Window must read aggregated partition stats, not raw rows:
+    # a HashAggregate appears between the Window and its table scan
+    after_window = plan.split("Window", 1)[1]
+    agg_pos = after_window.find("HashAggregate")
+    scan_pos = after_window.find("InMemoryTableScan")
+    assert 0 <= agg_pos < scan_pos, plan
+    # dense, deterministic, matches the explicit order
+    rows = out.orderBy("row_id").collect()
+    ids = [r.row_id for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    assert [r.event_id for r in rows] == sorted(r.event_id for r in rows)
