@@ -41,6 +41,7 @@ def connected_components(
     )
     labels.count()
 
+    changed = 0
     for _ in range(max_iterations):
         # candidate label per node = min(own, min over neighbors' labels)
         neighbor_labels = (
@@ -68,6 +69,15 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # exiting on the iteration cap means some component's diameter
+        # exceeds max_iterations and its labels are NOT converged — wrong
+        # silently, and the reachability oracle would fail with no hint.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (long duplicate chains have large diameters)"
+        )
     return labels
 
 

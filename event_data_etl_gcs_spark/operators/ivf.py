@@ -105,7 +105,7 @@ def ivf_topk(
     inv = _assign(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
         centroids,
-    ).withColumn("nrm", F.expr(norm_sql("embedding")))
+    ).withColumn("nrm", F.expr(norm_sql("embedding"))).filter(F.col("nrm") > 0)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -122,6 +122,8 @@ def ivf_topk(
         .filter(F.col("__rk") <= n_probe)
         .select("query_id", "qv", "cell")
         .withColumn("qnrm", F.expr(norm_sql("qv")))
+        # zero-norm queries: cosine undefined
+        .filter(F.col("qnrm") > 0)
     )
     scored = (
         inv.join(F.broadcast(q_cells), "cell")

@@ -116,18 +116,20 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
     Self-matches excluded. Query side is broadcast (small by contract);
-    ranking ties break on neighbor id.
+    ranking ties break on neighbor id. Zero-norm embeddings are dropped
+    at entry: cosine is undefined for them, and engines disagree on 0/0
+    (Spark NULL, IEEE NaN/inf) so they must never reach the division.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.expr(norm_sql(vec_col)).alias("qnorm"),
-    )
+    ).filter(F.col("qnorm") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.expr(norm_sql(vec_col)).alias("cnorm"),
-    )
+    ).filter(F.col("cnorm") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -153,19 +155,20 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket."""
+    """Approximate top-k: rank only within the query's LSH bucket.
+    Zero-norm embeddings dropped at entry (cosine undefined)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.expr(norm_sql(vec_col)).alias("qnorm"),
         F.expr(bucket_sql(vec_col)).alias("bucket"),
-    )
+    ).filter(F.col("qnorm") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.expr(norm_sql(vec_col)).alias("cnorm"),
         F.expr(bucket_sql(vec_col)).alias("bucket"),
-    )
+    ).filter(F.col("cnorm") > 0)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -198,7 +201,8 @@ def cosine_dedup_pairs(
         F.col(vec_col).alias("v"),
         F.expr(norm_sql(vec_col)).alias("nrm"),
         F.expr(bucket_sql(vec_col)).alias("bucket"),
-    )
+        # zero-norm vectors: cosine undefined, engines disagree on 0/0
+    ).filter(F.col("nrm") > 0)
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,

@@ -30,7 +30,16 @@ def salted_join(
     random salt in [0, salt), dim rows are replicated across all salts,
     and the join key becomes (key, salt) — a hot key's rows now spread
     over `salt` partitions. Dim grows by `salt`x, so keep it small or
-    broadcast instead when it fits."""
+    broadcast instead when it fits.
+
+    Only inner/left (fact-preserving) joins are supported: under
+    right/full, a dim row with no fact match would surface once per salt
+    replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "right/full would emit unmatched dim rows once per salt replica"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

@@ -43,6 +43,20 @@ def asof_join(
     pre-deduped right frames for full determinism.
     """
     lcols = left.columns
+    # The implementation claims __ts/__is_left/__r_* internally and emits
+    # right_values as top-level columns; colliding input names would
+    # silently corrupt the union.
+    reserved = {"__ts", "__is_left"} | {f"__r_{c}" for c in right_values}
+    for side, cols in (("left", left.columns), ("right", right.columns)):
+        clash = reserved.intersection(cols)
+        if clash:
+            raise ValueError(f"asof_join: {side} input uses reserved column names {sorted(clash)}")
+    overlap = set(right_values).intersection(lcols)
+    if overlap:
+        raise ValueError(
+            f"asof_join: right_values {sorted(overlap)} collide with left columns; "
+            "rename one side first"
+        )
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )

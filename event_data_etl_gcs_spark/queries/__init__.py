@@ -60,8 +60,8 @@ set_priority([
     # --- headline analytics (incl. round-1 red rows, now fixed) ----------
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "q6_revenue_delta", "q4_order_priority", "sessionize", "math_funcs",
-    "approx_count_distinct", "rollup_revenue", "asof_join_last_purchase",
-    "range_join_value_bands", "merge_upsert_events",
+    "approx_count_distinct", "rollup_revenue", "topn_per_key_salted",
+    "asof_join_last_purchase", "range_join_value_bands",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

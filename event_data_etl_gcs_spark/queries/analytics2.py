@@ -317,3 +317,30 @@ def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.unionAll(b).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "topn_per_key_salted",
+    oracle=(
+        "SELECT user_id, event_id, value, rank FROM ("
+        "  SELECT user_id, event_id, value, "
+        "  CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+        "       ORDER BY value DESC, event_id) AS INTEGER) AS rank "
+        "  FROM events"
+        ") WHERE rank <= 3"
+    ),
+    doc=(
+        "Top-3 events per user by value via the SALTED two-phase window "
+        "(operators/skew.py salted_topn_per_key): phase 1 ranks within "
+        "(key, salt) so no task ever sorts a whole hot key, phase 2 "
+        "re-ranks the surviving salt*n rows. Exact — same result as the "
+        "plain window the oracle states, without serializing hot keys."
+    ),
+)
+def topn_per_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_topn_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_topn_per_key(
+        ev, key="user_id", order_col="value", n=3, tiebreak="event_id"
+    ).select("user_id", "event_id", "value", "rank")

@@ -34,6 +34,7 @@ def _duck_knn_sql(bucketed: bool) -> str:
 WITH vecs AS (
   SELECT vec_id, embedding, {duck_norm('embedding')} AS nrm{bucket_cols}
   FROM embeddings
+  WHERE {duck_norm('embedding')} > 0
 ), q AS (
   SELECT * FROM vecs WHERE vec_id < {N_QUERY_VECS}
 ), scored AS (
@@ -85,6 +86,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vecs AS (
   SELECT vec_id, label, embedding, {duck_norm('embedding')} AS nrm
   FROM embeddings
+  WHERE {duck_norm('embedding')} > 0
 ), q AS (
   SELECT * FROM vecs WHERE vec_id < {N_QUERY_VECS}
 ), scored AS (
@@ -112,7 +114,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", "label", F.col("embedding").alias("v"),
         F.expr(norm_sql("embedding")).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "label",
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
@@ -163,6 +165,7 @@ WITH vecs AS (
   SELECT vec_id AS id, embedding AS v, {duck_norm('embedding')} AS nrm,
          {duck_bucket('embedding')} AS bucket
   FROM embeddings
+  WHERE {duck_norm('embedding')} > 0
 )
 SELECT a.id AS id_a, b.id AS id_b,
        {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim

@@ -115,6 +115,12 @@ def run_skew(spark) -> dict[str, float]:
     t0 = time.perf_counter()
     ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).count()
     res["window_hot_key"] = round(time.perf_counter() - t0, 2)
+
+    from event_data_etl_gcs_spark.operators.skew import salted_topn_per_key
+
+    t0 = time.perf_counter()
+    salted_topn_per_key(ev, key="user_id", order_col="ts", n=3, tiebreak="event_id").count()
+    res["window_hot_key_salted"] = round(time.perf_counter() - t0, 2)
     return res
 
 
@@ -154,11 +160,13 @@ def main() -> None:
         f"| groupBy on hot key (AQE, map-side partials) | {skew['groupby_hot_key_aqe']} |",
         f"| two-phase salted count | {skew['groupby_hot_key_salted']} |",
         f"| window row_number on hot key (one task gets 40%) | {skew['window_hot_key']} |",
+        f"| salted two-phase top-n window (same result, bounded tasks) | {skew['window_hot_key_salted']} |",
         "",
         "Aggregations shrug off key skew (map-side partial aggregation",
         "bounds the hot partition); windows genuinely serialize the hot",
-        "key's partition — the documented mitigation is pre-bucketed salted",
-        "windows or restructuring to aggregation (operators/skew.py).",
+        "key's partition — the mitigation is the salted two-phase top-n",
+        "window (operators/skew.py salted_topn_per_key, oracle-checked as",
+        "the topn_per_key_salted query) or restructuring to aggregation.",
         "",
         "Regenerate: `python scripts/scale_probe.py` (writes this file).",
     ]
