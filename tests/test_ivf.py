@@ -47,3 +47,33 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     for r in ivf_topk(emb, queries, cents, k=5, n_probe=3).collect():
         assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivf_multiprobe_recall_tradeoff_sf01(spark):
+    """Recall@5 vs brute force at sf0.1 (2,000 vectors) as n_probe grows.
+
+    Documents the recall/probe tradeoff the IVF index trades on: each
+    additional probed cell widens the candidate set (cost ~ n_probe/k of
+    the corpus per query) and recall rises monotonically toward the
+    brute-force ceiling. Gate: probing 4 of 16 cells (1/4 of the corpus)
+    must reach recall@5 >= 0.6 on random gaussians — the structural
+    worst case for coarse quantization — and recall must not decrease
+    as probes are added.
+    """
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    cents = train_ivf_centroids(emb, k=16, iterations=2)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    recalls = {}
+    for n_probe in (1, 2, 4):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, cents, k=5, n_probe=n_probe).collect()
+        }
+        recalls[n_probe] = len(exact & approx) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] >= 0.6, recalls
