@@ -98,3 +98,39 @@ def is_load_ready(table_path: str) -> bool:
     """_SUCCESS-gated loads: only consume directory outputs whose write
     committed (the engine-level form of `max_bad_records=0` strictness)."""
     return os.path.exists(os.path.join(table_path, "_SUCCESS"))
+
+
+def warehouse_load_stage(
+    tables: dict[str, str], db_path: str
+) -> Callable[[SparkSession, RunConfig], None]:
+    """S9 analog: the warehouse-load task of the reference DAG
+    (dags/sparkify_dag.py:102-120 loads the written Parquet into a second
+    engine) as a runner stage — here the warehouse is DuckDB, so the
+    stage runs anywhere with no cloud dependency.
+
+    Each table load is gated on the _SUCCESS marker (the strict
+    `max_bad_records=0` posture): an uncommitted write fails the stage,
+    which quarantines the batch instead of loading partial data. Loads
+    are CREATE OR REPLACE — idempotent on re-run, matching the
+    WRITE_TRUNCATE disposition of the reference's load task."""
+
+    def _stage(spark: SparkSession, config: RunConfig) -> None:
+        import duckdb
+
+        con = duckdb.connect(db_path)
+        try:
+            for name, path in tables.items():
+                if not is_load_ready(path):
+                    raise RuntimeError(
+                        f"warehouse load: {name} at {path} has no _SUCCESS "
+                        "marker; refusing to load an uncommitted write"
+                    )
+                con.execute(
+                    f"CREATE OR REPLACE TABLE {name} AS "
+                    f"SELECT * FROM read_parquet('{path}/**/*.parquet', "
+                    "hive_partitioning = true)"
+                )
+        finally:
+            con.close()
+
+    return _stage

@@ -158,11 +158,18 @@ def run_pipeline(
     log_data_path: str,
     output_dir: str,
     partitioned: bool = True,
+    partition_overrides: dict[str, list[str] | None] | None = None,
 ) -> PipelineResult:
     """Full-corpus batch (entry point 2 of the reference, SURVEY.md §3.2):
     builds all five tables and writes them as (optionally Hive-partitioned)
     Parquet. With song_data_path=None it runs the log-only incremental
-    variant (sparkify_etl_2.py) producing users + time only."""
+    variant (sparkify_etl_2.py) producing users + time only.
+
+    ``partition_overrides`` replaces the default layout per table — e.g.
+    ``{"time": ["year", "month"]}`` reproduces the reference's
+    month-partitioned time dim from the incremental job
+    (sparkify_etl_1.py:106-110, SURVEY §2.1 S5) instead of the
+    year-only layout of the batch job (quirk Q4)."""
     res = PipelineResult()
 
     log_df = load_log_data(spark, log_data_path)
@@ -189,6 +196,8 @@ def run_pipeline(
         "time": ["year"] if partitioned else None,  # ref :169 (Q4: year only)
         "songplays": ["year"] if partitioned else None,  # ref :213
     }
+    if partition_overrides:
+        partitioning.update(partition_overrides)
     for name, df in res.tables.items():
         path = os.path.join(output_dir, name)
         write_parquet_table(df, path, partition_by=partitioning[name])

@@ -62,3 +62,14 @@ def write_parquet_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if partition_by:
+        # Dynamic partition overwrite (session.py) commits via a staging
+        # dir and skips the _SUCCESS marker; re-emit it so downstream
+        # loads keep their commit gate (plans/runner.py is_load_ready).
+        # The write HAS committed once writer.parquet() returns.
+        import os
+
+        if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            open(os.path.join(path, "_SUCCESS"), "w").close()

@@ -86,3 +86,83 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(month" in plan, plan
     want = ev.filter(F.col("month") == 3).count()
     assert df.count() == want
+
+
+def test_month_partitioned_time_and_warehouse_load(spark, tmp_path):
+    """The incremental variant's month-partitioned time layout
+    (partition_overrides, ref sparkify_etl_1.py:106-110) + an exercised
+    S9-analog warehouse load: the runner stage loads the committed
+    Parquet into DuckDB behind the _SUCCESS gate and the loaded counts
+    match Spark's."""
+    import duckdb
+
+    from event_data_etl_gcs_spark.plans.runner import warehouse_load_stage
+    from event_data_etl_gcs_spark.plans.sparkify import run_pipeline
+
+    cfg = _config(
+        tmp_path,
+        [
+            _log_row(userId="u1"),
+            _log_row(userId="u2", ts=_log_row()["ts"] + 90 * 24 * 3600 * 1000),
+        ],
+    )
+
+    def _pipeline_stage(spark, cfg):
+        run_pipeline(
+            spark,
+            song_data_path=None,
+            log_data_path=cfg.raw_dir,
+            output_dir=cfg.output_dir,
+            partition_overrides={"time": ["year", "month"]},
+        )
+
+    db_path = str(tmp_path / "warehouse.duckdb")
+    tables = {
+        "users": os.path.join(cfg.output_dir, "users"),
+        "time": os.path.join(cfg.output_dir, "time"),
+    }
+    results = run(
+        spark,
+        cfg,
+        [("pipeline", _pipeline_stage), ("load", warehouse_load_stage(tables, db_path))],
+    )
+    assert [r.status for r in results] == ["ok", "ok"], [
+        (r.name, r.error) for r in results
+    ]
+    # month-partitioned hive layout on disk
+    year_dirs = [
+        d for d in os.listdir(tables["time"]) if d.startswith("year=")
+    ]
+    assert year_dirs
+    assert any(
+        d.startswith("month=")
+        for y in year_dirs
+        for d in os.listdir(os.path.join(tables["time"], y))
+    )
+    # warehouse contents match the engine's view of its own output
+    con = duckdb.connect(db_path)
+    try:
+        for name, path in tables.items():
+            got = con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0]
+            assert got == spark.read.parquet(path).count(), name
+    finally:
+        con.close()
+
+
+def test_warehouse_load_refuses_uncommitted_write(spark, tmp_path):
+    """No _SUCCESS marker -> the load stage fails (and the runner
+    quarantines), instead of loading a torn directory."""
+    from event_data_etl_gcs_spark.plans.runner import warehouse_load_stage
+
+    cfg = _config(tmp_path, [_log_row(userId="u1")])
+    torn = tmp_path / "out" / "users"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.parquet").write_bytes(b"not really parquet")
+    results = run(
+        spark,
+        cfg,
+        [("load", warehouse_load_stage({"users": str(torn)}, str(tmp_path / "w.db")))],
+        quarantine_on_failure=False,
+    )
+    assert results[0].status == "failed"
+    assert "_SUCCESS" in results[0].error
