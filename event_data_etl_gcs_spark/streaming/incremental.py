@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.time import epoch_millis_to_timestamp
+from ..operators.upsert import merge_upsert
 from ..schemas import LOG_DATA_SCHEMA
 from ..sources.parquet_sink import write_parquet_table
 
@@ -85,19 +86,40 @@ def run_incremental_available_now(
     else:
         events = events.dropDuplicates([*dedup_keys])
 
+    def merge_write(
+        new_df: DataFrame,
+        path: str,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Per-batch MERGE into the existing table: without it, a user
+        appearing in two micro-batches (or two runs) would leave both a
+        stale and a fresh row in an append-log, and time rows sharing a
+        truncated second across batches would duplicate. Late-arriving
+        older state still wins for users (updates replace on key), the
+        same posture as the reference's overwrite job. localCheckpoint
+        materializes the merge so the overwrite of the path being read
+        is safe."""
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            existing = new_df.sparkSession.read.parquet(path)
+            out = merge_upsert(existing, new_df, keys).localCheckpoint(eager=True)
+        else:
+            out = new_df
+        write_parquet_table(out, path, partition_by=partition_by, mode="overwrite")
+
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            write_parquet_table(
+            merge_write(
                 build_users(batch_df),
                 os.path.join(output_dir, "users"),
-                mode="append",
+                keys=["user_id"],
             )
-            write_parquet_table(
+            merge_write(
                 build_time(batch_df),
                 os.path.join(output_dir, "time"),
+                keys=["start_time"],
                 partition_by=["year"],
-                mode="append",
             )
         finally:
             batch_df.unpersist()

@@ -25,9 +25,21 @@ def click_purchase_attribution(
     purchases: DataFrame,
     watermark: str = "2 hours",
     attribution_window: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase attributed to a prior
-    click by the same user within the attribution window."""
+    click by the same user within the attribution window.
+
+    ``how="left_outer"`` preserves unattributed purchases with a null
+    click: Spark holds each purchase in join state until the watermark
+    passes its attribution bound (the state timeout), then emits it
+    null-extended — so unmatched results trail the data by the watermark
+    delay, and state on both sides stays bounded. Requires both streams
+    watermarked and the time-bound condition (both enforced here)."""
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(
+            f"stream-stream attribution supports inner/left_outer, got {how!r}"
+        )
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -47,5 +59,5 @@ def click_purchase_attribution(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
-        "inner",
+        how,
     ).select("purchase_id", "click_id", "p_user", "click_ts", "purchase_ts", "purchase_value")

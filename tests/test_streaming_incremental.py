@@ -75,3 +75,33 @@ def test_dedup_within_watermark_collapses_resends(spark, tmp_path):
     )
     # one logical event -> one time row (plain dropDuplicates would keep 2)
     assert spark.read.parquet(f"{out}/time").count() == 1
+
+
+def test_same_user_across_runs_upserts_not_appends(spark, tmp_path):
+    """A user appearing in two separate runs must end with ONE row
+    carrying the newest state (per-batch merge into the table), not a
+    stale row beside a fresh one; a time row sharing its truncated
+    second across runs must not duplicate."""
+    raw = tmp_path / "raw3"
+    raw.mkdir()
+    out = str(tmp_path / "wh3")
+    ckpt = str(tmp_path / "ckpt3")
+
+    _write_file(raw, "f1.json", [_log_row(ts=T0, userId="u1", level="free")])
+    run_incremental_available_now(spark, str(raw), out, ckpt)
+
+    # run 2: same user upgraded, same truncated second as an f1 event
+    _write_file(
+        raw, "f2.json",
+        [
+            _log_row(ts=T0 + 500, userId="u1", level="paid", itemInSession=1),
+            # same second as f1's event (ts differs by <1s) -> same time row
+        ],
+    )
+    run_incremental_available_now(spark, str(raw), out, ckpt)
+
+    users = spark.read.parquet(f"{out}/users").collect()
+    assert len(users) == 1, users  # no stale 'free' row beside 'paid'
+    assert users[0].level == "paid"
+    # both events truncate to the same second -> exactly one time row
+    assert spark.read.parquet(f"{out}/time").count() == 1

@@ -66,3 +66,90 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
         spark, click_purchase_attribution(clicks_s, purch_s), "attribution"
     )
     assert got.count() == want
+
+def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
+    """Left-outer stream-stream join: unattributed purchases are held in
+    join state until the watermark passes their attribution bound (the
+    state timeout), then emitted null-extended. A later file advances the
+    watermark (maxFilesPerTrigger=1 forces multiple micro-batches) and
+    the drained result equals the batch left join."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    base = tmp_path / "ss_outer"
+    for d in ("clicks", "purch"):
+        (base / d).mkdir(parents=True)
+
+    T = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    A = T + datetime.timedelta(days=1)  # watermark advancer
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    clicks = [(1, 100, T, 0.0), (9, 101, A, 0.0)]
+    purchases = [
+        (1, 200, T + datetime.timedelta(minutes=10), 9.9),  # attributed
+        (2, 201, T, 5.0),  # no click -> null after watermark passes
+        (9, 202, A, 1.0),  # attributed (advancer pair)
+    ]
+
+    def stage(rows, dirname):
+        """One parquet file per row, mtimes ordered by event time so the
+        file source picks them up oldest-first one batch at a time."""
+        for i, r in enumerate(rows):
+            tmp = str(base / f"_stage_{dirname}_{i}")
+            spark.createDataFrame([r], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            f = glob.glob(f"{tmp}/part-*.parquet")[0]
+            out = str(base / dirname / f"f{i}.parquet")
+            shutil.copy(f, out)
+            mt = 1000 + r[2].toordinal()
+            os.utime(out, (mt, mt))
+
+    stage(clicks, "clicks")
+    stage(purchases, "purch")
+
+    cs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "clicks"))
+    )
+    ps = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "purch"))
+    )
+    q = (
+        click_purchase_attribution(cs, ps, how="left_outer")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .format("parquet")
+        .option("path", str(base / "out"))
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(base / "out")).collect()
+    }
+
+    cb = spark.createDataFrame(clicks, schema)
+    pb = spark.createDataFrame(purchases, schema)
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in pb.alias("p")
+        .join(
+            cb.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 hour")),
+            "left_outer",
+        )
+        .select(
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+        )
+        .collect()
+    }
+    assert got == want and (201, None) in got, (got, want)
