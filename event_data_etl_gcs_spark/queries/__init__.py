@@ -12,6 +12,7 @@ from .registry import QuerySpec, all_queries, get_query, query, set_priority
 from . import parity  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
+from . import analytics3  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import corpus  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401

@@ -219,3 +219,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@query(
+    "near_dedup_keep_best",
+    oracle=(
+        f"WITH RECURSIVE {duck_minhash_lsh_ctes(threshold=0.5)}, "
+        "edges AS ("
+        "  SELECT id_a AS u, id_b AS v FROM mh_pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs"
+        "), reach AS ("
+        "  SELECT u AS node, u AS component FROM edges "
+        "  UNION SELECT v AS node, v AS component FROM edges "
+        "  UNION SELECT e.u AS node, r.component FROM edges e "
+        "  JOIN reach r ON e.v = r.node"
+        "), comp AS ("
+        "  SELECT node, MIN(component) AS component FROM reach GROUP BY node"
+        "), labeled AS ("
+        "  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_rep, "
+        f"  CAST(len({duck_tokens('d.text')}) AS BIGINT) AS n_tokens "
+        "  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+        ") "
+        "SELECT cluster_rep, "
+        "(max({'q': n_tokens, 'k': -doc_id})).k * -1 AS kept_doc_id, "
+        "COUNT(*) AS n_members "
+        "FROM labeled GROUP BY cluster_rep"
+    ),
+    doc=(
+        "Near-dedup with quality-aware survivor selection: MinHash-LSH "
+        "pairs -> connected components -> keep the highest-quality doc "
+        "(most tokens, min-id tie-break) per cluster; singletons survive "
+        "as their own cluster. The keep-best policy every production "
+        "near-dedup uses instead of keep-first."
+    ),
+)
+def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs)  # (node, component)
+    labeled = (
+        token_count(docs)
+        .select("doc_id", "n_tokens")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+            "n_tokens",
+        )
+    )
+    best = F.max(
+        F.struct(F.col("n_tokens").alias("q"), (-F.col("doc_id")).alias("k"))
+    )
+    return labeled.groupBy("cluster_rep").agg(
+        (best["k"] * -1).alias("kept_doc_id"),
+        F.count("*").alias("n_members"),
+    )

@@ -207,3 +207,52 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.element_at("embedding", 1).cast("double")).alias("max_dim0"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+@query(
+    "label_centroids",
+    oracle=(
+        "WITH exploded AS ("
+        "  SELECT label, i - 1 AS pos, embedding[i] AS val, vec_id "
+        "  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)"
+        "), ordered AS ("
+        "  SELECT label, pos, COUNT(*) AS n, "
+        "  list(CAST(val AS DOUBLE) ORDER BY vec_id) AS vals "
+        "  FROM exploded GROUP BY label, pos"
+        ") "
+        "SELECT label, CAST(pos AS INTEGER) AS pos, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), vals), "
+        "(acc, x) -> acc + x) / n AS centroid_val "
+        "FROM ordered"
+    ),
+    doc=(
+        "Per-label embedding centroids (class means) with ORDER-PINNED "
+        "float summation: each (label, dim) group folds its values in "
+        "vec_id order, so the double arithmetic is engine-identical — "
+        "the deterministic-float-aggregation pattern for when decimal "
+        "sums can't apply (full-precision floats). Map-side explode, one "
+        "shuffle on (label, pos)."
+    ),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "vec_id", "pos", F.col("val").cast("double").alias("val"))
+    ordered = exploded.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("vec_id", "val"))
+        ).alias("pairs"),
+    )
+    return ordered.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        (
+            F.expr(
+                "aggregate(transform(pairs, p -> p.val), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n")
+        ).alias("centroid_val"),
+    )
