@@ -97,3 +97,66 @@ def two_phase_agg_count(
         .agg(F.count("*").alias("__partial"))
     )
     return phase1.groupBy(key).agg(F.sum("__partial").alias("n"))
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    bucket_width_micros: int = 86_400_000_000,  # 1 day of event time
+    out_col: str = "running_sum",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact per-key running sum (ROWS UNBOUNDED PRECEDING .. CURRENT)
+    without serializing hot keys.
+
+    A plain running-sum window funnels each key's whole history through
+    one task — top-n windows get WindowGroupLimit pushdown (map-side
+    group limits, measured skew-proof in SCALE.md), but full-output
+    prefix aggregations have no such rescue. This is the distributed
+    prefix-sum: range-bucket the order column (event-time buckets), do
+    the running sum WITHIN (key, bucket) — task size bounded by a
+    bucket's share of the key — then add the cumulative totals of the
+    key's earlier buckets (one row per (key, bucket): that frame is
+    smaller than the data by the average bucket population, and its
+    window cost is bounded by #buckets per key, not rows).
+
+    Exact when (order_col, tiebreak within equal values) matches the
+    plain window's order: rows in different buckets never tie (bucket
+    boundaries respect order), rows within a bucket are summed by the
+    same within-bucket window. ``value_col`` sums in DECIMAL to stay
+    order-insensitive (oracle-portable), cast back to double.
+    """
+    if dict(df.dtypes).get(order_col, "").startswith("timestamp"):
+        order_key = F.unix_micros(F.col(order_col))
+    else:  # already-numeric event time (e.g. raw epoch micros/nanos)
+        order_key = F.col(order_col)
+    b = F.floor(order_key / F.lit(bucket_width_micros))
+    with_b = df.withColumn("__bucket", b)
+    order_cols = [order_col] + ([tiebreak] if tiebreak else [])
+    wb = (
+        Window.partitionBy(key, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_b.withColumn(
+        "__local",
+        F.sum(F.col(value_col).cast("decimal(18,2)")).over(wb),
+    )
+    totals = with_b.groupBy(key, "__bucket").agg(
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__btotal")
+    )
+    wo = (
+        Window.partitionBy(key)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__btotal").over(wo), F.lit(0).cast("decimal(18,2)"))
+    ).select(key, "__bucket", "__offset")
+    return (
+        local.join(offsets, [key, "__bucket"])
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("double"))
+        .drop("__bucket", "__local", "__offset")
+    )

@@ -344,3 +344,38 @@ def topn_per_key_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_topn_per_key(
         ev, key="user_id", order_col="value", n=3, tiebreak="event_id"
     ).select("user_id", "event_id", "value", "rank")
+
+
+@query(
+    "running_sum_bucketed",
+    oracle=(
+        "SELECT event_id, user_id, ts, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value "
+        "FROM events"
+    ),
+    doc=(
+        "Per-user lifetime running sum via the BUCKETED distributed "
+        "prefix-sum (operators/skew.py bucketed_running_sum): running "
+        "sums within (user, event-time day-bucket), plus a per-bucket "
+        "cumulative offset whose window runs over one row per bucket — "
+        "no task ever holds a whole hot user's history, unlike the plain "
+        "running-sum window the oracle states (which has no "
+        "WindowGroupLimit rescue because every row is output). Exact: "
+        "decimal sums are order-insensitive and bucket boundaries "
+        "respect the order column."
+    ),
+)
+def running_sum_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import bucketed_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return bucketed_running_sum(
+        ev,
+        key="user_id",
+        order_col="ts",
+        value_col="value",
+        tiebreak="event_id",
+        out_col="running_value",
+    ).select("event_id", "user_id", "ts", "running_value")

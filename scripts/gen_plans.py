@@ -44,6 +44,25 @@ SHOW = [
         "user_id, then one window sort — the sort-merge-as-of shape, no "
         "per-row subqueries.",
     ),
+    (
+        "surrogate_key_stable",
+        "Distributed stable row id: the data path is a RANGE repartition "
+        "+ local sort + BroadcastHashJoin of per-partition offsets; the "
+        "only SinglePartition exchange carries the <= #partitions-row "
+        "stats frame, never the data.",
+    ),
+    (
+        "running_sum_bucketed",
+        "Distributed prefix-sum: running sums within (key, time-bucket) "
+        "plus a cumulative per-bucket offset — the full-history window "
+        "runs over one row per (key, bucket), never a hot key's rows.",
+    ),
+    (
+        "topn_per_key_salted",
+        "Salted two-phase top-n window: phase 1 ranks within (key, salt) "
+        "so no task sorts a whole hot key; phase 2 re-ranks only the "
+        "surviving salt*n rows per key (WindowGroupLimit bounds both).",
+    ),
 ]
 
 KEY = re.compile(

@@ -33,6 +33,44 @@ def test_salted_topn_matches_plain_window(spark):
     assert plain == salted
 
 
+def test_bucketed_running_sum_matches_plain_window(spark):
+    """Distributed prefix-sum == plain running-sum window, with a bucket
+    width small enough that every user genuinely spans many buckets (so
+    the offset-join path is exercised, not a degenerate 1-bucket case)."""
+    from event_data_etl_gcs_spark.operators.skew import bucketed_running_sum
+
+    ev = load_table(spark, SF, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    plain = {
+        r.event_id: r.rs
+        for r in ev.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("rs"),
+        ).collect()
+    }
+    hour = 3_600_000_000  # force many buckets per user
+    bucketed = bucketed_running_sum(
+        ev, key="user_id", order_col="ts", value_col="value",
+        bucket_width_micros=hour, tiebreak="event_id", out_col="rs",
+    )
+    n_buckets = (
+        ev.select(
+            F.floor(F.unix_micros("ts") / hour).alias("b"), "user_id"
+        ).groupBy("user_id").agg(F.countDistinct("b").alias("nb"))
+        .agg(F.max("nb")).collect()[0][0]
+    )
+    assert n_buckets > 1, "bucket width too wide to exercise the offset path"
+    got = {r.event_id: r.rs for r in bucketed.select("event_id", "rs").collect()}
+    assert got == plain
+
+
 def test_bloom_filter_pruning_in_plan(spark):
     """A selective small-side join over a big probe side should inject a
     runtime bloom filter into the probe scan (SMJ path; broadcast joins
