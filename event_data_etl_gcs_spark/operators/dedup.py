@@ -279,6 +279,87 @@ def duck_minhash_lsh_pairs_sql(
     return f"WITH {ctes} SELECT id_a, id_b, jaccard FROM mh_pairs"
 
 
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    existing_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dedup: check NEW documents against an already-
+    indexed corpus without re-hashing it.
+
+    ``existing_sig`` is a persisted signature table in the
+    ``minhash_signatures`` schema (id, sh_hashes, mhs) — in production a
+    parquet table appended to per batch; rebuilding signatures for 100 TB
+    of already-seen text per increment is the cost this avoids. Returns
+    ``(pairs, new_sig)``:
+
+      * ``pairs`` — (id_a, id_b, jaccard) with id_a < id_b, every pair
+        involving >= 1 new doc (new-vs-existing AND new-vs-new; pairs
+        wholly inside the existing corpus were already reported when
+        those docs were new).
+      * ``new_sig`` — signatures of the new docs, for the caller to
+        append to the persisted table before the next increment.
+
+    Scale shape: the banding join is (new bands) x (all bands) on the
+    band key — the small new side streams against the indexed corpus,
+    Jaccard verification touches candidates only, and nothing recomputes
+    the existing corpus' hashes. Ids must be globally unique across
+    existing + new (same contract as any index append).
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col).filter(
+        F.expr("size(sh_hashes) > 0")
+    )
+    sig_all = existing_sig.select("id", "sh_hashes", "mhs").unionByName(sig_new)
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                *[
+                    F.col("mhs")[b * ROWS_PER_BAND + r].alias(f"k{r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+        return sig.select(
+            "id", F.explode(F.array(*band_structs)).alias("band")
+        ).select("id", "band.*")
+
+    a, b = _bands(sig_new).alias("a"), _bands(sig_all).alias("b")
+    key_eq = (F.col("a.band_id") == F.col("b.band_id"))
+    for r in range(ROWS_PER_BAND):
+        key_eq = key_eq & (F.col(f"a.k{r}") == F.col(f"b.k{r}"))
+    cand = (
+        a.join(b, key_eq & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ha = sig_all.select(F.col("id").alias("id_a"), F.col("sh_hashes").alias("ha"))
+    hb = sig_all.select(F.col("id").alias("id_b"), F.col("sh_hashes").alias("hb"))
+    jac = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("n_int", F.expr("size(array_intersect(ha, hb))"))
+        .withColumn("n_uni", F.expr("size(array_union(ha, hb))"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_uni") == 0, F.lit(0.0)).otherwise(
+                F.col("n_int").cast("double") / F.col("n_uni")
+            ),
+        )
+    )
+    pairs = jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return pairs, sig_new
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -222,6 +222,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dedup_incremental",
+    oracle=(
+        f"WITH {duck_minhash_lsh_ctes(threshold=0.5)} "
+        "SELECT id_a, id_b, jaccard FROM mh_pairs "
+        "WHERE id_a % 5 = 0 OR id_b % 5 = 0"
+    ),
+    doc=(
+        "Incremental near-dedup (operators/dedup.py "
+        "minhash_incremental_pairs): docs with doc_id % 5 = 0 arrive as "
+        "the NEW batch and are checked against the already-indexed rest "
+        "via its persisted signature table — (new bands) x (all bands) "
+        "band join, Jaccard verify on candidates only, the existing "
+        "corpus is never re-hashed. Emits every pair touching a new doc "
+        "(new-vs-existing and new-vs-new). The oracle is the full-corpus "
+        "pair set filtered to pairs involving a new doc — incremental "
+        "indexing must find exactly what a from-scratch run would."
+    ),
+)
+def near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_incremental_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    # Stands in for the persisted parquet signature table (the pytest
+    # round-trip test writes/reloads it through parquet for real).
+    existing_sig = minhash_signatures(existing).filter(
+        F.expr("size(sh_hashes) > 0")
+    )
+    pairs, _new_sig = minhash_incremental_pairs(new, existing_sig, threshold=0.5)
+    return pairs
+
+
+@query(
     "near_dedup_keep_best",
     oracle=(
         f"WITH RECURSIVE {duck_minhash_lsh_ctes(threshold=0.5)}, "

@@ -82,6 +82,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """Read a parquet table whose schema evolved across write batches
+    (columns added over time — the normal life of a 100 TB event table).
+
+    ``mergeSchema=true`` unions the footer schemas of every file: rows
+    from batches written before a column existed read as NULL for it.
+    Spark only widens compatibly (added columns, int->long style
+    upcasts); true type conflicts fail the read — loudly, which is what
+    you want.
+
+    Scale note: schema merging reads EVERY file footer at planning time.
+    On a million-file table that is a real planning cost, so this stays a
+    separate entry point instead of the ``load_table`` default: resolve
+    the merged schema once (here), persist it, and pass it as an explicit
+    ``.schema(...)`` on the hot read path — planning then touches no
+    footers and new files simply project into the known superset schema.
+    """
+    _ensure_runtime_confs(spark)
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

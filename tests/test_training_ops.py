@@ -91,3 +91,47 @@ def test_simhash_close_for_near_duplicates(spark):
     sh = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
     hamming = bin(sh[1] ^ sh[2]).count("1")
     assert hamming <= 8  # 1-token edit out of 10 flips few bits
+
+
+def test_incremental_minhash_matches_full_rebuild(spark, tmp_path):
+    """Persisted-signature incremental indexing: write the existing
+    corpus' signature table to parquet, reload it, check a new batch
+    against it — the incremental pairs must equal the from-scratch
+    full-corpus pairs restricted to pairs touching a new doc, and
+    appending new_sig must leave the table ready for the next batch."""
+    from event_data_etl_gcs_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    sig_path = str(tmp_path / "sig_table")
+    minhash_signatures(existing).filter(F.expr("size(sh_hashes) > 0")).write.parquet(sig_path)
+    persisted = spark.read.parquet(sig_path)
+
+    inc_pairs, new_sig = minhash_incremental_pairs(new, persisted, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in inc_pairs.collect()}
+
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert got == full
+
+    # append contract: table now covers the whole corpus
+    new_sig.write.mode("append").parquet(sig_path)
+    appended = spark.read.parquet(sig_path)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    no_shingle = all_ids - {r.id for r in appended.select("id").collect()}
+    # only docs with no shingles (< 3 tokens) may be absent
+    from event_data_etl_gcs_spark.operators.dedup import minhash_signatures as ms
+    expected_absent = {
+        r.id
+        for r in ms(docs).filter(F.expr("size(sh_hashes) = 0")).select("id").collect()
+    }
+    assert no_shingle == expected_absent
