@@ -253,6 +253,77 @@ def quality_columns(text_col: str = "text", tok_col: str = "toks") -> dict[str, 
     }
 
 
+def repetition_columns(
+    tok_col: str = "toks",
+    bigram_col: str = "bg",
+    trigram_col: str = "tg",
+) -> dict[str, Column]:
+    """Gopher/C4-style repetition features over staged token/n-gram array
+    columns (caller stages them once — see the let-binding note above).
+
+    The mode-count lambdas are O(distinct x n) per document — documents
+    are KB-sized, so this stays cheap and JVM-native; corpus-level cost
+    is map-only. Ratios are double divisions of exact integers, so both
+    engines produce bit-identical values.
+    """
+    n = F.expr(f"size({tok_col})")
+    n_bg = F.expr(f"size({bigram_col})")
+    n_tg = F.expr(f"size({trigram_col})")
+    one = F.lit(1)
+
+    def mode_count(arr: str) -> Column:
+        return F.expr(
+            f"CASE WHEN size({arr}) = 0 THEN 0L ELSE "
+            f"array_max(transform(array_distinct({arr}), "
+            f"x -> size(filter({arr}, y -> y = x)))) END"
+        )
+
+    return {
+        "n_tokens": n.cast("long"),
+        "distinct_token_ratio": F.expr(
+            f"size(array_distinct({tok_col}))"
+        ).cast("double") / F.greatest(n, one),
+        "top_token_frac": mode_count(tok_col).cast("double") / F.greatest(n, one),
+        "top_bigram_frac": mode_count(bigram_col).cast("double")
+        / F.greatest(n_bg, one),
+        "dup_trigram_frac": (
+            n_tg - F.expr(f"size(array_distinct({trigram_col}))")
+        ).cast("double") / F.greatest(n_tg, one),
+    }
+
+
+def duck_repetition_select(
+    tok_col: str = "toks", bigram_col: str = "bg", trigram_col: str = "tg"
+) -> dict[str, str]:
+    """DuckDB oracle for repetition_columns — same integer math."""
+
+    def mode_count(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"list_max(list_transform(list_distinct({arr}), "
+            f"x -> CAST(len(list_filter({arr}, y -> y = x)) AS BIGINT))) END"
+        )
+
+    return {
+        "n_tokens": f"CAST(len({tok_col}) AS BIGINT)",
+        "distinct_token_ratio": (
+            f"(CAST(len(list_distinct({tok_col})) AS DOUBLE) "
+            f"/ greatest(len({tok_col}), 1))"
+        ),
+        "top_token_frac": (
+            f"(CAST({mode_count(tok_col)} AS DOUBLE) / greatest(len({tok_col}), 1))"
+        ),
+        "top_bigram_frac": (
+            f"(CAST({mode_count(bigram_col)} AS DOUBLE) "
+            f"/ greatest(len({bigram_col}), 1))"
+        ),
+        "dup_trigram_frac": (
+            f"(CAST(len({trigram_col}) - len(list_distinct({trigram_col})) "
+            f"AS DOUBLE) / greatest(len({trigram_col}), 1))"
+        ),
+    }
+
+
 def duck_quality_select(text_col: str = "text", tok_col: str = "toks") -> dict[str, str]:
     n_tokens = f"len({tok_col})"
     n_chars = f"length({text_col})"

@@ -11,9 +11,13 @@ from ..operators.text import (
     duck_char_hash,
     duck_language_id,
     duck_quality_select,
+    duck_repetition_select,
+    duck_shingles,
     duck_tokens,
     language_id_column,
     quality_columns,
+    repetition_columns,
+    shingles_sql,
     token_count,
     with_tokens,
 )
@@ -166,3 +170,107 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _duck_repetition_ctes() -> str:
+    return (
+        "staged AS ("
+        f"  SELECT doc_id, text, {duck_tokens('text')} AS toks FROM documents"
+        "), grams AS ("
+        "  SELECT doc_id, text, toks, "
+        f"  {duck_shingles('toks', 2)} AS bg, {duck_shingles('toks', 3)} AS tg "
+        "  FROM staged"
+        ")"
+    )
+
+
+@query(
+    "repetition_stats",
+    oracle=(
+        f"WITH {_duck_repetition_ctes()} "
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{sql} AS {name}"
+            for name, sql in duck_repetition_select().items()
+        )
+        + " FROM grams"
+    ),
+    doc=(
+        "Gopher/C4-style repetition features per document: distinct-token "
+        "ratio, mode token/bigram fraction, duplicated-trigram fraction — "
+        "map-only native lambdas over staged n-gram arrays; the filters "
+        "repetitive machine-generated text fails."
+    ),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        with_tokens(docs)
+        .withColumn("bg", F.expr(shingles_sql("toks", 2)))
+        .withColumn("tg", F.expr(shingles_sql("toks", 3)))
+    )
+    cols = repetition_columns()
+    return staged.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=(
+        f"WITH {_duck_repetition_ctes()}, feats AS ("
+        "SELECT doc_id, "
+        + ", ".join(
+            f"{sql} AS {name}"
+            for name, sql in {
+                **duck_quality_select(),
+                **{
+                    k: v
+                    for k, v in duck_repetition_select().items()
+                    if k != "n_tokens"
+                },
+            }.items()
+        )
+        + " FROM grams) "
+        "SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, "
+        "distinct_token_ratio, top_bigram_frac, "
+        "(n_tokens BETWEEN 10 AND 100000 "
+        " AND mean_token_len >= 2 AND mean_token_len <= 12 "
+        " AND distinct_token_ratio >= 0.3 "
+        " AND top_bigram_frac <= 0.5 "
+        " AND stopword_ratio >= 0.02) AS keep "
+        "FROM feats"
+    ),
+    doc=(
+        "Composite Gopher-rule quality gate: length, mean word length, "
+        "lexical diversity, bigram repetition, and stopword-presence "
+        "thresholds folded into one keep flag per document. Every "
+        "threshold compares doubles derived from exact integer ratios, "
+        "so the boolean is engine-portable. Emits ALL docs with their "
+        "features + flag (the filtered form is `WHERE keep`)."
+    ),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        with_tokens(docs)
+        .withColumn("bg", F.expr(shingles_sql("toks", 2)))
+        .withColumn("tg", F.expr(shingles_sql("toks", 3)))
+    )
+    q = quality_columns()
+    r = repetition_columns()
+    feats = staged.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        r["distinct_token_ratio"].alias("distinct_token_ratio"),
+        r["top_bigram_frac"].alias("top_bigram_frac"),
+    )
+    keep = (
+        F.col("n_tokens").between(10, 100000)
+        & (F.col("mean_token_len") >= 2)
+        & (F.col("mean_token_len") <= 12)
+        & (F.col("distinct_token_ratio") >= 0.3)
+        & (F.col("top_bigram_frac") <= 0.5)
+        & (F.col("stopword_ratio") >= 0.02)
+    )
+    return feats.withColumn("keep", keep)
