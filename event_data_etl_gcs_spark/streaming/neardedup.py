@@ -1,0 +1,102 @@
+"""Streaming near-dedup: every arriving document batch is checked
+against the ever-growing persisted MinHash signature index.
+
+The batch operator family (operators/dedup.py) answers "find all pairs
+in a corpus"; a training-data ingest pipeline asks a different question:
+"does THIS new document duplicate anything we already have?" — asked
+continuously. This module wires ``minhash_incremental_pairs`` into a
+Structured Streaming file source + foreachBatch loop:
+
+  * per micro-batch: signatures for the new docs only; (new bands) x
+    (all bands) candidate join against the persisted signature table;
+    Jaccard verify on candidates; emit pairs touching a new doc.
+  * then append the new signatures to the index — the next batch (or the
+    next run: the file-source checkpoint makes re-runs process only new
+    files) sees them.
+
+Invariant (tested): the union of emitted pairs over all batches equals
+the full-corpus ``minhash_lsh_pairs`` output — each pair is found
+exactly once, in the batch where its later member arrives.
+
+Scale/exactly-once notes: the two appends (pairs, signatures) are not
+atomic — a crash between them can re-emit a batch's pairs on retry; on a
+cluster you'd make the pair sink idempotent (MERGE on (id_a, id_b) into
+a transactional table) and the signature append a committed table-format
+transaction. The signature index is re-read per batch, which is the
+point: it lives on storage, grows monotonically, and is never
+recomputed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..operators.dedup import minhash_incremental_pairs
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("sh_hashes", ArrayType(LongType())),
+        StructField("mhs", ArrayType(LongType())),
+    ]
+)
+
+
+def check_batch_against_index(
+    batch_docs: DataFrame,
+    sig_path: str,
+    pairs_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One increment: near-dup pairs for ``batch_docs`` vs the persisted
+    index at ``sig_path`` (created if absent), then index append."""
+    spark = batch_docs.sparkSession
+    if os.path.exists(os.path.join(sig_path, "_SUCCESS")):
+        existing = spark.read.parquet(sig_path)
+    else:
+        existing = spark.createDataFrame([], SIGNATURE_SCHEMA)
+    pairs, new_sig = minhash_incremental_pairs(
+        batch_docs, existing, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    try:
+        pairs.write.mode("append").parquet(pairs_path)
+        new_sig.write.mode("append").parquet(sig_path)
+    finally:
+        new_sig.unpersist()  # minhash_signatures caches per batch
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the documents backlog through the incremental index check
+    (Available-Now trigger; re-running after new files land processes
+    only the new files)."""
+    schema = spark.read.parquet(docs_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    sig_path = os.path.join(out_dir, "signatures")
+    pairs_path = os.path.join(out_dir, "pairs")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        check_batch_against_index(batch_df, sig_path, pairs_path, threshold)
+
+    q = (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,55 @@
+"""Streaming near-dedup: pairs accumulated across micro-batches (and
+across RUNS) must equal the full-corpus batch pair set."""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.dedup import minhash_lsh_pairs
+from event_data_etl_gcs_spark.sources.catalog import load_table
+from event_data_etl_gcs_spark.streaming.neardedup import run_streaming_near_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pair_set(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_streaming_near_dedup_matches_full_corpus(spark, tmp_path):
+    docs_dir = str(tmp_path / "docs_stream")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = load_table(spark, SF, "documents")
+    # First run: three files (doc_id thirds) -> three micro-batches.
+    n = docs.count()
+    first = docs.filter(F.col("doc_id") < n * 3 // 4)
+    for lo, hi in [(0, n // 4), (n // 4, n // 2), (n // 2, n * 3 // 4)]:
+        first.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(docs_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    run_streaming_near_dedup(spark, docs_dir, out_dir, ckpt)
+    got_first = _pair_set(spark.read.parquet(out_dir + "/pairs"))
+    want_first = _pair_set(minhash_lsh_pairs(first, threshold=0.5))
+    assert got_first == want_first
+
+    # Second run: the remaining quarter lands as one new file; the
+    # checkpoint skips the old files, the persisted index covers them.
+    docs.filter(F.col("doc_id") >= n * 3 // 4).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    run_streaming_near_dedup(spark, docs_dir, out_dir, ckpt)
+
+    got_all = _pair_set(spark.read.parquet(out_dir + "/pairs"))
+    want_all = _pair_set(minhash_lsh_pairs(docs, threshold=0.5))
+    assert got_all == want_all
+    assert len(got_all) > len(got_first)  # the new file contributed pairs
+
+    # index covers every shingled doc exactly once
+    sig = spark.read.parquet(out_dir + "/signatures")
+    assert sig.groupBy("id").count().filter(F.col("count") > 1).count() == 0
