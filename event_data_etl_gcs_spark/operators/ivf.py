@@ -90,8 +90,50 @@ def train_ivf_centroids(
     return centroids
 
 
-def ivf_topk(
+def build_ivf_index(
     corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The inverted file: (vec_id, embedding, cell, nrm) — every corpus
+    vector assigned to its nearest centroid, zero-norm vectors dropped
+    (cosine undefined). This frame IS the persistable index: write it
+    partitioned by ``cell`` and probes read only the probed cells'
+    partitions. Assignment is per-vector and independent of the rest of
+    the corpus, so an index appended incrementally (``ivf_append_batch``)
+    is bit-identical to one rebuilt from scratch with the same centroids.
+    """
+    from .similarity import norm_sql
+
+    return (
+        _assign(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            centroids,
+        )
+        .withColumn("nrm", F.expr(norm_sql("embedding")))
+        .filter(F.col("nrm") > 0)
+    )
+
+
+def ivf_append_batch(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index rows for a batch of NEW vectors: assign against the frozen
+    trained centroids (map-only — no retraining, no touching the existing
+    index) and append to the persisted inverted file. This is how an IVF
+    index absorbs inserts between periodic retrains; cell balance decays
+    as the data distribution drifts, which is the retrain trigger."""
+    return build_ivf_index(new_vectors, centroids, id_col, vec_col)
+
+
+def ivf_topk_on_index(
+    inv: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 5,
@@ -99,13 +141,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k probing the n_probe nearest cells."""
+    """Approximate cosine top-k over a prebuilt (possibly reloaded-from-
+    parquet, possibly incrementally-appended) inverted file."""
     from .similarity import norm_sql
-
-    inv = _assign(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
-        centroids,
-    ).withColumn("nrm", F.expr(norm_sql("embedding"))).filter(F.col("nrm") > 0)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -138,3 +176,19 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k probing the n_probe nearest cells
+    (builds the inverted file inline; use build_ivf_index +
+    ivf_topk_on_index to persist/append the index across queries)."""
+    inv = build_ivf_index(corpus, centroids, id_col, vec_col)
+    return ivf_topk_on_index(inv, queries, centroids, k, n_probe, id_col, vec_col)

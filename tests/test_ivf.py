@@ -77,3 +77,40 @@ def test_ivf_multiprobe_recall_tradeoff_sf01(spark):
         recalls[n_probe] = len(exact & approx) / len(exact)
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
     assert recalls[4] >= 0.6, recalls
+
+
+def test_incremental_index_append_equals_rebuild(spark, tmp_path):
+    """Persisted inverted file + map-only append of a new vector batch
+    must answer queries bit-identically to an index rebuilt from scratch
+    over the full corpus (same frozen centroids)."""
+    from event_data_etl_gcs_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_append_batch,
+        ivf_topk_on_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    old = emb.filter(F.col("vec_id") < n * 4 // 5)
+    new = emb.filter(F.col("vec_id") >= n * 4 // 5)
+    cents = train_ivf_centroids(old, k=8, iterations=2)  # trained BEFORE the batch
+
+    idx_path = str(tmp_path / "ivf_index")
+    build_ivf_index(old, cents).write.partitionBy("cell").parquet(idx_path)
+    ivf_append_batch(new, cents).write.mode("append").partitionBy("cell").parquet(idx_path)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    reloaded = spark.read.parquet(idx_path)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk_on_index(reloaded, queries, cents, k=5, n_probe=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk(emb, queries, cents, k=5, n_probe=3).collect()
+    }
+    assert got == want  # bit-identical, cos_sim doubles included
+    # the persisted layout serves cell-pruned probes: one dir per cell
+    import glob
+
+    assert len(glob.glob(idx_path + "/cell=*")) >= 2
