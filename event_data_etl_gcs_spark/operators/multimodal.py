@@ -261,6 +261,122 @@ def resize_frames(videos: DataFrame, stride: int = 2) -> DataFrame:
     )
 
 
+# --- Audio-shaped payloads: real WAV/PCM byte format -----------------------
+#
+# Like the PPM path, this exercises TRUE binary plumbing for audio: a
+# canonical 44-byte RIFF/WAVE PCM header + 16-bit little-endian mono
+# samples synthesized deterministically from document text. The decoder
+# parses the header fields and computes sample statistics with integer
+# math (so the stats are oracle-recomputable relationally). torchaudio /
+# ffmpeg slot into the same mapInPandas shape for real codecs.
+
+AUDIO_SAMPLE_RATE = 16_000
+
+
+def _wav_header(data_len: int, sample_rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def synthesize_wav_audio(documents: DataFrame) -> DataFrame:
+    """Deterministic fake microphone: doc text -> mono 16-bit PCM WAV.
+    ``n_samples = length(text) + 4000 + (doc_id % 5) * 1000`` (always >=
+    one full text cycle); sample i = (byte[i % len] - 128) * 256."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                src = np.frombuffer(text.encode("utf-8") or b"\x00", dtype=np.uint8)
+                n = len(text) + 4000 + int(doc_id) % 5 * 1000
+                reps = np.tile(src, n // len(src) + 1)[:n].astype(np.int32)
+                samples = ((reps - 128) * 256).astype("<i2").tobytes()
+                payloads.append(_wav_header(len(samples)) + samples)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        build, schema="media_id long, payload binary"
+    )
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Parse the RIFF/WAVE header and compute sample statistics from the
+    raw PCM bytes — Arrow-batched, map-only. peak/energy are exact
+    integer math (int64 sums), duration/mean_abs exact double divisions,
+    so every output value has a relational oracle."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "duration_s": [], "peak": [], "energy": [], "mean_abs": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:4] == b"RIFF" and b[8:16] == b"WAVEfmt "
+                _, fmt, ch, rate, _, _, bits = struct.unpack("<IHHIIHH", b[16:36])
+                assert fmt == 1 and ch == 1 and bits == 16 and b[36:40] == b"data"
+                (data_len,) = struct.unpack("<I", b[40:44])
+                s = np.frombuffer(b[44:44 + data_len], dtype="<i2").astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["duration_s"].append(len(s) / rate)
+                out["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["energy"].append(int((s * s).sum()))
+                out["mean_abs"].append(
+                    int(np.abs(s).sum()) / len(s) if len(s) else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        parse,
+        schema=(
+            "media_id long, sample_rate long, n_samples long, "
+            "duration_s double, peak long, energy long, mean_abs double"
+        ),
+    )
+
+
+def resample_audio(audio: DataFrame, factor: int = 4) -> DataFrame:
+    """Decimate by an integer factor (every factor-th sample, no filter —
+    a real polyphase resampler slots in per-payload unchanged). Returns
+    re-headered WAV payloads at the reduced sample rate."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads, mids = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                (rate,) = struct.unpack("<I", b[24:28])
+                (data_len,) = struct.unpack("<I", b[40:44])
+                s = np.frombuffer(b[44:44 + data_len], dtype="<i2")[::factor]
+                body = s.tobytes()
+                payloads.append(_wav_header(len(body), rate // factor) + body)
+                mids.append(mid)
+            yield pd.DataFrame({"media_id": mids, "payload": payloads})
+
+    return audio.mapInPandas(resample, schema="media_id long, payload binary")
+
+
 def decode_real(media: DataFrame) -> DataFrame:
     """Integration point for real codecs (PIL / torchaudio / ffmpeg).
 

@@ -253,6 +253,30 @@ def quality_columns(text_col: str = "text", tok_col: str = "toks") -> dict[str, 
     }
 
 
+# GPT-2-style pretokenizer regex, restricted to the syntax subset that
+# behaves identically in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, leftmost-first alternation, unicode \p classes. Pieces:
+# contractions, optional-space letter runs, optional-space digit runs,
+# optional-space punctuation runs, residual whitespace.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens_column(text_col: str = "text") -> Column:
+    """BPE-ish pretokens (whitespace-run matches dropped): the token
+    stream a byte-pair encoder would merge over. Native regexp — JVM-side,
+    no Python in the loop."""
+    all_matches = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    return F.filter(all_matches, lambda t: ~t.rlike(r"^\s+$"))
+
+
+def duck_bpe_tokens(text_col: str = "text") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return (
+        f"list_filter(regexp_extract_all({text_col}, '{pat}'), "
+        f"t -> NOT regexp_matches(t, '^\\s+$'))"
+    )
+
+
 def repetition_columns(
     tok_col: str = "toks",
     bigram_col: str = "bg",

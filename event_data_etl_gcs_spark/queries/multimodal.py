@@ -88,3 +88,48 @@ FROM calc
 def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_ppm(synthesize_ppm_images(docs))
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         length(text) + 4000 + (doc_id % 5) * 1000 AS n_samples,
+         list_transform(range(1, length(text) + 1),
+                        i -> (CAST(ascii(substring(text, i, 1)) AS BIGINT) - 128) * 256) AS s
+  FROM documents
+), cyc AS (
+  SELECT doc_id AS media_id, n_samples, len(s) AS L, s,
+         n_samples // len(s) AS full_cycles, n_samples % len(s) AS rem,
+         list_sum(list_transform(s, v -> v * v)) AS cyc_energy,
+         list_sum(list_transform(s, v -> abs(v))) AS cyc_abs
+  FROM base
+)
+SELECT media_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples AS DOUBLE) / 16000 AS duration_s,
+       CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT) AS peak,
+       CAST(full_cycles * cyc_energy
+            + COALESCE(list_sum(list_transform(s[1:rem], v -> v * v)), 0)
+            AS BIGINT) AS energy,
+       CAST(full_cycles * cyc_abs
+            + COALESCE(list_sum(list_transform(s[1:rem], v -> abs(v))), 0)
+            AS DOUBLE) / n_samples AS mean_abs
+FROM cyc
+""",
+    doc=(
+        "Audio binary plumbing, value-checked end to end: mono 16-bit PCM "
+        "WAV payloads synthesized from doc text, RIFF header parsed and "
+        "sample stats (peak / energy / mean_abs) computed from raw bytes "
+        "via Arrow mapInPandas with integer math — the oracle recomputes "
+        "the cycle arithmetic relationally, so even the Python-decoded "
+        "audio path is hash-checked, like multimodal_image_stats."
+    ),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_wav, synthesize_wav_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(synthesize_wav_audio(docs))

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     char_hash_sql,
+    duck_bpe_tokens,
     duck_char_hash,
     duck_language_id,
     duck_quality_select,
@@ -274,3 +275,42 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stopword_ratio") >= 0.02)
     )
     return feats.withColumn("keep", keep)
+
+
+@query(
+    "bpe_token_stats",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, text, {duck_bpe_tokens()} AS bpe "
+        "FROM documents) "
+        "SELECT doc_id, bpe AS bpe_tokens, "
+        "CAST(len(bpe) AS BIGINT) AS n_bpe_tokens, "
+        "CAST(length(text) AS DOUBLE) / greatest(len(bpe), 1) "
+        "AS chars_per_token FROM toks"
+    ),
+    doc=(
+        "BPE-ish pretokenization (GPT-2-style regex restricted to the "
+        "Java/RE2-identical subset): the token stream itself, its count, "
+        "and chars-per-token — the compression-ratio proxy quality "
+        "filters threshold on. The full token ARRAY is value-hashed "
+        "against DuckDB, pinning both engines' regex semantics."
+    ),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    # let-bind the regex extraction (three consumers) inside one lambda and
+    # expand through the inline() GENERATOR: CollapseProject cannot inline
+    # an expression into generator output, so the regex runs once per row
+    # (see the let_sql note above — this is its Column-API equivalent).
+    st = F.transform(
+        F.array(bpe_tokens_column()),
+        lambda b: F.struct(
+            b.alias("bpe_tokens"),
+            F.size(b).cast("long").alias("n_bpe_tokens"),
+            (
+                F.length("text").cast("double") / F.greatest(F.size(b), F.lit(1))
+            ).alias("chars_per_token"),
+        ),
+    )
+    return docs.select("doc_id", F.inline(st))

@@ -135,3 +135,39 @@ def test_incremental_minhash_matches_full_rebuild(spark, tmp_path):
         for r in ms(docs).filter(F.expr("size(sh_hashes) = 0")).select("id").collect()
     }
     assert no_shingle == expected_absent
+
+
+def test_wav_roundtrip_and_resample(spark):
+    """WAV header/PCM byte math: decode matches a pure-python recompute,
+    and integer-factor resampling re-headers at the reduced rate."""
+    from event_data_etl_gcs_spark.operators.multimodal import (
+        decode_wav,
+        resample_audio,
+        synthesize_wav_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "abc xyz"), (12, "q")], "doc_id long, text string"
+    )
+    audio = synthesize_wav_audio(docs)
+    got = {r.media_id: r for r in decode_wav(audio).collect()}
+    for doc_id, text in [(7, "abc xyz"), (12, "q")]:
+        src = text.encode()
+        n = len(text) + 4000 + doc_id % 5 * 1000
+        samples = [((src[i % len(src)]) - 128) * 256 for i in range(n)]
+        r = got[doc_id]
+        assert r.sample_rate == 16000 and r.n_samples == n
+        assert r.peak == max(abs(v) for v in samples)
+        assert r.energy == sum(v * v for v in samples)
+        assert r.mean_abs == sum(abs(v) for v in samples) / n
+        assert r.duration_s == n / 16000
+
+    small = {r.media_id: r for r in decode_wav(resample_audio(audio, factor=4)).collect()}
+    for doc_id, text in [(7, "abc xyz"), (12, "q")]:
+        src = text.encode()
+        n = len(text) + 4000 + doc_id % 5 * 1000
+        kept = [((src[i % len(src)]) - 128) * 256 for i in range(0, n, 4)]
+        r = small[doc_id]
+        assert r.sample_rate == 4000
+        assert r.n_samples == len(kept)
+        assert r.energy == sum(v * v for v in kept)
