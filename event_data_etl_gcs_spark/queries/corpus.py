@@ -5,9 +5,14 @@ so the full composition has an exact DuckDB oracle."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import duck_minhash_lsh_ctes
-from ..operators.text import duck_quality_select, duck_tokens
+from ..operators.text import (
+    duck_quality_select,
+    duck_shingle_hash_set,
+    duck_tokens,
+)
 from ..plans.training_corpus import (
     MAX_PUNCT_RATIO,
     MAX_STOPWORD_RATIO,
@@ -58,3 +63,47 @@ WHERE NOT EXISTS (SELECT 1 FROM mh_pairs p WHERE p.id_b = u.doc_id)
 def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return select_training_corpus(docs)
+
+
+@query(
+    "decontaminate_against_benchmark",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, "
+        + duck_shingle_hash_set("text")
+        + " AS hs FROM documents), "
+        "bench AS (SELECT doc_id AS bench_id, hs AS bhs FROM sh WHERE doc_id % 97 = 0), "
+        "train AS (SELECT doc_id AS train_id, hs AS ths FROM sh WHERE doc_id % 97 <> 0) "
+        "SELECT train_id, bench_id, "
+        "CAST(len(list_intersect(ths, bhs)) AS BIGINT) AS n_shared "
+        "FROM train JOIN bench ON len(list_intersect(ths, bhs)) >= 4"
+    ),
+    doc=(
+        "Benchmark decontamination: training docs sharing >= 4 distinct "
+        "3-token shingle hashes with any doc of the (small) eval set are "
+        "flagged with the overlap count. Spark shape: explode the eval "
+        "set's shingles, BROADCAST them, hash-equi-join the training "
+        "side's exploded shingles, count matches per (train, bench) pair "
+        "— the corpus is never cross-joined and never shuffled whole; "
+        "matched rows only reach the aggregate. The oracle cross-checks "
+        "with exact per-pair set intersections."
+    ),
+)
+def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import shingle_hash_set_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(shingle_hash_set_sql("text")).alias("hs")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode("hs").alias("h")
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), F.explode("hs").alias("h")
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
+    )

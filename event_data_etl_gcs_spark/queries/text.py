@@ -314,3 +314,44 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return docs.select("doc_id", F.inline(st))
+
+
+@query(
+    "chunk_documents",
+    oracle=(
+        "WITH base AS (SELECT doc_id, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        "starts AS (SELECT doc_id, toks, "
+        "  range(1, greatest(len(toks) - 40, 1) + 1, 40) AS ss FROM base), "
+        "expl AS (SELECT doc_id, toks, unnest(ss) AS s, "
+        "  generate_subscripts(ss, 1) AS chunk_idx FROM starts) "
+        "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+        "array_to_string(toks[s:s + 49], ' ') AS chunk_text, "
+        "CAST(len(toks[s:s + 49]) AS BIGINT) AS n_chunk_tokens "
+        "FROM expl"
+    ),
+    doc=(
+        "Sliding-window chunking: 50-token chunks with 10-token overlap "
+        "(stride 40) — the pre-embedding / context-packing split every "
+        "RAG or training pipeline runs. Native sequence+slice+explode "
+        "(posexplode keeps the chunk index); one generator, no Python."
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    staged = with_tokens(docs).withColumn(
+        "ss",
+        F.expr("sequence(1, greatest(size(toks) - 40, 1), 40)"),
+    )
+    ch = staged.select(
+        "doc_id",
+        "toks",
+        F.posexplode("ss").alias("pos", "start"),
+    )
+    chunk = F.expr("slice(toks, start, 50)")
+    return ch.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

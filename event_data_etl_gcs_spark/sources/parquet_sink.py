@@ -73,3 +73,25 @@ def write_parquet_table(
             os.path.join(path, "_SUCCESS")
         ):
             open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    target_partitions: int | None = None,
+) -> None:
+    """JSONL export — the interchange format training/eval tooling
+    consumes (one JSON object per line, optionally gzipped; Spark's JSON
+    sink writes line-delimited JSON natively, one file per partition).
+
+    Same layout posture as the parquet sink: never coalesce(1) by
+    default; size output files via target_partitions. Binary columns
+    are base64-encoded by Spark's JSON writer; timestamps serialize as
+    ISO-8601 in the session timezone (UTC — pinned at load)."""
+    out = df.repartition(target_partitions) if target_partitions else df
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

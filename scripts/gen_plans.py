@@ -52,6 +52,12 @@ SHOW = [
         "stats frame, never the data.",
     ),
     (
+        "decontaminate_against_benchmark",
+        "Eval-set shingles exploded and BROADCAST; the training corpus "
+        "hash-equi-joins them map-side — no cross join, no corpus "
+        "shuffle; only matched rows reach the counting aggregate.",
+    ),
+    (
         "running_sum_bucketed",
         "Distributed prefix-sum: running sums within (key, time-bucket) "
         "plus a cumulative per-bucket offset — the full-history window "

@@ -67,3 +67,30 @@ def test_explicit_superset_schema_hot_path(spark, tmp_path):
     hot = spark.read.schema(superset).parquet(path)  # hot path: no merge
     rows = {r.id: r.rank for r in hot.collect()}
     assert rows == {1: None, 2: 7}
+
+
+def test_jsonl_export_roundtrip(spark, tmp_path):
+    """JSONL training-data handoff: line-delimited JSON, gzipped, value
+    round-trip through Spark's JSON reader with an explicit schema."""
+    import glob
+    import gzip
+    import json
+
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+    from event_data_etl_gcs_spark.sources.parquet_sink import export_jsonl
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "export")
+    export_jsonl(docs.select("doc_id", "text", "lang"), path, target_partitions=4)
+
+    files = glob.glob(path + "/*.json.gz")
+    assert len(files) == 4  # sized by target_partitions, not coalesce(1)
+    with gzip.open(files[0], "rt") as f:
+        rec = json.loads(f.readline())
+    assert set(rec) == {"doc_id", "text", "lang"}
+
+    back = spark.read.schema("doc_id long, text string, lang string").json(path)
+    assert back.count() == docs.count()
+    orig = {r.doc_id: (r.text, r.lang) for r in docs.select("doc_id", "text", "lang").collect()}
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == orig
