@@ -308,3 +308,89 @@ def user_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_expr="unix_micros(ts) div 1000000", intdiv="div"
         )
     )
+
+
+_STATS_BODY = """
+WITH pts0 AS (
+  SELECT event_type,
+         CAST({epoch_expr} AS BIGINT) AS sec,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS y100
+  FROM events
+), pts AS (
+  SELECT event_type,
+         CAST((sec - MIN(sec) OVER (PARTITION BY event_type)) {intdiv} 3600
+              AS BIGINT) AS x,
+         CAST(y100 AS BIGINT) AS y
+  FROM pts0
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(y * y) AS syy,
+         SUM(x * y) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(sy AS DOUBLE) / n / 100.0 AS mean_value,
+  CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 10000.0
+    AS var_pop_value,
+  sqrt(CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n)) / 100.0
+    AS stddev_pop_value,
+  CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 100.0
+    AS covar_pop_hr_value,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr_hr_value
+FROM s
+"""
+
+
+@query(
+    "stats_aggregates",
+    oracle=_STATS_BODY.format(epoch_expr="epoch_us(ts) // 1000000", intdiv="//"),
+    doc=(
+        "Grouped statistical aggregates — mean, population variance / "
+        "stddev, covariance and correlation of (hours-since-group-min, "
+        "value) — from exact integer moment sums (the var_pop/covar_pop/"
+        "corr family, engine-identical by construction: every integer "
+        "stays < 2^53 and IEEE sqrt is correctly rounded, so the doubles "
+        "match bit-for-bit; Spark's native stddev/corr use running "
+        "float updates whose partition-order sensitivity would break "
+        "the cross-engine hash)."
+    ),
+)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _STATS_BODY.format(epoch_expr="unix_micros(ts) div 1000000", intdiv="div")
+    )
+
+
+@query(
+    "regex_funcs",
+    oracle=(
+        "SELECT doc_id, "
+        "regexp_extract(text, '([a-z]+)a([a-z]+)', 1) AS before_a, "
+        "regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head, "
+        "CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long_words, "
+        "regexp_matches(text, 'data|spark') AS mentions_engine "
+        "FROM (SELECT doc_id, substring(text, 1, 80) AS text FROM documents)"
+    ),
+    doc=(
+        "Regex function family over the Java/RE2-identical subset: group "
+        "extraction, global replace, match counting, boolean match — all "
+        "JVM-native, map-only, pushdown-friendly."
+    ),
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)a([a-z]+)", 1).alias("before_a"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_head"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]{5,}"), F.lit(0)))
+        .cast("long")
+        .alias("n_long_words"),
+        F.col("text").rlike("data|spark").alias("mentions_engine"),
+    )
