@@ -95,3 +95,42 @@ def export_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Compact a directory of too-many-small parquet files into files
+    sized near ``target_file_mb`` — the standard maintenance pass for
+    streaming/incremental sinks, whose per-batch writes accumulate files
+    that degrade scan planning (footer reads) and kill read parallelism
+    economics at cluster scale.
+
+    Sizing uses the directory's actual on-disk bytes, so compression
+    ratio is accounted for. Returns (files_before, files_after). The
+    rewrite goes through a temp dir + atomic-ish rename swap; readers
+    racing the swap see the old or new listing, not a mix (object-store
+    caveat: rename is copy+delete there — use a transactional table
+    format when concurrent readers matter).
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(files), n_out

@@ -94,3 +94,21 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
     orig = {r.doc_id: (r.text, r.lang) for r in docs.select("doc_id", "text", "lang").collect()}
     got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     assert got == orig
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Many tiny files -> few sized files, same data."""
+    import glob
+
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+    from event_data_etl_gcs_spark.sources.parquet_sink import compact_parquet_dir
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    path = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(path)  # simulate per-batch dribble
+    before_rows = spark.read.parquet(path).count()
+
+    n_before, n_after = compact_parquet_dir(spark, path, target_file_mb=8)
+    assert n_before == 64 and n_after < 16
+    assert len(glob.glob(path + "/*.parquet")) == n_after
+    assert spark.read.parquet(path).count() == before_rows
