@@ -134,3 +134,54 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len(files), n_out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    target_partitions: int = 8,
+    mode: str = "overwrite",
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustered write: interleave the bits of the
+    z-columns' range-scaled ranks and range-partition + sort by that key.
+    Each output file then covers a small HYPER-RECTANGLE of the combined
+    key space, so range predicates on ANY z-column prune files/row-groups
+    — where a lexicographic sort only prunes on its leading column.
+
+    The scaling pass computes per-column min/max (one tiny agg, collected
+    to literals); the z-key itself is a native bit-arithmetic expression
+    — no UDF, no extra shuffle beyond the range partitioner's sampling.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+        *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+    ).collect()[0]
+    n = len(zorder_by)
+    parts = []
+    for j, c in enumerate(zorder_by):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        scaled = (
+            f"((CAST({c} AS BIGINT) - {int(mn)}L) * {(1 << bits) - 1}L "
+            f"DIV {span}L)"
+        )
+        # bit i of the scaled rank lands at interleaved position i*n + j;
+        # let-bound so the scaling arithmetic evaluates once per row
+        parts.append(
+            f"element_at(transform(array({scaled}), s -> "
+            f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+            f"acc + ((s div shiftleft(1L, i)) % 2) "
+            f"* shiftleft(1L, i * {n} + {j}))), 1)"
+        )
+    z = F.expr(" + ".join(parts))
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -260,7 +260,7 @@ def main() -> None:
         f"| two-phase salted count | {skew['groupby_hot_key_salted']} |",
         f"| window row_number on hot key (one task gets 40%) | {skew['window_hot_key']} |",
         f"| salted two-phase top-n window (same result, bounded tasks) | {skew['window_hot_key_salted']} |",
-        f"| full-output running sum on hot key, 5M rows / hot ~2M (no WindowGroupLimit rescue) | {skew['running_sum_hot_key']} |",
+        f"| full-output running sum on hot key, {FACTOR // 2}M rows / hot ~{FACTOR // 5}M (no WindowGroupLimit rescue) | {skew['running_sum_hot_key']} |",
         f"| bucketed distributed prefix-sum (same result, bounded tasks) | {skew['running_sum_bucketed']} |",
         "",
         f"## Incremental near-dedup at {FACTOR}x corpus (all texts distinct)",

@@ -177,3 +177,54 @@ def test_stable_row_id_plan_is_distributed(spark):
     ids = [r.row_id for r in rows]
     assert ids == list(range(1, len(rows) + 1))
     assert [r.event_id for r in rows] == sorted(r.event_id for r in rows)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-order layout: every file covers a small hyper-rectangle, so the
+    SECOND z-column also gets tight per-file ranges — a lexicographic
+    sort leaves it spanning ~the full range in every file."""
+    import glob
+
+    from event_data_etl_gcs_spark.sources.parquet_sink import (
+        write_parquet_table,
+        write_zordered,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def mean_span(path, col):
+        spans = []
+        lo, hi = None, None
+        metas = []
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == col
+            )
+            mns = [meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups)]
+            mxs = [meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups)]
+            metas.append((min(mns), max(mxs)))
+        lo = min(m for m, _ in metas)
+        hi = max(m for _, m in metas)
+        for m, x in metas:
+            spans.append((x - m) / max(hi - lo, 1))
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, zorder_by=["l_orderkey", "l_partkey"], target_partitions=16)
+    lpath = str(tmp_path / "lexsorted")
+    write_parquet_table(
+        li, lpath, target_partitions=16,
+        range_by=["l_orderkey"], sort_within_by=["l_orderkey", "l_partkey"],
+    )
+
+    # leading column: both layouts cluster it
+    assert mean_span(zpath, "l_orderkey") < 0.6
+    # second column: z-order clusters it, lexicographic cannot
+    z2 = mean_span(zpath, "l_partkey")
+    l2 = mean_span(lpath, "l_partkey")
+    assert z2 < 0.6 < l2, (z2, l2)
+    assert spark.read.parquet(zpath).count() == li.count()
