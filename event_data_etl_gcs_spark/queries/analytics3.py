@@ -394,3 +394,47 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_long_words"),
         F.col("text").rlike("data|spark").alias("mentions_engine"),
     )
+
+
+@query(
+    "approx_percentile_check",
+    oracle=(
+        # Same pattern as approx_count_distinct: the t-digest/GK sketch is
+        # engine-specific, so the checked output is the exact percentile
+        # plus a Spark-computed within-tolerance boolean; the oracle
+        # states the invariant (TRUE) next to the portable exact value.
+        "SELECT event_type, "
+        "CAST(quantile_disc(CAST(value AS DECIMAL(18,2)), 0.5) AS DOUBLE) "
+        "AS exact_median, "
+        "TRUE AS approx_within_tol "
+        "FROM events GROUP BY event_type"
+    ),
+    doc=(
+        "Sketch percentile: approx_percentile audited against the exact "
+        "discrete median per group; checked columns are the exact median "
+        "and the within-5%-relative-error boolean, deterministic across "
+        "engines (the sketch itself is not)."
+    ),
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx(dec, 0.5, 1000).alias("approx_median"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY CAST(value AS DECIMAL(18,2)))"
+        ).alias("exact_median"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_median").cast("double").alias("exact_median"),
+        (
+            F.abs(
+                F.col("approx_median").cast("double")
+                - F.col("exact_median").cast("double")
+            )
+            / F.abs(F.col("exact_median").cast("double"))
+            <= F.lit(0.05)
+        ).alias("approx_within_tol"),
+    )
