@@ -222,6 +222,58 @@ def run_incremental_dedup(spark) -> dict[str, float]:
     return res
 
 
+def run_layout(spark) -> dict[str, float]:
+    """Z-order vs lexicographic layout: wall time of a selective range
+    predicate on the SECOND clustering column (row-group stats skipping
+    is the only difference — same data, same file count)."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import (
+        write_parquet_table,
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{BASE}/x{FACTOR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    zpath, lpath = f"{BASE}/li_zorder.parquet", f"{BASE}/li_lex.parquet"
+    if not os.path.exists(zpath):
+        write_zordered(li, zpath, zorder_by=["l_orderkey", "l_partkey"],
+                       target_partitions=32)
+        write_parquet_table(li, lpath, target_partitions=32,
+                            range_by=["l_orderkey"],
+                            sort_within_by=["l_orderkey", "l_partkey"])
+    res = {}
+    pred = (F.col("l_partkey") >= 1000) & (F.col("l_partkey") < 1400)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for name, path in [("lex_sorted", lpath), ("zordered", zpath)]:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.parquet(path).filter(pred).agg(
+                F.sum("l_quantity")
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        res[name] = round(best, 3)
+        # deterministic skipping metric: row groups whose l_partkey stats
+        # overlap the predicate (what a stats-pruning scan must read)
+        total, hit = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "l_partkey"
+            )
+            for g in range(meta.num_row_groups):
+                st_ = meta.row_group(g).column(idx).statistics
+                total += 1
+                if st_.max >= 1000 and st_.min < 1400:
+                    hit += 1
+        res[f"{name}_rowgroups"] = f"{hit}/{total}"
+    return res
+
+
 def main() -> None:
     from event_data_etl_gcs_spark.session import get_spark
 
@@ -235,6 +287,7 @@ def main() -> None:
     tN = run_headline(spark, f"{BASE}/x{FACTOR}")
     skew = run_skew(spark)
     inc = run_incremental_dedup(spark)
+    layout = run_layout(spark)
 
     lines = [
         f"# SCALE — measured scaling evidence (local[32], factor {FACTOR}x)",
@@ -273,6 +326,23 @@ def main() -> None:
         "The increment's cost tracks the NEW batch, not the corpus: the",
         "band join streams new-side bands against the stored index and",
         "nothing re-hashes already-indexed documents.",
+        "",
+        f"## Layout: Z-order vs lexicographic ({FACTOR * 600_000} lineitem rows)",
+        "",
+        "Selective range predicate on the SECOND clustering column",
+        "(l_partkey), same data and file count — the delta is row-group",
+        "stats skipping that only the Z-order layout provides:",
+        "",
+        "| layout | time (s) | row groups overlapping predicate |",
+        "|---|---|---|",
+        f"| range-partitioned + sorted by (l_orderkey, l_partkey) | {layout['lex_sorted']} | {layout['lex_sorted_rowgroups']} |",
+        f"| Z-ordered by (l_orderkey, l_partkey) | {layout['zordered']} | {layout['zordered_rowgroups']} |",
+        "",
+        "Wall-time delta is modest at this size (scan overheads dominate",
+        "a 6M-row local read); the row-group overlap count is the",
+        "deterministic form of the benefit — it is the fraction of the",
+        "table a stats-pruning scan must read, and it scales with data",
+        "while the overheads do not.",
         "",
         "Aggregations shrug off key skew (map-side partial aggregation",
         "bounds the hot partition); windows genuinely serialize the hot",

@@ -94,3 +94,45 @@ def test_asof_join_model(spark, left, right):
             default=None,
         )
         assert got[i] == want, (i, k, ts, got[i], want)
+
+
+bucket_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=500),  # ts seconds (ties likely)
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=bucket_rows, width_s=st.sampled_from([1, 7, 60, 400]))
+@SETTINGS
+def test_bucketed_running_sum_any_width(spark, data, width_s):
+    """Distributed prefix-sum == plain prefix-sum for ANY bucket width,
+    including widths that put every row in its own bucket and widths
+    that collapse everything into one (checked against a Python model,
+    not the Spark window)."""
+    from event_data_etl_gcs_spark.operators.skew import bucketed_running_sum
+
+    df = spark.createDataFrame(
+        [(k, ts * 1_000_000, float(v), i) for i, (k, ts, v) in enumerate(data)],
+        "k long, ts long, v double, rid long",
+    )
+    got = {
+        r.rid: r.rs
+        for r in bucketed_running_sum(
+            df, key="k", order_col="ts", value_col="v",
+            bucket_width_micros=width_s * 1_000_000,
+            tiebreak="rid", out_col="rs",
+        ).collect()
+    }
+    acc: dict[int, float] = {}
+    want: dict[int, float] = {}
+    for i, (k, ts, v) in sorted(
+        enumerate(data), key=lambda e: (e[1][0], e[1][1], e[0])
+    ):
+        acc[k] = acc.get(k, 0.0) + v
+        want[i] = acc[k]
+    assert got == want
