@@ -116,3 +116,47 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "ewma_per_user",
+    oracle=(
+        "WITH ordered AS ("
+        "  SELECT user_id, COUNT(*) AS n_events, "
+        "  list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals "
+        "  FROM events GROUP BY user_id"
+        ") "
+        "SELECT user_id, n_events, "
+        "list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_value "
+        "FROM ordered"
+    ),
+    doc=(
+        "Exponentially-weighted moving average of each user's value "
+        "stream (alpha = 0.3, seeded with the first observation) — the "
+        "classic time-decayed feature. EWMA is inherently sequential per "
+        "key, so the fold is ORDER-PINNED (sort_array + aggregate == "
+        "DuckDB list(ORDER BY) + list_reduce, the label_centroids "
+        "pattern): identical double arithmetic in both engines. One "
+        "shuffle on user_id; state per key is one double, the list is "
+        "per-group transient."
+    ),
+)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+            )
+        ).alias("pairs"),
+    )
+    return grouped.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(pairs, 2, size(pairs) - 1), "
+            "element_at(pairs, 1).v, "
+            "(acc, x) -> CAST(0.3 AS DOUBLE) * x.v + CAST(0.7 AS DOUBLE) * acc)"
+        ).alias("ewma_value"),
+    )
