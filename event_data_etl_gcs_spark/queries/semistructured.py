@@ -101,3 +101,50 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm.alias("l2_norm"),
         nrm.between(0.9, 1.1).alias("near_unit"),
     )
+
+
+@query(
+    "map_functions",
+    oracle=(
+        "WITH c AS ("
+        "  SELECT user_id, event_type, COUNT(*) * 2 AS v "
+        "  FROM events GROUP BY user_id, event_type"
+        ") "
+        "SELECT user_id, "
+        "COALESCE(list(event_type ORDER BY event_type) "
+        "  FILTER (WHERE v >= 4), []) AS kept_keys, "
+        "COALESCE(list(v ORDER BY event_type) "
+        "  FILTER (WHERE v >= 4), []) AS kept_values, "
+        "COUNT(*) FILTER (WHERE v >= 4) AS n_kept "
+        "FROM c GROUP BY user_id"
+    ),
+    doc=(
+        "Map-function family: map_from_entries -> transform_values -> "
+        "map_filter over per-user event-type counts; the checked output "
+        "is the key-sorted parallel (keys, values) arrays: maps have no "
+        "canonical order, and struct-array cells stringify differently "
+        "per engine, so scalar arrays are the hash-safe form — the "
+        "oracle builds the same arrays relationally without maps."
+    ),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    out = m.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 2), lambda k, v: v >= 4
+        ).alias("mf"),
+    )
+    entries = F.sort_array(F.map_entries("mf"))
+    return out.select(
+        "user_id",
+        F.transform(entries, lambda e: e["key"]).alias("kept_keys"),
+        F.transform(entries, lambda e: e["value"]).alias("kept_values"),
+        F.size("mf").cast("long").alias("n_kept"),
+    )
