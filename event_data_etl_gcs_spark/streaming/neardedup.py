@@ -100,3 +100,42 @@ def run_streaming_near_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_ivf_ingest(
+    spark: SparkSession,
+    emb_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming ANN-index ingest: each arriving embedding batch is
+    assigned to the frozen trained centroids (map-only, no retrain) and
+    appended to the persisted inverted file, partitioned by cell so
+    probes keep reading only probed cells. Same posture as the near-dedup
+    loop: the index lives on storage, grows monotonically, and re-runs
+    process only new files (file-source checkpoint). Assignment is
+    per-vector, so the streamed index is bit-identical to a from-scratch
+    rebuild over the same corpus (tested)."""
+    from ..operators.ivf import ivf_append_batch
+
+    schema = spark.read.parquet(emb_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append_batch(batch_df, centroids).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(index_path)
+
+    q = (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()

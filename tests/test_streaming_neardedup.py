@@ -53,3 +53,48 @@ def test_streaming_near_dedup_matches_full_corpus(spark, tmp_path):
     # index covers every shingled doc exactly once
     sig = spark.read.parquet(out_dir + "/signatures")
     assert sig.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_ivf_ingest_matches_rebuild(spark, tmp_path):
+    """Embeddings streamed file-by-file into the persisted inverted file
+    must answer queries bit-identically to a from-scratch index build
+    (frozen centroids, map-only assignment)."""
+    from event_data_etl_gcs_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk_on_index,
+        train_ivf_centroids,
+    )
+    from event_data_etl_gcs_spark.streaming.neardedup import (
+        run_streaming_ivf_ingest,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = train_ivf_centroids(emb, k=8, iterations=2)
+
+    emb_dir = str(tmp_path / "emb_stream")
+    n = emb.count()
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]:
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(emb_dir)
+        _time.sleep(1.1)
+
+    idx = str(tmp_path / "ivf_idx")
+    run_streaming_ivf_ingest(
+        spark, emb_dir, idx, str(tmp_path / "ckpt"), cents
+    )
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk_on_index(
+            spark.read.parquet(idx), queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in ivf_topk_on_index(
+            build_ivf_index(emb, cents), queries, cents, k=5, n_probe=3
+        ).collect()
+    }
+    assert got == want
