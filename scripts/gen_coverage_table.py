@@ -29,7 +29,36 @@ def main() -> None:
         f.write(f"{len(rows)} registered queries.\n\n")
         f.write("| query | check | what it covers |\n|---|---|---|\n")
         f.write("\n".join(rows) + "\n")
+        f.write(NON_QUERY)
     print(f"wrote {len(rows)} queries to COVERAGE.md")
+
+
+# Capabilities with no queries() form (streaming semantics, write
+# layouts): inventoried here with the test that proves each.
+NON_QUERY = """
+## Non-query capabilities (proven by tests, not oracle rows)
+
+| capability | where | proof |
+|---|---|---|
+| Incremental ingest: file source + Available-Now + watermark dedup + foreachBatch MERGE-upsert fan-out | `streaming/incremental.py` | `test_streaming_incremental.py` (cross-run upsert) |
+| `dropDuplicatesWithinWatermark` dedup mode | `streaming/incremental.py` | `test_streaming_incremental.py` |
+| Watermarked tumbling-window streaming aggs | `streaming/windowed.py` | `test_streaming_windowed.py` (stream == batch) |
+| Custom stateful op (running max, applyInPandasWithState) | `streaming/windowed.py` | `test_streaming_windowed.py` |
+| Stateful sessionization, EventTimeTimeout, append-once | `streaming/sessions.py` | `test_streaming_sessions.py` (== batch sessionize) |
+| Stream-stream join w/ state timeout (left-outer attribution) | `streaming/joins.py` | `test_streaming_joins.py` |
+| Streaming near-dedup vs growing persisted MinHash index | `streaming/neardedup.py` | `test_streaming_neardedup.py` (== full rebuild, cross-run) |
+| Streaming IVF-index ingest (cell-partitioned appends) | `streaming/neardedup.py` | `test_streaming_neardedup.py` (bit-identical to rebuild) |
+| Incremental near-dedup operator (persisted signature table) | `operators/dedup.py` | `test_training_ops.py` parquet round-trip + oracle row |
+| IVF inverted file: build / append / query persisted | `operators/ivf.py` | `test_ivf.py` (append == rebuild, recall gates) |
+| Schema evolution: mergeSchema, per-partition, superset hot path | `sources/catalog.py` | `test_schema_evolution.py` |
+| Small-file compaction (size-targeted rewrite + swap) | `sources/parquet_sink.py` | `test_schema_evolution.py` |
+| Range-clustered + in-file-sorted parquet layout | `sources/parquet_sink.py` | `test_scale_techniques2.py` (disjoint file/row-group stats) |
+| Z-order clustered layout (multi-column pruning) | `sources/parquet_sink.py` | `test_scale_techniques2.py` + SCALE.md (7/32 row groups) |
+| JSONL training-data export (gzipped, sized files) | `sources/parquet_sink.py` | `test_schema_evolution.py` round-trip |
+| Bucketed tables (shuffle-free repeated joins) | `sources/bucketed.py` | `test_scale_techniques.py` (no-Exchange plan) |
+| Corrupt-record dead-letter JSON ingest | `sources/json_source.py` | `test_sparkify_pipeline.py` |
+| Pipeline runner: stage DAG, quarantine, `_SUCCESS`-gated warehouse load | `plans/runner.py` | `test_runner.py` |
+"""
 
 
 if __name__ == "__main__":
