@@ -72,3 +72,74 @@ def build_training_corpus(docs: DataFrame, output_path: str) -> DataFrame:
     out = survivors.select("doc_id", "text", "lang", "source", "n_tokens")
     write_parquet_table(out, output_path, partition_by=["lang"])
     return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    min_shared_shingles: int = 4,
+) -> DataFrame:
+    """Drop docs sharing >= min_shared_shingles distinct 3-token shingle
+    hashes with any benchmark doc (eval-set contamination). The eval set
+    is small: its exploded shingles broadcast, the corpus side never
+    shuffles (see the decontaminate_against_benchmark query for the
+    plan-audited shape)."""
+    from ..operators.text import shingle_hash_set_sql
+
+    bench = benchmark.select(
+        F.explode(F.expr(shingle_hash_set_sql("text"))).alias("h")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(F.expr(shingle_hash_set_sql("text"))).alias("h")
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(bench), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_shingles)
+        .select(id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def build_training_export(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    output_path: str,
+    chunk_tokens: int = 50,
+    chunk_stride: int = 40,
+) -> DataFrame:
+    """The full modern training-data pipeline: quality gate -> exact
+    dedup -> near-dedup -> benchmark decontamination -> sliding-window
+    chunking -> gzipped JSONL export (the handoff format). Every stage
+    is deterministic and map/shuffle-sane; returns the chunk frame that
+    was written."""
+    from ..operators.text import tokens_sql
+    from ..sources.parquet_sink import export_jsonl
+
+    survivors = decontaminate(
+        near_dedup_keep_min(exact_dedup_keep_min(quality_gate(docs))), benchmark
+    )
+    staged = survivors.withColumn("toks", F.expr(tokens_sql("text"))).withColumn(
+        "ss",
+        F.expr(
+            # greatest(n - (chunk - stride), 1): every tail token covered
+            f"sequence(1, greatest(size(toks) - {chunk_tokens - chunk_stride},"
+            f" 1), {chunk_stride})"
+        ),
+    )
+    ch = staged.select(
+        "doc_id", "lang", "source", "toks", F.posexplode("ss").alias("pos", "start")
+    )
+    chunk = F.expr(f"slice(toks, start, {chunk_tokens})")
+    chunks = ch.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+    export_jsonl(chunks, output_path, target_partitions=4)
+    return chunks

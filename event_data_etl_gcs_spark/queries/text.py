@@ -322,7 +322,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH base AS (SELECT doc_id, "
         f"{duck_tokens('text')} AS toks FROM documents), "
         "starts AS (SELECT doc_id, toks, "
-        "  range(1, greatest(len(toks) - 40, 1) + 1, 40) AS ss FROM base), "
+        "  range(1, greatest(len(toks) - 10, 1) + 1, 40) AS ss FROM base), "
         "expl AS (SELECT doc_id, toks, unnest(ss) AS s, "
         "  generate_subscripts(ss, 1) AS chunk_idx FROM starts) "
         "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
@@ -333,15 +333,18 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Sliding-window chunking: 50-token chunks with 10-token overlap "
         "(stride 40) — the pre-embedding / context-packing split every "
-        "RAG or training pipeline runs. Native sequence+slice+explode "
-        "(posexplode keeps the chunk index); one generator, no Python."
+        "RAG or training pipeline runs. Start bound is "
+        "greatest(n - (chunk - stride), 1) so the TAIL is always covered "
+        "(an n - stride bound silently drops up to stride-1 trailing "
+        "tokens). Native sequence+slice+explode; one generator, no "
+        "Python."
     ),
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     staged = with_tokens(docs).withColumn(
         "ss",
-        F.expr("sequence(1, greatest(size(toks) - 40, 1), 40)"),
+        F.expr("sequence(1, greatest(size(toks) - 10, 1), 40)"),
     )
     ch = staged.select(
         "doc_id",

@@ -192,3 +192,54 @@ def test_case_insensitive_resolution(spark, fixture_dir):
     events = next_song_events(load_log_data(spark, f"{fixture_dir}/log_data.json"))
     n = events.select(F.col("userID")).count()  # wrong-case reference
     assert n == events.count()
+
+
+def test_training_export_end_to_end(spark, tmp_path):
+    """Full modern pipeline: gate -> dedup -> near-dedup -> decontaminate
+    -> chunk -> JSONL; chunks reassemble to their source docs, no chunk
+    from a contaminated/dropped doc, export round-trips."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.plans.training_corpus import (
+        build_training_export,
+        decontaminate,
+        exact_dedup_keep_min,
+        near_dedup_keep_min,
+        quality_gate,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = str(tmp_path / "export")
+
+    chunks = build_training_export(train, bench, out)
+    got = chunks.cache()
+    surviving = {
+        r.doc_id
+        for r in decontaminate(
+            near_dedup_keep_min(exact_dedup_keep_min(quality_gate(train))), bench
+        ).select("doc_id").collect()
+    }
+    chunk_docs = {r.doc_id for r in got.select("doc_id").distinct().collect()}
+    assert chunk_docs == surviving  # every survivor chunked, nothing else
+
+    # chunks overlap by 10 tokens (stride 40, width 50): reassembling
+    # chunk k's first 40 tokens in order must rebuild the doc's tokens
+    one = got.filter(F.col("doc_id") == min(chunk_docs)).orderBy("chunk_idx").collect()
+    toks = []
+    for i, r in enumerate(one):
+        t = r.chunk_text.split(" ")
+        toks.extend(t[:40] if i < len(one) - 1 else t)
+    src = {r.doc_id: r.text for r in train.collect()}[min(chunk_docs)]
+    assert toks == src.split()
+
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, chunk_idx int, "
+        "chunk_text string, n_chunk_tokens long"
+    ).json(out)
+    assert back.count() == got.count()
+    got.unpersist()
