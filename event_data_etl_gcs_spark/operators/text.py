@@ -361,3 +361,91 @@ def duck_quality_select(text_col: str = "text", tok_col: str = "toks") -> dict[s
         "stopword_ratio": f"(CAST({n_stop} AS DOUBLE) / greatest({n_tokens}, 1))",
         "punct_ratio": f"(CAST({n_punct} AS DOUBLE) / greatest({n_chars}, 1))",
     }
+
+
+# =========================================================================
+# Cross-document n-gram document frequency (contamination / boilerplate)
+# =========================================================================
+
+def ngram_docfreq_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    max_common_frac: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram sharing stats (C4/Gopher-style
+    boilerplate & contamination signal).
+
+    A document's distinct k-token shingles are scored against the whole
+    corpus: a shingle is *common* when it appears in >= ``min_df``
+    documents. Emits ``(id, n_shingles, n_common, common_frac, keep)``
+    where ``keep = common_frac <= max_common_frac`` — the filter a
+    training pipeline applies to drop template/boilerplate-heavy pages
+    whose content is mostly shared with other pages.
+
+    Scale shape (100 TB): shingle sets are map-only native lambdas; the
+    document-frequency count is one explode + hash groupBy with map-side
+    partial aggregation (the count per shingle hash is tiny — no
+    skew-driven row blow-up, a ubiquitous shingle still aggregates to one
+    row); the join back to documents is shingle-hash equi-join of
+    pre-aggregated counts. No pairwise comparisons anywhere — cost is
+    linear in total shingle volume, unlike Jaccard pair verification.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(shingle_hash_set_sql(text_col, k)).alias("shset"),
+    )
+    exploded = sh.select("id", F.explode("shset").alias("sh"))
+    # shset is distinct per doc, so COUNT(*) per shingle == document freq.
+    common = (
+        exploded.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("sh")
+    )
+    shared = exploded.join(common, "sh").groupBy("id").agg(
+        F.count("*").alias("n_common_raw")
+    )
+    base = sh.select("id", F.size("shset").alias("n_shingles"))
+    return (
+        base.join(shared, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_common_raw"), F.lit(0).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "common_frac",
+            F.col("n_common").cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)),
+        )
+        .withColumn("keep", F.col("common_frac") <= F.lit(max_common_frac))
+    )
+
+
+def duck_ngram_docfreq_sql(
+    k: int = 3, min_df: int = 2, max_common_frac: float = 0.5
+) -> str:
+    """DuckDB oracle for ngram_docfreq_stats over the documents table."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {duck_shingle_hash_set('text', k)} AS shset FROM documents
+), ex AS (
+  SELECT doc_id, unnest(shset) AS sh FROM sh
+), common AS (
+  SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= {min_df}
+), shared AS (
+  SELECT ex.doc_id, COUNT(*) AS n_common FROM ex JOIN common USING (sh)
+  GROUP BY ex.doc_id
+)
+SELECT sh.doc_id,
+       CAST(len(sh.shset) AS INTEGER) AS n_shingles,
+       CAST(COALESCE(shared.n_common, 0) AS BIGINT) AS n_common,
+       (CAST(COALESCE(shared.n_common, 0) AS DOUBLE)
+        / greatest(len(sh.shset), 1)) AS common_frac,
+       (CAST(COALESCE(shared.n_common, 0) AS DOUBLE)
+        / greatest(len(sh.shset), 1)) <= {max_common_frac} AS keep
+FROM sh LEFT JOIN shared USING (doc_id)
+"""

@@ -12,7 +12,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     with_simhash,
 )
-from ..operators.text import duck_tokens
+from ..operators.text import duck_ngram_docfreq_sql, duck_tokens
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -311,3 +311,21 @@ def near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         (best["k"] * -1).alias("kept_doc_id"),
         F.count("*").alias("n_members"),
     )
+
+
+@query(
+    "ngram_docfreq_filter",
+    oracle=duck_ngram_docfreq_sql(),
+    doc=(
+        "Cross-corpus n-gram document-frequency filter (C4/Gopher "
+        "boilerplate signal): per-doc fraction of 3-token shingles shared "
+        "with >= 2 documents, keep = frac <= 0.5. Linear explode + hash "
+        "groupBy — no pairwise comparisons (operators/text.py "
+        "ngram_docfreq_stats)."
+    ),
+)
+def ngram_docfreq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import ngram_docfreq_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_docfreq_stats(docs)
