@@ -449,3 +449,75 @@ SELECT sh.doc_id,
         / greatest(len(sh.shset), 1)) <= {max_common_frac} AS keep
 FROM sh LEFT JOIN shared USING (doc_id)
 """
+
+
+# =========================================================================
+# Text cleaning / normalization + PII redaction (training-data hygiene)
+# =========================================================================
+
+MIN_KEPT_TOKENS = 5
+
+
+def clean_text_columns(text_col: str = "text") -> dict[str, Column]:
+    """Normalized training text: lowercase tokens with stopwords removed,
+    re-joined with single spaces. Pure array lambdas over the existing
+    whitespace tokenizer — no regex engine in the path, so Spark and
+    DuckDB agree byte-for-byte. Map-only at any scale."""
+    kept = (
+        f"filter(transform({tokens_sql(text_col)}, t -> lower(t)), "
+        f"t -> NOT t IN ({_sql_list(STOPWORDS)}))"
+    )
+    return {
+        "clean_text": F.expr(f"array_join({kept}, ' ')"),
+        "n_kept": F.expr(f"size({kept})").cast("int"),
+    }
+
+
+def duck_clean_text_select(text_col: str = "text") -> dict[str, str]:
+    kept = (
+        f"list_filter(list_transform({duck_tokens(text_col)}, t -> lower(t)), "
+        f"t -> NOT t IN ({_sql_list(STOPWORDS)}))"
+    )
+    return {
+        "clean_text": f"array_to_string({kept}, ' ')",
+        "n_kept": f"CAST(len({kept}) AS INTEGER)",
+    }
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs): literal classes, bounded repetition, \d, \b.
+# Order matters: IP before phone (dotted forms), SSN before phone.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """Redacted text plus a per-category match count. Counts are taken on
+    the PREVIOUS stage's text (each pattern sees the prior redactions, so
+    a phone inside an already-redacted email is not double-counted) —
+    mirrored exactly in the oracle. Native regexp on the JVM; map-only."""
+    cols: dict[str, Column] = {}
+    cur = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        cols[f"n_{name}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), F.lit(0))
+        ).cast("int")
+        cur = F.regexp_replace(cur, pat, token)
+    cols["redacted"] = cur
+    return cols
+
+
+def duck_redact_pii_select(text_col: str = "text") -> dict[str, str]:
+    cols: dict[str, str] = {}
+    cur = text_col
+    for name, pat, token in PII_PATTERNS:
+        cols[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({cur}, '{pat}', 0)) AS INTEGER)"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    cols["redacted"] = cur
+    return cols

@@ -358,3 +358,66 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+from ..operators.text import (  # noqa: E402
+    MIN_KEPT_TOKENS,
+    clean_text_columns,
+    duck_clean_text_select,
+    duck_redact_pii_select,
+    redact_pii_columns,
+)
+
+_CLEAN = duck_clean_text_select("text")
+
+@query(
+    "clean_text_normalize",
+    oracle=(
+        "WITH c AS (SELECT doc_id, "
+        f"{_CLEAN['clean_text']} AS clean_text, "
+        f"{_CLEAN['n_kept']} AS n_kept FROM documents) "
+        f"SELECT doc_id, clean_text, n_kept FROM c WHERE n_kept >= {MIN_KEPT_TOKENS}"
+    ),
+    doc=(
+        "Training-text normalization: lowercase, stopword removal, "
+        "single-space rejoin, drop docs with < 5 surviving tokens. Pure "
+        "array lambdas (no regex engine) — map-only at any scale "
+        "(operators/text.py clean_text_columns)."
+    ),
+)
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = clean_text_columns("text")
+    return (
+        docs.select("doc_id", cols["clean_text"].alias("clean_text"),
+                    cols["n_kept"].alias("n_kept"))
+        .filter(F.col("n_kept") >= MIN_KEPT_TOKENS)
+    )
+
+
+_PII = duck_redact_pii_select("text")
+
+@query(
+    "redact_pii",
+    oracle=(
+        "SELECT doc_id, "
+        + ", ".join(f"{_PII[f'n_{n}']} AS n_{n}" for n in ("email", "ip", "ssn", "phone"))
+        + f", {_PII['redacted']} AS redacted FROM documents"
+    ),
+    doc=(
+        "PII redaction (email/IP/SSN/phone) with per-category match "
+        "counts; patterns restricted to the Java-regex ∩ RE2 subset so "
+        "both engines substitute identically. The synthetic corpus has "
+        "no digits, so counts are zero here — the behavior on real PII "
+        "is pinned by tests/test_training_ops.py on synthetic rows. "
+        "Map-only (operators/text.py redact_pii_columns)."
+    ),
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = redact_pii_columns("text")
+    return docs.select(
+        "doc_id",
+        *[cols[f"n_{n}"].alias(f"n_{n}") for n in ("email", "ip", "ssn", "phone")],
+        cols["redacted"].alias("redacted"),
+    )

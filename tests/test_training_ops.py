@@ -171,3 +171,68 @@ def test_wav_roundtrip_and_resample(spark):
         assert r.sample_rate == 4000
         assert r.n_samples == len(kept)
         assert r.energy == sum(v * v for v in kept)
+
+
+def test_redact_pii_on_synthetic_rows(spark, duck):
+    """The registered corpus has no digits, so the redact_pii oracle row
+    proves determinism but not behavior. Pin behavior here on real PII,
+    in BOTH engines, asserting they also agree with each other."""
+    from event_data_etl_gcs_spark.operators.text import (
+        duck_redact_pii_select,
+        redact_pii_columns,
+    )
+
+    rows = [
+        (1, "contact Bob.Smith+x@mail.example.com or 212-555-1234 now"),
+        (2, "server 10.0.255.7 logged ssn 123-45-6789 and 987.654.3210"),
+        (3, "no pii here at all"),
+        (4, "double a@b.co c@d.io and ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = redact_pii_columns("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[cols[f"n_{n}"].alias(f"n_{n}") for n in ("email", "ip", "ssn", "phone")],
+            cols["redacted"].alias("redacted"),
+        ).collect()
+    }
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert got[1].redacted == "contact <EMAIL> or <PHONE> now"
+    assert got[2].n_ip == 1 and got[2].n_ssn == 1 and got[2].n_phone == 1
+    assert got[2].redacted == "server <IP> logged ssn <SSN> and <PHONE>"
+    assert got[3].redacted == rows[2][1]
+    assert got[4].n_email == 2 and got[4].n_ip == 1
+
+    sel = duck_redact_pii_select("text")
+    duck.execute("CREATE OR REPLACE TEMP TABLE pii_rows(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pii_rows VALUES (?, ?)", rows)
+    dres = duck.execute(
+        "SELECT doc_id, "
+        + ", ".join(f"{sel[f'n_{n}']} AS n_{n}" for n in ("email", "ip", "ssn", "phone"))
+        + f", {sel['redacted']} AS redacted FROM pii_rows ORDER BY doc_id"
+    ).fetchall()
+    for did, n_email, n_ip, n_ssn, n_phone, redacted in dres:
+        g = got[did]
+        assert (n_email, n_ip, n_ssn, n_phone, redacted) == (
+            g.n_email, g.n_ip, g.n_ssn, g.n_phone, g.redacted
+        )
+
+
+def test_clean_text_normalize_behavior(spark):
+    from event_data_etl_gcs_spark.operators.text import clean_text_columns
+
+    df = spark.createDataFrame(
+        [(1, "  The Quick   BROWN fox and the lazy dog  "), (2, "a the of to in")],
+        "doc_id long, text string",
+    )
+    cols = clean_text_columns("text")
+    out = {r.doc_id: r for r in df.select("doc_id", *[
+        v.alias(k) for k, v in cols.items()
+    ]).collect()}
+    # stopwords (the/and) dropped, case folded, whitespace collapsed
+    assert out[1].clean_text == "quick brown fox lazy dog"
+    assert out[1].n_kept == 5
+    # all-stopword doc -> empty
+    assert out[2].clean_text == "" and out[2].n_kept == 0
