@@ -215,3 +215,141 @@ def cosine_dedup_pairs(
         ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+# =========================================================================
+# Int8 scalar quantization (4x memory / 100-TB ANN corpus compression)
+# =========================================================================
+# Per-vector symmetric quantization: scale = max|x| / 127, q_i = round-half
+# -up(x_i / scale) as an int8-range integer. Rounding is spelled as
+# floor(v + 0.5) in BOTH engines — never the engines' round(), whose
+# half-way modes differ. All arithmetic is IEEE double + exact int64, so
+# quantized vectors and quantized dot products are bit-identical across
+# engines — the quantized ANN has an exact oracle, unlike float-sum ANN
+# rankings which need the pinned left-to-right fold.
+
+INT8_LEVELS = 127
+
+
+def amax_sql(vec: str) -> str:
+    return (
+        f"aggregate({vec}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )
+
+
+def duck_amax(vec: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({vec}, x -> abs(CAST(x AS DOUBLE)))), "
+        f"(acc, x) -> greatest(acc, x))"
+    )
+
+
+def int8_quant_sql(vec: str, scale_col: str) -> str:
+    """Quantized int array from a float-array column and a staged scale
+    column (stage the scale — projection-collapse would inline the amax
+    fold into every element otherwise)."""
+    return (
+        f"CASE WHEN {scale_col} = 0 THEN transform({vec}, x -> 0) ELSE "
+        f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) / {scale_col} + 0.5d) AS INT)) "
+        f"END"
+    )
+
+
+def duck_int8_quant(vec: str, scale_col: str) -> str:
+    return (
+        f"CASE WHEN {scale_col} = 0 THEN list_transform({vec}, x -> 0) ELSE "
+        f"list_transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) / {scale_col} + 0.5) AS INTEGER)) "
+        f"END"
+    )
+
+
+def int_dot_sql(a: str, b: str) -> str:
+    """Exact int64 dot product of two int-array columns."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def duck_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qscale, qvec, qnorm_sq): int8-range quantized vectors.
+
+    Map-only; at 100 TB this is the compression pass that shrinks an ANN
+    corpus 4x (int8 vs float32) before it is persisted or shuffled. The
+    quantized self-dot (qnorm_sq, exact int64) rides along so the search
+    step never recomputes norms.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        (F.expr(amax_sql(vec_col)) / INT8_LEVELS).alias("qscale"),
+    )
+    q = staged.select(
+        id_col,
+        "qscale",
+        F.expr(int8_quant_sql("v", "qscale")).alias("qvec"),
+    )
+    return q.withColumn("qnorm_sq", F.expr(int_dot_sql("qvec", "qvec")))
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8-quantized cosine: (query_id, neighbor_id, qcos, rank).
+
+    The search-time arithmetic is exact int64 (quantized dot) divided by
+    IEEE-exact norms — bit-identical across engines, so even the RANKING
+    has an exact oracle. Same topology as brute force (broadcast queries,
+    partitioned corpus), but the corpus side it scans is the 4x-smaller
+    int8 table — the memory/bandwidth win quantization buys at 100 TB.
+    """
+    cq = quantize_embeddings(corpus, vec_col, id_col).filter(F.col("qnorm_sq") > 0)
+    qq = (
+        quantize_embeddings(queries, vec_col, id_col)
+        .filter(F.col("qnorm_sq") > 0)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("qnorm_sq").alias("q_nsq"),
+        )
+    )
+    c = cq.select(
+        F.col(id_col).alias("neighbor_id"), "qvec", F.col("qnorm_sq").alias("c_nsq")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qcos",
+            F.expr(int_dot_sql("q_qvec", "qvec")).cast("double")
+            / (
+                F.sqrt(F.col("q_nsq").cast("double"))
+                * F.sqrt(F.col("c_nsq").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcos", "rank")
+    )

@@ -256,3 +256,72 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("centroid_val"),
     )
+
+
+from ..operators.similarity import (  # noqa: E402
+    INT8_LEVELS,
+    duck_amax,
+    duck_int8_quant,
+    duck_int_dot,
+    quantize_embeddings,
+    quantized_topk,
+)
+
+_DUCK_QUANT_CTE = f"""
+s AS (
+  SELECT vec_id, embedding AS v, {duck_amax('embedding')} / {INT8_LEVELS} AS qscale
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, qscale, {duck_int8_quant('v', 'qscale')} AS qvec FROM s
+), qn AS (
+  SELECT vec_id, qscale, qvec, {duck_int_dot('qvec', 'qvec')} AS qnorm_sq FROM qz
+)
+"""
+
+
+@query(
+    "embedding_quantize",
+    oracle=f"WITH {_DUCK_QUANT_CTE} SELECT vec_id, qscale, qvec, qnorm_sq FROM qn",
+    doc=(
+        "Int8 scalar quantization of the embedding column (scale = "
+        "max|x|/127, round-half-up spelled as floor(v+0.5) in both "
+        "engines). Map-only compression pass — 4x smaller ANN corpus at "
+        "100 TB. Exact int64 self-dot rides along as qnorm_sq."
+    ),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+@query(
+    "ann_quantized",
+    oracle=f"""
+WITH {_DUCK_QUANT_CTE}, c AS (
+  SELECT * FROM qn WHERE qnorm_sq > 0
+), q AS (
+  SELECT * FROM c WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({duck_int_dot('q.qvec', 'c.qvec')} AS DOUBLE)
+         / (sqrt(CAST(q.qnorm_sq AS DOUBLE)) * sqrt(CAST(c.qnorm_sq AS DOUBLE))) AS qcos
+  FROM c JOIN q ON c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, qcos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, qcos, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=(
+        "ANN over the int8-quantized corpus: exact int64 dot products / "
+        "IEEE norms, so the full RANKING is oracle-exact (no float-sum "
+        "fold pinning needed). Broadcast queries x partitioned int8 "
+        "corpus — the quantization-at-scale search path."
+    ),
+)
+def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return quantized_topk(emb, queries_df, k=TOP_K)

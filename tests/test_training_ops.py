@@ -236,3 +236,34 @@ def test_clean_text_normalize_behavior(spark):
     assert out[1].n_kept == 5
     # all-stopword doc -> empty
     assert out[2].clean_text == "" and out[2].n_kept == 0
+
+
+def test_quantized_ann_recall_and_error_bound(spark):
+    """Int8 quantization must (a) bound elementwise reconstruction error
+    by scale/2, (b) preserve neighbor rankings well enough that
+    recall@5 vs exact brute force is high at sf0.001."""
+    from event_data_etl_gcs_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = q.join(emb, "vec_id").select(
+        F.expr(
+            "aggregate(zip_with(embedding, qvec, (x, y) -> "
+            "abs(CAST(x AS DOUBLE) - y * qscale)), CAST(0 AS DOUBLE), "
+            "(acc, v) -> greatest(acc, v))"
+        ).alias("max_err"),
+        "qscale",
+    )
+    bad = joined.filter(F.col("max_err") > F.col("qscale") / 2 + 1e-12).count()
+    assert bad == 0
+
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    quant = quantized_topk(emb, queries_df, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    z = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & z) / len(e)
+    assert recall >= 0.8, f"quantized recall@5 = {recall}"
