@@ -64,6 +64,9 @@ set_priority([
     "sessionize", "math_funcs", "approx_count_distinct",
     "topn_per_key_salted", "running_sum_bucketed", "asof_join_last_purchase",
     # --- next in line if the driver checks more than 50 ------------------
+    "ngram_docfreq_filter", "clean_text_normalize", "redact_pii",
+    "embedding_quantize", "ann_quantized", "token_budget_sample",
+    "scd2_event_type_history",
     "term_frequencies", "temperature_mix_sample", "multimodal_decode",
     "q6_revenue_delta", "q4_order_priority", "rollup_revenue",
     "range_join_value_bands",

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import HASH_P, char_hash_sql, duck_char_hash
+from ..operators.text import (
+    HASH_P,
+    char_hash_sql,
+    duck_char_hash,
+    duck_tokens,
+    tokens_sql,
+)
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -167,4 +173,57 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(fp < 8, "train").when(fp < 9, "valid").otherwise("test").alias("split"),
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+@query(
+    "token_budget_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+         {duck_char_hash('text')} AS fp
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+""",
+    doc=(
+        "Token-budget mixing: each source contributes documents (in "
+        "deterministic content-hash order) until its token budget is "
+        "exhausted — how a pretraining mixture caps a domain by tokens "
+        "rather than documents. Per-source prefix sum = one hash "
+        "partition per source; a pathological mega-source would use the "
+        "bucketed distributed prefix-sum (operators/grouped.py "
+        "bucketed_running_sum) as the scale path."
+    ),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"size({tokens_sql('text')})").cast("long").alias("n_tokens"),
+        F.expr(char_hash_sql("text")).alias("fp"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("fp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
     )

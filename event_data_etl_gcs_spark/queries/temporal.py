@@ -111,3 +111,75 @@ def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", (F.col("value") + 1000).alias("value"))
     )
     return merge_upsert(target, updates, keys=["event_id"])
+
+
+@query(
+    "scd2_event_type_history",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM o
+), runs AS (
+  SELECT user_id, MIN(event_type) AS event_type, MIN(ts) AS valid_from,
+         COUNT(*) AS n_events, grp
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+       n_events,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp) IS NULL)
+       AS is_current
+FROM runs
+""",
+    doc=(
+        "SCD2 (type-2 slowly-changing dimension) history build from an "
+        "event log: consecutive runs of the same event_type per user "
+        "collapse to one versioned row with [valid_from, valid_to) "
+        "effective range, open-ended latest row flagged is_current — the "
+        "gaps-and-islands pattern. One hash exchange on user_id serves "
+        "the change-flag lag, the run-id prefix sum, the run aggregate, "
+        "and the valid_to lead."
+    ),
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = grouped.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("grp")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
