@@ -51,6 +51,34 @@ def streaming_log_source(
     return reader.json(raw_dir)
 
 
+def idempotent_append(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Exactly-once APPEND under foreachBatch's at-least-once contract.
+
+    foreachBatch may re-deliver a batch after a crash between sinks; a
+    plain append would then duplicate fact rows. The batch id becomes a
+    physical partition and the write overwrites ONLY that partition
+    (dynamic partition overwrite), so a replayed batch rewrites its own
+    output in place — append semantics across batches, overwrite
+    semantics within one. This is the engine-native analog of the
+    reference's DAG-level "quarantine and redo the run" posture
+    (dags/sparkify_dag.py:137-143), moved into the sink where it holds
+    per micro-batch. At scale replays touch one partition, never the
+    table.
+    """
+    (
+        batch_df.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id", *partition_by)
+        .parquet(path)
+    )
+
+
 def run_incremental_available_now(
     spark: SparkSession,
     raw_dir: str,
@@ -59,6 +87,7 @@ def run_incremental_available_now(
     watermark: str = "1 hour",
     dedup_keys: tuple[str, ...] = ("userId", "sessionId", "itemInSession", "start_time"),
     dedup_within_watermark: bool = False,
+    fact_dir: str | None = None,
 ) -> None:
     """Drain the raw-directory backlog into users/time parquet tables.
 
@@ -121,6 +150,8 @@ def run_incremental_available_now(
                 keys=["start_time"],
                 partition_by=["year"],
             )
+            if fact_dir is not None:
+                idempotent_append(batch_df, fact_dir, batch_id)
         finally:
             batch_df.unpersist()
 

@@ -105,3 +105,52 @@ def test_same_user_across_runs_upserts_not_appends(spark, tmp_path):
     assert users[0].level == "paid"
     # both events truncate to the same second -> exactly one time row
     assert spark.read.parquet(f"{out}/time").count() == 1
+
+
+def test_fact_append_is_exactly_once_across_replay(spark, tmp_path):
+    """Crash-replay semantics: re-processing the SAME files (checkpoint
+    wiped, so the source re-delivers every batch with the same ids) must
+    leave the fact table bit-identical — the batch-id partition overwrite
+    absorbs the replay instead of appending duplicates."""
+    import shutil
+
+    from event_data_etl_gcs_spark.streaming.incremental import idempotent_append
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    fact = str(tmp_path / "fact")
+
+    _write_file(
+        raw, "f1.json",
+        [
+            _log_row(ts=T0, userId="u1", level="free"),
+            _log_row(ts=T0 + 60 * MS, userId="u1", level="paid", itemInSession=1),
+        ],
+    )
+    run_incremental_available_now(spark, str(raw), out, ckpt, fact_dir=fact)
+    first = spark.read.parquet(fact)
+    n1 = first.count()
+    assert n1 == 2
+
+    # full replay: same files, fresh checkpoint -> same batch ids again
+    shutil.rmtree(ckpt)
+    run_incremental_available_now(spark, str(raw), out, ckpt, fact_dir=fact)
+    again = spark.read.parquet(fact)
+    assert again.count() == n1
+    assert {r.userId for r in again.collect()} == {"u1"}
+
+    # a genuinely new file still APPENDS (new batch id -> new partition)
+    _write_file(raw, "f2.json", [_log_row(ts=T0 + 7200 * MS, userId="u9")])
+    run_incremental_available_now(spark, str(raw), out, ckpt, fact_dir=fact)
+    assert spark.read.parquet(fact).count() == n1 + 1
+
+    # unit: double-delivery of one batch id is a no-op on row counts
+    df = spark.range(5).withColumnRenamed("id", "v")
+    p = str(tmp_path / "unit_fact")
+    idempotent_append(df, p, batch_id=0)
+    idempotent_append(df, p, batch_id=0)
+    assert spark.read.parquet(p).count() == 5
+    idempotent_append(df, p, batch_id=1)
+    assert spark.read.parquet(p).count() == 10
