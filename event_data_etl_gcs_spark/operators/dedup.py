@@ -401,3 +401,49 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("band_lo", F.expr("simhash % 65536").cast("long"))
         .withColumn("band_hi", F.expr("simhash div 65536").cast("long"))
     )
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    key_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance fuzzy-match pairs: (id_a, id_b, dist <= max_dist).
+
+    The O(len^2)-per-pair Levenshtein only runs on candidates from a
+    blocking equi-join (same ``block_cols``) pre-filtered by the length
+    bound |len(a) - len(b)| <= max_dist (a true lower bound on edit
+    distance, so no matches are lost). Spark's thresholded
+    ``levenshtein(a, b, t)`` early-exits DP rows once the running minimum
+    exceeds t — the verify step is O(len * t), not O(len^2), on
+    non-matches. Same candidate/verify topology as MinHash LSH: never
+    all-pairs, cost bounded by block sizes.
+    """
+    sel = [
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.length(key_col).alias("klen"),
+        *[F.col(c) for c in block_cols],
+    ]
+    side = df.select(*sel)
+    a, b = side.alias("a"), side.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (
+        F.abs(F.col("a.klen") - F.col("b.klen")) <= max_dist
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "dist",
+            F.expr(f"levenshtein(a.key, b.key, {max_dist})"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -521,3 +521,64 @@ def duck_redact_pii_select(text_col: str = "text") -> dict[str, str]:
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
     cols["redacted"] = cur
     return cols
+
+
+# =========================================================================
+# Count-min sketch (token frequencies) as a DataFrame composition
+# =========================================================================
+# d independent hash rows x w buckets; estimate(t) = min_j counts[j][bucket_j(t)].
+# Hashes are affine transforms of the portable polynomial token hash, so
+# the whole sketch — including every estimate — is engine-exact. The
+# sketch table is d*w rows regardless of corpus size: the point at 100 TB
+# is that frequency queries touch a broadcastable summary, not the corpus.
+CMS_D = 3
+CMS_W = 64
+CMS_A = (1_000_003, 1_000_033, 1_000_037)
+CMS_B = (12_289, 24_593, 49_157)
+
+
+def cms_bucket_sql(hash_col: str, j: int) -> str:
+    return f"(({CMS_A[j]}L * {hash_col} + {CMS_B[j]}L) % {HASH_P}) % {CMS_W}"
+
+
+def duck_cms_bucket(hash_col: str, j: int) -> str:
+    return (
+        f"((CAST({CMS_A[j]} AS BIGINT) * {hash_col} + {CMS_B[j]}) "
+        f"% {HASH_P}) % {CMS_W}"
+    )
+
+
+def count_min_token_estimates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, exact_n, cms_est): count-min estimate beside ground truth.
+
+    Build: explode token occurrences once, bucket them under each of the
+    d hash rows (map-only), hash-aggregate to the d*w sketch counters —
+    one shuffle whose output is ~d*w rows (broadcastable). Probe: each
+    distinct token joins its d counters and takes the min. cms_est >=
+    exact_n always (overestimate-only error); the oracle checks the
+    estimates exactly, the test checks the inequality.
+    """
+    ex = with_tokens(df, text_col).select(
+        F.explode("toks").alias("tok")
+    ).withColumn("h", F.expr(char_hash_sql("tok")))
+    rows = None
+    for j in range(CMS_D):
+        r = ex.select(
+            F.lit(j).alias("j"), F.expr(cms_bucket_sql("h", j)).alias("bucket")
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    sketch = rows.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    probe = ex.groupBy("tok", "h").agg(F.count("*").alias("exact_n"))
+    probed = probe.select(
+        "tok",
+        "exact_n",
+        F.posexplode(
+            F.array(*[F.expr(cms_bucket_sql("h", j)) for j in range(CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select("tok", "exact_n", "cms_est")
+    )

@@ -66,7 +66,8 @@ set_priority([
     # --- next in line if the driver checks more than 50 ------------------
     "ngram_docfreq_filter", "clean_text_normalize", "redact_pii",
     "embedding_quantize", "ann_quantized", "token_budget_sample",
-    "scd2_event_type_history",
+    "scd2_event_type_history", "fuzzy_pairs_edit_distance",
+    "count_min_frequencies", "incremental_agg_maintenance",
     "term_frequencies", "temperature_mix_sample", "multimodal_decode",
     "q6_revenue_delta", "q4_order_priority", "rollup_revenue",
     "range_join_value_bands",

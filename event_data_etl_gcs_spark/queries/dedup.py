@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    fuzzy_pairs_levenshtein,
     duck_minhash_lsh_ctes,
     duck_minhash_lsh_pairs_sql,
     duck_simhash_expr,
@@ -329,3 +330,44 @@ def ngram_docfreq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_docfreq_stats(docs)
+
+
+@query(
+    "fuzzy_pairs_edit_distance",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, source,
+         array_to_string(({tokens})[1:3], ' ') AS key
+  FROM documents
+), sized AS (
+  SELECT doc_id, source, key, length(key) AS klen FROM k
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM sized a JOIN sized b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ AND abs(a.klen - b.klen) <= 3
+WHERE levenshtein(a.key, b.key) <= 3
+""".format(tokens="CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END"),
+    doc=(
+        "Edit-distance fuzzy matching on a 3-token prefix key, blocked by "
+        "source with the |len diff| <= d length bound: the record-linkage "
+        "pattern (titles, names) as a candidate/verify join. Spark side "
+        "uses thresholded levenshtein (early-exit DP) on candidates only "
+        "(operators/dedup.py fuzzy_pairs_levenshtein)."
+    ),
+)
+def fuzzy_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"array_join(slice({tokens_sql('text')}, 1, 3), ' ')"
+        ).alias("key3"),
+    )
+    return fuzzy_pairs_levenshtein(
+        keyed, key_col="key3", block_cols=["source"], max_dist=3
+    )

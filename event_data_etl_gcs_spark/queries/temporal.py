@@ -183,3 +183,36 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle=(
+        "SELECT user_id, event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+    doc=(
+        "Materialized-view maintenance: per-(user, event_type) count/sum "
+        "state built from the 'historical' 80% of events, then MERGED "
+        "with the 'new batch' 20% (full-outer + coalesced addition, "
+        "operators/upsert.py incremental_agg_merge) — the oracle is a "
+        "full recompute over everything, so the gate proves incremental "
+        "== from-scratch, bit-exact. Decimal state keeps the float sum "
+        "associative; the raw history is never rescanned at merge time."
+    ),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import agg_state, incremental_agg_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    hist = agg_state(ev.filter(F.col("event_id") % 5 != 0), keys, "value")
+    batch = agg_state(ev.filter(F.col("event_id") % 5 == 0), keys, "value")
+    merged = incremental_agg_merge(hist, batch, keys)
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )

@@ -421,3 +421,54 @@ def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cols[f"n_{n}"].alias(f"n_{n}") for n in ("email", "ip", "ssn", "phone")],
         cols["redacted"].alias("redacted"),
     )
+
+
+from ..operators.text import (  # noqa: E402
+    CMS_D,
+    count_min_token_estimates,
+    duck_char_hash as _dch,
+    duck_cms_bucket,
+)
+
+
+def _cms_union(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT tok, exact_n, {j} AS j, {duck_cms_bucket('h', j)} AS bucket FROM {src}"
+        if src == "probe"
+        else f"SELECT {j} AS j, {duck_cms_bucket('h', j)} AS bucket FROM {src}"
+        for j in range(CMS_D)
+    )
+
+
+@query(
+    "count_min_frequencies",
+    oracle=f"""
+WITH ex AS (
+  SELECT unnest({duck_tokens('text')}) AS tok FROM documents
+), hh AS (
+  SELECT tok, {_dch('tok')} AS h FROM ex
+), occ AS (
+  {_cms_union('hh')}
+), sketch AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM occ GROUP BY j, bucket
+), probe AS (
+  SELECT tok, h, COUNT(*) AS exact_n FROM hh GROUP BY tok, h
+), probed AS (
+  {_cms_union('probe')}
+)
+SELECT p.tok, p.exact_n, MIN(s.cnt) AS cms_est
+FROM probed p JOIN sketch s USING (j, bucket)
+GROUP BY p.tok, p.exact_n
+""",
+    doc=(
+        "Count-min sketch token frequencies (d=3 x w=64 affine-hash "
+        "rows) probed against exact counts: the sketch aggregates to a "
+        "broadcastable d*w summary — frequency estimation without "
+        "touching the corpus twice. Overestimate-only by construction; "
+        "estimates are integer-exact across engines "
+        "(operators/text.py count_min_token_estimates)."
+    ),
+)
+def count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return count_min_token_estimates(docs)

@@ -267,3 +267,11 @@ def test_quantized_ann_recall_and_error_bound(spark):
     z = {(r.query_id, r.neighbor_id) for r in quant.collect()}
     recall = len(e & z) / len(e)
     assert recall >= 0.8, f"quantized recall@5 = {recall}"
+
+
+def test_count_min_never_underestimates(spark):
+    from event_data_etl_gcs_spark.operators.text import count_min_token_estimates
+
+    docs = load_table(spark, SF, "documents")
+    out = count_min_token_estimates(docs)
+    assert out.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
