@@ -320,10 +320,16 @@ def quantized_topk(
     partitioned corpus), but the corpus side it scans is the 4x-smaller
     int8 table — the memory/bandwidth win quantization buys at 100 TB.
     """
-    cq = quantize_embeddings(corpus, vec_col, id_col).filter(F.col("qnorm_sq") > 0)
+    # Zero-vector guard on qscale, not qnorm_sq: the conditions are
+    # equivalent (scale = max|x|/127 is 0 iff the vector is all-zero iff
+    # the quantized self-dot is 0), but qnorm_sq's definition is the full
+    # quantize+dot fold and Catalyst inlines a pushed filter's defining
+    # expression into the scan — duplicating that fold per row. qscale's
+    # defining expression is one cheap max-abs fold, safe to push.
+    cq = quantize_embeddings(corpus, vec_col, id_col).filter(F.col("qscale") > 0)
     qq = (
         quantize_embeddings(queries, vec_col, id_col)
-        .filter(F.col("qnorm_sq") > 0)
+        .filter(F.col("qscale") > 0)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("qvec").alias("q_qvec"),

@@ -298,7 +298,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_quantized",
     oracle=f"""
 WITH {_DUCK_QUANT_CTE}, c AS (
-  SELECT * FROM qn WHERE qnorm_sq > 0
+  SELECT * FROM qn WHERE qscale > 0
 ), q AS (
   SELECT * FROM c WHERE vec_id < {N_QUERY_VECS}
 ), scored AS (

@@ -69,6 +69,26 @@ SHOW = [
         "so no task sorts a whole hot key; phase 2 re-ranks only the "
         "surviving salt*n rows per key (WindowGroupLimit bounds both).",
     ),
+    (
+        "ngram_docfreq_filter",
+        "Linear contamination stats: shingle sets are map-side lambdas, "
+        "document frequency is ONE explode + hash aggregate (partial "
+        "count before the exchange), and the join back to documents "
+        "moves pre-aggregated counts — no pairwise step anywhere.",
+    ),
+    (
+        "ann_quantized",
+        "Quantized ANN: int8 quantization is map-only (no exchange "
+        "before the join), the query side broadcasts, and ranking is a "
+        "per-query window bounded by WindowGroupLimit — the corpus is "
+        "scanned once at int8 width.",
+    ),
+    (
+        "incremental_agg_maintenance",
+        "Materialized-view merge: both agg states partial-aggregate "
+        "before their exchanges; the full-outer merge joins two "
+        "already-aggregated key sets (state-sized, not history-sized).",
+    ),
 ]
 
 KEY = re.compile(
