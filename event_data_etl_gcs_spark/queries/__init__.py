@@ -30,6 +30,7 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import behavior  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -68,6 +69,7 @@ set_priority([
     "embedding_quantize", "ann_quantized", "token_budget_sample",
     "scd2_event_type_history", "fuzzy_pairs_edit_distance",
     "count_min_frequencies", "incremental_agg_maintenance",
+    "funnel_conversion", "cohort_retention", "token_cooccurrence_lift",
     "term_frequencies", "temperature_mix_sample", "multimodal_decode",
     "q6_revenue_delta", "q4_order_priority", "rollup_revenue",
     "range_join_value_bands",

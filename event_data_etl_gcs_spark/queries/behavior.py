@@ -1,0 +1,200 @@
+"""Behavioral analytics over the event log: ordered funnels, cohort
+retention, token co-occurrence lift — the product-analytics surface a
+warehouse team would expect beside the TPC-H-style queries.
+
+All three are exact-oracle queries: integer counts, date_trunc buckets,
+and ratios of exact integers (no libm transcendentals in checked
+output)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+       CASE WHEN s3.user_id IS NOT NULL THEN 'purchase'
+            WHEN s2.user_id IS NOT NULL THEN 'click'
+            ELSE 'signup' END AS furthest_stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+""",
+    doc=(
+        "Ordered funnel (signup -> later click -> later purchase): each "
+        "stage's earliest qualifying timestamp must be strictly after "
+        "the previous stage's. Three filtered min-aggregates plus two "
+        "left joins, all keyed on user_id — one partitioning serves "
+        "every step; no correlated subquery, no window over raw events."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .otherwise("signup")
+            .alias("furthest_stage"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+       AS week_offset,
+       COUNT(*) AS n_active_users
+FROM active a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+""",
+    doc=(
+        "Cohort retention matrix: users bucketed by first-seen week, "
+        "counted in each later activity week. Two aggregates on user_id "
+        "+ one join; week offsets are exact day differences / 7 (both "
+        "sides are week-truncated, so the division is exact)."
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+@query(
+    "token_cooccurrence_lift",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN length(trim(text)) = 0
+           THEN CAST([] AS VARCHAR[])
+           ELSE string_split_regex(trim(text), '\\s+') END)) AS tok
+  FROM documents
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM toks
+), df AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+), pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_xy
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT p.tok_a, p.tok_b, p.n_xy,
+       (CAST(p.n_xy AS DOUBLE) * (SELECT nd FROM n_docs))
+       / (da.n * db.n) AS lift
+FROM pairs p
+JOIN df da ON p.tok_a = da.tok
+JOIN df db ON p.tok_b = db.tok
+WHERE p.n_xy >= 5
+""",
+    doc=(
+        "Token co-occurrence lift (PMI without the log — the ratio "
+        "P(x,y)/(P(x)P(y)) from exact integer counts, so it stays "
+        "engine-portable): per-doc distinct-token pair explode bounded "
+        "by doc length, hash aggregate, two broadcast joins against the "
+        "token document-frequency table."
+    ),
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(tokens_sql("text")))).alias("tok"),
+    )
+    # scalar corpus size as a broadcast single-row frame — no driver-side
+    # action in the query path
+    nd = toks.agg(F.count_distinct("doc_id").alias("nd"))
+    df_tok = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    da = F.broadcast(df_tok.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a")))
+    db = F.broadcast(df_tok.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_xy",
+            (
+                F.col("n_xy").cast("double") * F.col("nd")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

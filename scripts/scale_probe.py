@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_lsh",
     "training_corpus_select",
+    "ngram_docfreq_filter",
+    "ann_quantized",
+    "incremental_agg_maintenance",
 ]
 
 
