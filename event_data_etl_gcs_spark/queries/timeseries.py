@@ -160,3 +160,78 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, x) -> CAST(0.3 AS DOUBLE) * x.v + CAST(0.7 AS DOUBLE) * acc)"
         ).alias("ewma_value"),
     )
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, day
+), stats AS (
+  SELECT event_type, day, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS s1,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+         greatest(CAST(COUNT(*) OVER w AS BIGINT), 1) AS cnt,
+         CAST(COUNT(*) OVER w AS BIGINT) AS raw_cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, day, n, raw_cnt,
+         (CAST(s2 AS DOUBLE) / cnt
+          - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)) AS var,
+         (n - CAST(s1 AS DOUBLE) / cnt) AS dev
+  FROM stats
+)
+SELECT event_type, day, n,
+       CASE WHEN raw_cnt = 7 AND var > 0 THEN dev / sqrt(var) END AS z,
+       COALESCE(CASE WHEN raw_cnt = 7 AND var > 0
+                     THEN abs(dev / sqrt(var)) > 2.0 END, FALSE) AS is_anomaly
+FROM scored
+""",
+    doc=(
+        "Rolling z-score anomaly detection on daily per-type event "
+        "counts: trailing 7-day mean/std from exact integer moment sums "
+        "(population variance via s1/s2 — every double op is a division "
+        "of exact integers, so both engines agree bit-for-bit), flag "
+        "|z| > 2 with a full trailing window. One exchange on "
+        "event_type serves the daily aggregate and the window."
+    ),
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.greatest(F.count("*").over(w), F.lit(1)).alias("cnt"),
+        F.count("*").over(w).alias("raw_cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    scored = stats.select(
+        "event_type",
+        "day",
+        "n",
+        "raw_cnt",
+        (F.col("s2").cast("double") / F.col("cnt") - mean * mean).alias("var"),
+        (F.col("n") - mean).alias("dev"),
+    )
+    ok = (F.col("raw_cnt") == 7) & (F.col("var") > 0)
+    z = F.col("dev") / F.sqrt("var")
+    return scored.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(ok, z).alias("z"),
+        F.coalesce(F.when(ok, F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
+    )
