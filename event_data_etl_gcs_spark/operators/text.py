@@ -582,3 +582,41 @@ def count_min_token_estimates(df: DataFrame, text_col: str = "text") -> DataFram
         .agg(F.min("cnt").alias("cms_est"))
         .select("tok", "exact_n", "cms_est")
     )
+
+
+# =========================================================================
+# BM25 retrieval scoring (rational idf — portable without libm)
+# =========================================================================
+#
+# Classic BM25 runs idf through ln(), and libm logs are not bit-portable
+# across engines. The ranking-equivalent rational form keeps every step
+# inside IEEE-exact arithmetic: +, *, / on doubles are correctly rounded,
+# so an IDENTICAL expression tree yields identical bits on Spark and
+# DuckDB. The helper returns ONE SQL string used verbatim by both engines;
+# parenthesization pins the evaluation order.
+
+# Exponent notation: plain decimal literals (0.5, 1.2) parse as DECIMAL in
+# BOTH engines, and their decimal->double promotion paths differ by ulps;
+# `e0` literals are DOUBLE everywhere, keeping the whole tree IEEE-exact.
+BM25_K1 = "1.2e0"
+BM25_B = "0.75e0"
+
+
+def bm25_score_sql(
+    tf: str = "tf", df: str = "df", dl: str = "dl",
+    avgdl: str = "avgdl", n_docs: str = "n_docs",
+) -> str:
+    """Per-(doc, term) BM25-style score with rational idf.
+
+    idf_r = (N - df + 0.5) / (df + 0.5); tf-saturation and length
+    normalization exactly as BM25 (k1=1.2, b=0.75). Monotone in the
+    log-idf variant per term, so top-k ranking behavior matches.
+    """
+    k1, b = BM25_K1, BM25_B
+    idf = f"((({n_docs} - {df}) + 0.5e0) / ({df} + 0.5e0))"
+    norm = f"({k1} * ((1.0e0 - {b}) + ({b} * ({dl} / {avgdl}))))"
+    sat = f"(({tf} * ({k1} + 1.0e0)) / ({tf} + {norm}))"
+    return f"({idf} * {sat})"
+
+
+AVGDL_SQL = "CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)"

@@ -472,3 +472,86 @@ GROUP BY p.tok, p.exact_n
 def count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return count_min_token_estimates(docs)
+
+
+_BM25_TERMS = ("join", "scan", "window")
+
+
+def _bm25_oracle() -> str:
+    from ..operators.text import AVGDL_SQL, bm25_score_sql
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    pivots = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(f"coalesce(s{i}, 0.0e0)" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl
+), qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+), qdf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({terms}) GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term,
+         {bm25_score_sql(tf='t.tf', df='d.df', dl='l.dl', avgdl=f'({AVGDL_SQL})')} AS score
+  FROM qtf t JOIN qdf d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats
+), pivoted AS (
+  SELECT doc_id, {pivots} FROM scored GROUP BY doc_id
+)
+SELECT doc_id, ({total}) AS bm25 FROM pivoted
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "bm25_topk",
+    oracle=_bm25_oracle(),
+    doc=(
+        "BM25 top-k retrieval for a fixed term query: one doc_id shuffle "
+        "for tf/dl, broadcast df + corpus stats, per-term scores folded in "
+        "fixed textual order, TakeOrderedAndProject top-20. Rational idf "
+        "(no libm log) keeps the score IEEE-exact across engines; ranking "
+        "is monotone-equivalent to log-idf BM25 per term."
+    ),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import AVGDL_SQL, bm25_score_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    qtoks = toks.filter(F.col("term").isin(*_BM25_TERMS))
+    qtf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    qdf = qtoks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.expr(bm25_score_sql(avgdl=f"({AVGDL_SQL})")),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.expr(f"max(CASE WHEN term = '{t}' THEN score END)").alias(f"s{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    total = " + ".join(f"coalesce(s{i}, 0.0e0)" for i in range(len(_BM25_TERMS)))
+    return (
+        pivoted.select("doc_id", F.expr(f"({total})").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
