@@ -71,7 +71,7 @@ set_priority([
     "scd2_event_type_history", "fuzzy_pairs_edit_distance",
     "count_min_frequencies", "incremental_agg_maintenance",
     "funnel_conversion", "cohort_retention", "token_cooccurrence_lift",
-    "rolling_zscore_anomaly",
+    "rolling_zscore_anomaly", "bloom_filter_members", "bm25_topk",
     "term_frequencies", "temperature_mix_sample", "multimodal_decode",
     "q6_revenue_delta", "q4_order_priority", "rollup_revenue",
     "range_join_value_bands",

@@ -89,6 +89,19 @@ SHOW = [
         "before their exchanges; the full-outer merge joins two "
         "already-aggregated key sets (state-sized, not history-sized).",
     ),
+    (
+        "bloom_filter_members",
+        "User-facing Bloom filter: the build side collapses to an "
+        "m/30-word bit table then a one-row array; the probe side gets it "
+        "by BroadcastNestedLoopJoin and the membership test is a pure "
+        "projection — no Exchange on the probe branch.",
+    ),
+    (
+        "bm25_topk",
+        "BM25 retrieval: one hashpartitioning exchange on doc_id serves "
+        "tf, dl, and the pivot; df and corpus stats are broadcast; top-20 "
+        "is TakeOrderedAndProject, never a global sort.",
+    ),
 ]
 
 KEY = re.compile(
