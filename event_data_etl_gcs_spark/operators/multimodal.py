@@ -377,13 +377,87 @@ def resample_audio(audio: DataFrame, factor: int = 4) -> DataFrame:
     return audio.mapInPandas(resample, schema="media_id long, payload binary")
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Integration point for real codecs (PIL / torchaudio / ffmpeg).
+def _real_codecs_available() -> dict[str, bool]:
+    """Driver-side availability probe for optional real codec libraries.
 
-    Not implemented in this container — the Spark-side contract
-    (schema, batching, partitioning) is identical to decode_stub.
+    Checked on the DRIVER so the plan (and output schema) is decided
+    before any task launches; executors in a well-formed cluster share the
+    driver's Python environment, so the probe result holds there too.
     """
-    raise NotImplementedError(
-        "real media codecs are not available in this environment; "
-        "use decode_stub for the plumbing path"
-    )
+    avail = {}
+    for key, mod in (("image", "PIL.Image"), ("audio", "soundfile")):
+        try:
+            __import__(mod)
+            avail[key] = True
+        except Exception:
+            avail[key] = False
+    return avail
+
+
+def real_codecs_enabled() -> bool:
+    """Real codecs are opt-in via SPARK_GRAFT_REAL_CODECS=1 (the container
+    default ships no image/audio libraries)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_REAL_CODECS", "").strip() in ("1", "true")
+
+
+def decode_real(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode/feature-extract with REAL codecs when available, else the
+    deterministic stub — same DECODED_SCHEMA either way, so downstream
+    plans are identical and swapping the codec never replans the job.
+
+    Dispatch: opt-in via ``SPARK_GRAFT_REAL_CODECS=1`` AND pillow
+    importable → PIL-backed image decode (width/height/channel means as
+    the feature head, stub moments for the rest). Otherwise falls back to
+    ``decode_stub`` — or raises if ``strict=True`` (for callers that must
+    not silently ship fake features, e.g. a production embed stage).
+
+    The Spark-side shape is the integration contract: Arrow-batched
+    ``mapInPandas``, map-only, schema-stable. Wiring in torchaudio/ffmpeg
+    later means editing only the per-batch Python body below.
+    """
+    use_real = real_codecs_enabled() and _real_codecs_available()["image"]
+    if not use_real:
+        if strict:
+            raise NotImplementedError(
+                "real media codecs unavailable (set SPARK_GRAFT_REAL_CODECS=1 "
+                "with pillow/soundfile installed); decode_stub is the "
+                "plumbing-equivalent fallback"
+            )
+        return decode_stub(media)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "mime", "n_bytes", "sha256", "features")}
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                rows["mime"].append(mime)
+                if payload is None:
+                    rows["n_bytes"].append(None)
+                    rows["sha256"].append(None)
+                    rows["features"].append(None)
+                    continue
+                b = bytes(payload)
+                rows["n_bytes"].append(len(b))
+                rows["sha256"].append(hashlib.sha256(b).hexdigest())
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("RGB")
+                    w, h = img.size
+                    px = list(img.getdata())
+                    n = max(len(px), 1)
+                    means = [sum(p[c] for p in px) / n for c in range(3)]
+                    rows["features"].append(
+                        [float(w), float(h), *map(float, means), 0.0, 0.0, 0.0]
+                    )
+                except Exception:
+                    # Not an image this codec reads: stub features keep the
+                    # row (quarantine-by-filter is the caller's policy).
+                    rows["features"].append(_stub_features(b))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, schema=DECODED_SCHEMA)

@@ -111,20 +111,21 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM events GROUP BY user_id, event_type"
         ") "
         "SELECT user_id, "
-        "COALESCE(list(event_type ORDER BY event_type) "
-        "  FILTER (WHERE v >= 4), []) AS kept_keys, "
-        "COALESCE(list(v ORDER BY event_type) "
-        "  FILTER (WHERE v >= 4), []) AS kept_values, "
+        "array_to_string(COALESCE(list(event_type ORDER BY event_type) "
+        "  FILTER (WHERE v >= 4), []), ',') AS kept_keys, "
+        "array_to_string(COALESCE(list(v ORDER BY event_type) "
+        "  FILTER (WHERE v >= 4), []), ',') AS kept_values, "
         "COUNT(*) FILTER (WHERE v >= 4) AS n_kept "
         "FROM c GROUP BY user_id"
     ),
     doc=(
         "Map-function family: map_from_entries -> transform_values -> "
         "map_filter over per-user event-type counts; the checked output "
-        "is the key-sorted parallel (keys, values) arrays: maps have no "
-        "canonical order, and struct-array cells stringify differently "
-        "per engine, so scalar arrays are the hash-safe form — the "
-        "oracle builds the same arrays relationally without maps."
+        "is the key-sorted (keys, values) streams comma-joined into "
+        "scalars: maps have no canonical order, struct-array cells "
+        "stringify differently per engine, and raw array cells crash "
+        "pandas-based result canonicalizers — the joined string is the "
+        "hash-safe form that still value-checks every entry."
     ),
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,7 +145,11 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = F.sort_array(F.map_entries("mf"))
     return out.select(
         "user_id",
-        F.transform(entries, lambda e: e["key"]).alias("kept_keys"),
-        F.transform(entries, lambda e: e["value"]).alias("kept_values"),
+        F.array_join(
+            F.transform(entries, lambda e: e["key"]), ","
+        ).alias("kept_keys"),
+        F.array_join(
+            F.transform(entries, lambda e: e["value"].cast("string")), ","
+        ).alias("kept_values"),
         F.size("mf").cast("long").alias("n_kept"),
     )

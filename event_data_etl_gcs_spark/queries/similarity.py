@@ -281,17 +281,26 @@ s AS (
 
 @query(
     "embedding_quantize",
-    oracle=f"WITH {_DUCK_QUANT_CTE} SELECT vec_id, qscale, qvec, qnorm_sq FROM qn",
+    oracle=(
+        f"WITH {_DUCK_QUANT_CTE} SELECT vec_id, qscale, "
+        "array_to_string(qvec, ',') AS qvec, qnorm_sq FROM qn"
+    ),
     doc=(
         "Int8 scalar quantization of the embedding column (scale = "
         "max|x|/127, round-half-up spelled as floor(v+0.5) in both "
         "engines). Map-only compression pass — 4x smaller ANN corpus at "
-        "100 TB. Exact int64 self-dot rides along as qnorm_sq."
+        "100 TB. Exact int64 self-dot rides along as qnorm_sq. The qvec "
+        "is emitted comma-joined so every int8 lane is still value-hashed "
+        "while the driver-visible column stays scalar (the operator "
+        "quantize_embeddings keeps the real array form)."
     ),
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "qscale", F.array_join("qvec", ",").alias("qvec"), "qnorm_sq"
+    )
 
 
 @query(

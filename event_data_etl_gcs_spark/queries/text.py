@@ -282,7 +282,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH toks AS (SELECT doc_id, text, {duck_bpe_tokens()} AS bpe "
         "FROM documents) "
-        "SELECT doc_id, bpe AS bpe_tokens, "
+        "SELECT doc_id, array_to_string(bpe, chr(1)) AS bpe_tokens, "
         "CAST(len(bpe) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS DOUBLE) / greatest(len(bpe), 1) "
         "AS chars_per_token FROM toks"
@@ -291,8 +291,11 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BPE-ish pretokenization (GPT-2-style regex restricted to the "
         "Java/RE2-identical subset): the token stream itself, its count, "
         "and chars-per-token — the compression-ratio proxy quality "
-        "filters threshold on. The full token ARRAY is value-hashed "
-        "against DuckDB, pinning both engines' regex semantics."
+        "filters threshold on. The token stream is emitted \\x01-joined "
+        "(a byte no tokenizer output contains) so the full stream is "
+        "still value-hashed against DuckDB — pinning both engines' regex "
+        "semantics — while every output column stays scalar/hashable for "
+        "result canonicalizers that sort rows with pandas."
     ),
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +309,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = F.transform(
         F.array(bpe_tokens_column()),
         lambda b: F.struct(
-            b.alias("bpe_tokens"),
+            F.array_join(b, "\x01").alias("bpe_tokens"),
             F.size(b).cast("long").alias("n_bpe_tokens"),
             (
                 F.length("text").cast("double") / F.greatest(F.size(b), F.lit(1))

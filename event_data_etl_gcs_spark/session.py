@@ -67,6 +67,12 @@ def get_spark(
         # (sources/catalog.py) by truncating to microseconds — matching
         # DuckDB's ns->us read behavior.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write TZ-aware timestamps as annotated INT64 micros, not the
+        # INT96 default: INT96 pages carry NO min/max statistics, which
+        # silently disables row-group and whole-file pruning on every
+        # time-range predicate — at 100 TB that pruning IS the query plan.
+        # Micros also round-trips to DuckDB/Trino/BigQuery losslessly.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

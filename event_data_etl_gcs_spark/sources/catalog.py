@@ -70,16 +70,39 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
     Python workers (see _ensure_package_on_workers)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # INT96 timestamp pages have no min/max stats (kills row-group/file
+    # pruning); write annotated INT64 micros instead (see session.py).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     _ensure_package_on_workers(spark)
+
+
+def normalize_event_time(df: DataFrame, nano_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Normalize timestamp physical encodings to session-TZ TIMESTAMP.
+
+    The driver's testdata has shifted encodings between rounds:
+    TIMESTAMP(NANOS) (reads as ``bigint`` under nanosAsLong) in round 1,
+    plain ``timestamp[us]`` without UTC adjustment (reads as
+    ``TIMESTAMP_NTZ``) in round 2. Every downstream consumer —
+    ``unix_millis``/``unix_micros``, streaming ``withWatermark`` — requires
+    TIMESTAMP (TZ-aware). With the session TZ pinned to UTC
+    (:func:`_ensure_runtime_confs`) the NTZ→TIMESTAMP cast is a pure type
+    relabel: wall-clock values are unchanged, so query results are
+    identical to DuckDB's reading of the same file.
+    """
+    dtypes = dict(df.dtypes)
+    for col in nano_cols:
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for col, dtype in dtypes.items():
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in TS_NANO_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    return df
+    return normalize_event_time(df, TS_NANO_COLS.get(name, ()))
 
 
 def read_parquet_evolving(
@@ -104,7 +127,7 @@ def read_parquet_evolving(
     footers and new files simply project into the known superset schema.
     """
     _ensure_runtime_confs(spark)
-    return (
+    return normalize_event_time(
         spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
     )
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_tz_timestamp
+
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Enrich a streaming frame with a static (batch) dimension."""
@@ -40,6 +42,8 @@ def click_purchase_attribution(
         raise ValueError(
             f"stream-stream attribution supports inner/left_outer, got {how!r}"
         )
+    clicks = ensure_tz_timestamp(clicks, "ts")
+    purchases = ensure_tz_timestamp(purchases, "ts")
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),

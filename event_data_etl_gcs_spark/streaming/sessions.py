@@ -43,6 +43,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ._util import ensure_tz_timestamp
+
 SESSION_STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),
@@ -119,6 +121,7 @@ def stateful_sessionize(
     streaming frame; emits each session exactly once, when closed. Use
     outputMode('append')."""
     gap_us = gap_minutes * 60 * 1_000_000
+    events = ensure_tz_timestamp(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(key_col)

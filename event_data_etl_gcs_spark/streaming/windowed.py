@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ._util import ensure_tz_timestamp
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -41,6 +43,7 @@ def windowed_event_counts(
     data. On a streaming frame this maintains incremental state; on a
     batch frame it degenerates to the grouped aggregation (same results —
     tested both ways)."""
+    events = ensure_tz_timestamp(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")

@@ -73,7 +73,21 @@ def assert_oracle_match(spark, duck, spec, sf_dir: str = SF_ORACLE) -> None:
     BIGINT 1055 vs a DuckDB DOUBLE 1055.0 hash-differently even though the
     values compare equal (this is exactly how math_funcs went driver-red in
     round 1 while the local suite stayed green)."""
-    got = normalize(spec.fn(spark, sf_dir).toPandas())
+    spark_df = spec.fn(spark, sf_dir)
+    # Driver-safety: the driver's canonicalizer sorts result frames with
+    # pandas, which dies on unhashable cells (lists/dicts) — exactly how
+    # bpe_token_stats went driver-red in round 2 while this suite's
+    # list->tuple workaround kept it locally green. Oracle-bearing queries
+    # must therefore emit only atomic top-level columns (join arrays with
+    # a delimiter; flatten structs).
+    for f in spark_df.schema.fields:
+        tname = f.dataType.typeName()
+        assert tname not in ("array", "map", "struct"), (
+            f"{spec.name}.{f.name} is {tname}-typed: the driver canonicalizer "
+            "cannot sort/hash it. Emit a scalar (array_join / flatten) in "
+            "both the Spark query and the oracle."
+        )
+    got = normalize(spark_df.toPandas())
     want = normalize(duck.execute(spec.oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
