@@ -136,3 +136,46 @@ def range_join_bucketed(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Interval-interval overlap join (closed intervals, numeric bounds):
+    all (left, right) pairs sharing `keys` with
+    left_start <= right_end AND right_start <= left_end.
+
+    Spark has no native interval join; the naive spelling is a per-key
+    cross join. Here both sides explode to the fixed-width slabs each
+    interval covers, the join runs as an EQUI-join on (keys..., slab) —
+    shuffle-partitioned, skew bounded by slab width — and the exact
+    overlap predicate filters candidates only. A pair overlapping k slabs
+    appears k times, so candidates dedupe before the filter. Pick
+    bucket_width ~ the typical interval length: each interval then
+    explodes to ~2 slab rows, and a candidate bucket holds only
+    near-in-time rows — at 100 TB this is the difference between a
+    bounded equi-join and a hot-key cross join.
+    """
+    ls = F.floor(F.col(left_start) / bucket_width).cast("long")
+    le = F.floor(F.col(left_end) / bucket_width).cast("long")
+    rs = F.floor(F.col(right_start) / bucket_width).cast("long")
+    re = F.floor(F.col(right_end) / bucket_width).cast("long")
+    lx = left.withColumn("__slab", F.explode(F.sequence(ls, le)))
+    rx = right.withColumn("__slab", F.explode(F.sequence(rs, re)))
+    joined = (
+        lx.join(rx, keys + ["__slab"])
+        .drop("__slab")
+        .dropDuplicates()
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+    )
+    return joined

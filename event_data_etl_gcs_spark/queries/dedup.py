@@ -371,3 +371,116 @@ def fuzzy_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_levenshtein(
         keyed, key_col="key3", block_cols=["source"], max_dist=3
     )
+
+
+from ..operators.dedup import (  # noqa: E402
+    N_HASHES,
+    duck_minhash_signature_cols,
+    minhash_signature_struct_sql,
+)
+from ..operators.text import duck_shingle_hash_set  # noqa: E402
+
+_DUCK_SRC_MH = ", ".join(f"MIN(mh_{j}) AS mh_{j}" for j in range(N_HASHES))
+_DUCK_SRC_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)" for j in range(N_HASHES)
+)
+
+
+@query(
+    "source_minhash_jaccard",
+    oracle=(
+        "WITH perdoc AS (SELECT source, "
+        f"{duck_shingle_hash_set('text')} AS sh_hashes FROM documents), "
+        f"docsig AS (SELECT source, {duck_minhash_signature_cols()} FROM perdoc), "
+        f"srcsig AS (SELECT source, {_DUCK_SRC_MH} FROM docsig GROUP BY source), "
+        "sh AS (SELECT DISTINCT source, h FROM perdoc, unnest(sh_hashes) AS t(h)), "
+        "sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source), "
+        "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "COUNT(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT p.source_a, p.source_b, "
+        f"CAST({_DUCK_SRC_MATCHES.replace('a.mh', 'p.a_mh').replace('b.mh', 'p.b_mh')} AS DOUBLE) / {N_HASHES} AS est_jaccard, "
+        "CAST(COALESCE(i.n_inter, 0) AS DOUBLE) "
+        "/ (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS exact_jaccard, "
+        "CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter, "
+        "CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union "
+        "FROM (SELECT a.source AS source_a, b.source AS source_b, "
+        + ", ".join(
+            f"a.mh_{j} AS a_mh_{j}, b.mh_{j} AS b_mh_{j}" for j in range(N_HASHES)
+        )
+        + " FROM srcsig a JOIN srcsig b ON a.source < b.source) p "
+        "JOIN sizes sa ON sa.source = p.source_a "
+        "JOIN sizes sb ON sb.source = p.source_b "
+        "LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b"
+    ),
+    doc=(
+        "Corpus-level similarity matrix between sources: each source's "
+        "MinHash signature is the elementwise MIN of its documents' "
+        "signatures (minhash of a union = min of minhashes), so the "
+        "whole-corpus sketch reduces map-side with a tiny "
+        "n_sources x n_perm shuffle. The estimated Jaccard (matching "
+        "signature fraction) rides next to the exact shingle-set Jaccard "
+        "(distinct-(source, hash) self-join) for calibration. At 100 TB "
+        "you keep only the sketch path: per-source signatures are a few "
+        "KB regardless of corpus size, and new batches fold in by MIN — "
+        "the mergeable-sketch property."
+    ),
+)
+def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = docs.select(
+        "source", F.expr(minhash_signature_struct_sql("text")).alias("sig")
+    )
+    srcsig = perdoc.groupBy("source").agg(
+        *[F.min(F.col("sig.mhs")[j]).alias(f"mh_{j}") for j in range(N_HASHES)]
+    )
+    sh = perdoc.select("source", F.explode("sig.sh_hashes").alias("h")).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = srcsig.alias("sa"), srcsig.alias("sb")
+    pairs = sa.join(
+        F.broadcast(sb), F.col("sa.source") < F.col("sb.source")
+    ).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        *[F.col(f"sa.mh_{j}").alias(f"a_mh_{j}") for j in range(N_HASHES)],
+        *[F.col(f"sb.mh_{j}").alias(f"b_mh_{j}") for j in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    est = pairs.withColumn(
+        "est_jaccard", matches.cast("double") / F.lit(N_HASHES)
+    ).select("source_a", "source_b", "est_jaccard")
+    out = (
+        est.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                 .withColumnRenamed("n", "n_a")), "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")
+              .withColumnRenamed("n", "n_b")), "source_b")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "est_jaccard",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("exact_jaccard"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .cast("bigint")
+        .alias("n_union"),
+    )

@@ -65,3 +65,49 @@ def bloom_filter_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         "might_contain",
         F.coalesce("is_member", F.lit(False)).alias("is_member"),
     )
+
+
+@query(
+    "hll_distinct_rollup",
+    oracle=(
+        "SELECT CAST(date_trunc('week', ts) AS DATE) AS week, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "TRUE AS est_within_5pct "
+        "FROM events GROUP BY 1"
+    ),
+    doc=(
+        "Mergeable-sketch rollup: per-DAY Datasketches HLL sketches of "
+        "distinct users (hll_sketch_agg), merged up to weeks with "
+        "hll_union_agg — the two-level rollup a 100 TB pipeline "
+        "materializes so ANY date range's distinct count is a sketch "
+        "merge over daily partitions, never a re-scan. HLL is "
+        "order-insensitive (register max), so the estimate is "
+        "deterministic; the checked output pins the exact count plus an "
+        "estimate-within-5%% gate (the approx_count_distinct oracle "
+        "pattern — a cross-engine sketch value can't hash-match, a "
+        "deterministic accuracy bound can)."
+    ),
+)
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("WEEK", "ts").alias("wk"),
+        F.date_trunc("DAY", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("wk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = ev.groupBy(F.date_trunc("WEEK", "ts").alias("wk")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(weekly, "wk")
+        .select(
+            F.to_date("wk").alias("week"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+    )

@@ -216,3 +216,69 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+from ..operators.temporal_joins import interval_overlap_join  # noqa: E402
+
+_OVL_US = 30 * 60 * 1_000_000  # 30-minute activity intervals
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=(
+        "WITH p AS (SELECT user_id, event_id AS purchase_id, "
+        "epoch_us(ts) AS p_start_us, "
+        f"epoch_us(ts) + {_OVL_US} AS p_end_us "
+        "FROM events WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, event_id AS click_id, "
+        "epoch_us(ts) AS c_start_us, "
+        f"epoch_us(ts) + {_OVL_US} AS c_end_us "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT p.user_id, p.purchase_id, c.click_id, "
+        "CAST(least(p_end_us, c_end_us) - greatest(p_start_us, c_start_us) "
+        "AS BIGINT) AS overlap_us "
+        "FROM p JOIN c ON p.user_id = c.user_id "
+        "AND p_start_us <= c_end_us AND c_start_us <= p_end_us"
+    ),
+    doc=(
+        "Interval-interval overlap join: every (purchase, click) pair of "
+        "the same user whose 30-minute activity windows overlap, with the "
+        "exact overlap duration. Both interval sets explode to 30-minute "
+        "slabs and equi-join on (user_id, slab) — a bounded shuffle join, "
+        "never a per-user cross join; the exact overlap predicate runs on "
+        "slab-mates only (operators/temporal_joins.interval_overlap_join)."
+    ),
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_start_us"),
+        (us + F.lit(_OVL_US)).alias("p_end_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us.alias("c_start_us"),
+        (us + F.lit(_OVL_US)).alias("c_end_us"),
+    )
+    joined = interval_overlap_join(
+        p,
+        c,
+        keys=["user_id"],
+        left_start="p_start_us",
+        left_end="p_end_us",
+        right_start="c_start_us",
+        right_end="c_end_us",
+        bucket_width=_OVL_US,
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (
+            F.least("p_end_us", "c_end_us") - F.greatest("p_start_us", "c_start_us")
+        ).cast("bigint").alias("overlap_us"),
+    )
