@@ -1,0 +1,91 @@
+"""Interchange-format connectors beyond JSON/Parquet: CSV, ORC, text.
+
+The reference reads JSON-lines and writes Parquet (SURVEY.md §2.1); a
+complete engine also speaks the boring interchange formats. Same posture
+as the JSON source (`json_source.py`): **explicit schemas, never
+inference** — on a 100 TB lake, `inferSchema` means reading the data
+twice and trusting sampled guesses; a declared `StructType` is one pass
+and one contract (reference pins schemas at
+`spark-jobs/sparkify_etl.py:24-41` for the same reason).
+
+All readers return plain DataFrames — downstream operators don't know or
+care which format a table arrived in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with a declared schema.
+
+    FAILFAST by default: a malformed row is a data bug, not something to
+    silently null out. Callers wanting quarantine semantics pass
+    mode='PERMISSIVE' and a columnNameOfCorruptRecord column (the
+    dead-letter pattern in `json_source.read_json_quarantine`).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        # ISO-8601 with microseconds: round-trips the engine's UTC
+        # session timestamps losslessly
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = "gzip",
+    target_partitions: int | None = None,
+) -> None:
+    """CSV export. Same layout posture as every sink here: one file per
+    partition, never coalesce(1) by default; size via target_partitions."""
+    out = df.repartition(target_partitions) if target_partitions else df
+    w = out.write.mode(mode).option("header", header)
+    if compression:
+        w = w.option("compression", compression)
+    w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. ORC is self-describing (schema travels with the file),
+    and Spark's reader supports the same predicate pushdown / column
+    pruning as Parquet — a second columnar at-rest format for lakes that
+    standardized on it."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (`value` string) — the raw-corpus entry point
+    before any parsing. Splittable for uncompressed/bzip2 inputs; a
+    gzipped file is one task regardless of size (document the trap
+    instead of hitting it at 100 TB: re-chunk gzip corpora at ingest)."""
+    return spark.read.text(path)
