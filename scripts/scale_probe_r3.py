@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Round-3 scale probe: measured 1x vs 100x evidence for the new
+operator families (clustering, SRP signatures, corpus-level MinHash,
+interval overlap join, HLL rollup).
+
+Replicates sf0.1 tables 100x with key-space strides (embeddings 2k ->
+200k vectors; documents 5k -> 500k; events 100k -> 10M) and records
+min-of-2 wall times per operator at both sizes. Embedding copies get a
+per-copy deterministic epsilon added to the first component so
+replication doesn't create 100-way identical vectors (which would make
+pair-emitting ops quadratic in the duplicate-group size by definition,
+measuring the data shape rather than the plan).
+
+Output: SCALE_r3.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/tmp/spark_graft_scale_r3"
+SRC = "/root/testdata/sf0.1"
+FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "100"))
+
+PROBES = [
+    "kmeans_assign",
+    "kmeans_one_step",
+    "kmeans_iterated",
+    "embedding_srp_bits",
+    "srp_hamming_pairs",
+    "source_minhash_jaccard",
+    "interval_overlap_pairs",
+    "hll_distinct_rollup",
+]
+
+
+def synthesize(spark) -> None:
+    os.makedirs(BASE, exist_ok=True)
+    if os.path.exists(f"{BASE}/_done_{FACTOR}"):
+        return
+    for name, key_cols in [
+        ("events", {"event_id": 10_000_000, "user_id": 1_000}),
+        ("documents", {"doc_id": 1_000_000}),
+        ("embeddings", {"vec_id": 1_000_000}),
+    ]:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        copies = []
+        for i in range(FACTOR):
+            c = src
+            for col, stride in key_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            if name == "embeddings":
+                # copy-specific epsilon on dim 0: keeps copies distinct
+                # so near-dup pair counts don't quadratically explode
+                eps = F.lit(float(i) * 1e-3)
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                        f"THEN CAST(x + {float(i) * 1e-3} AS FLOAT) ELSE x END)"
+                    ),
+                )
+                _ = eps
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(64).write.mode("overwrite").parquet(
+            f"{BASE}/x{FACTOR}/{name}.parquet"
+        )
+    open(f"{BASE}/_done_{FACTOR}", "w").write("ok")
+
+
+def main() -> None:
+    from event_data_etl_gcs_spark.queries import all_queries
+    from event_data_etl_gcs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale_probe_r3",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    synthesize(spark)
+    specs = all_queries()
+
+    rows = []
+    for name in PROBES:
+        fn = specs[name].fn
+        t1 = t100 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n1 = fn(spark, SRC).count()
+            t1 = min(t1, time.perf_counter() - t0)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n100 = fn(spark, f"{BASE}/x{FACTOR}").count()
+            t100 = min(t100, time.perf_counter() - t0)
+        rows.append((name, t1, n1, t100, n100))
+        print(f"{name:28s} 1x {t1:7.2f}s ({n1} rows)   {FACTOR}x {t100:7.2f}s ({n100} rows)")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_r3.md"), "w") as f:
+        f.write(
+            f"# SCALE (round 3) — new-operator scaling at {FACTOR}x (local[32])\n\n"
+            f"Embeddings 2k -> {FACTOR * 2000 // 1000}k vectors, documents 5k -> "
+            f"{FACTOR * 5}k, events 100k -> {FACTOR // 10}M; min of 2 runs. Embedding\n"
+            "copies are epsilon-perturbed so pair-emitting ops measure the plan,\n"
+            "not a synthetic 100-way duplicate explosion.\n\n"
+            "| query | 1x (s) | rows | "
+            f"{FACTOR}x (s) | rows | ratio |\n|---|---|---|---|---|---|\n"
+        )
+        for name, t1, n1, t100, n100 in rows:
+            f.write(
+                f"| {name} | {t1:.2f} | {n1} | {t100:.2f} | {n100} | "
+                f"{t100 / t1:.1f}x |\n"
+            )
+        f.write(
+            "\nReading the ratios: kmeans/SRP/HLL are map-side or sketch ops —\n"
+            "near-linear is expected and anything quadratic would blow past\n"
+            "100x. srp_hamming_pairs and source_minhash_jaccard emit pair\n"
+            "sets, so their output row counts grow with real data density;\n"
+            "the probe checks the candidate generation stays bucket-confined\n"
+            "(band/bucket equi-joins) rather than all-pairs.\n\n"
+            "Regenerate: `python scripts/scale_probe_r3.py`.\n"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
