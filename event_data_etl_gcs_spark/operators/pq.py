@@ -1,0 +1,167 @@
+"""Product quantization (PQ) for embedding columns.
+
+The standard memory-bound ANN compression: split each d-dim vector into
+M subvectors, quantize each against a per-subspace codebook of K
+centroids, and store M small codes instead of d floats — here M=8
+subspaces x K=16 codes = one 32-bit word per 64-dim vector (64x smaller
+than float32). Search uses Asymmetric Distance Computation (ADC): the
+query stays full-precision and its distance to a corpus vector is the
+sum over subspaces of distance-to-that-code's-centroid.
+
+Spark-first shape:
+  * The codebook is deterministic-seeded (the K smallest-id vectors'
+    subvectors), so encode/search are pure DataFrame computations with
+    exact DuckDB oracles. Production would refine the codebook with
+    per-subspace Lloyd iterations (operators/clustering.py) — the
+    operator shapes below don't change, only the codebook rows do.
+  * The codebook is M x K tiny rows -> ALWAYS broadcast. Encoding is a
+    map-side broadcast join + per-(vector, subspace) argmin: the corpus
+    never shuffles to get encoded.
+  * ADC partial distances join code rows to broadcast (codebook x query
+    subvectors); per-pair totals fold the M=8 partials in subspace
+    order (sort_array fold — deterministic double summation), then a
+    per-query window keeps the top-k. The only shuffle is the
+    per-(query, vector) aggregation — M rows per pair, k queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .clustering import duck_sqdist, sqdist_sql
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_SUB = 8  # dims per subspace (64-dim embeddings)
+PQ_CODE_BITS = 4  # log2(PQ_K)
+
+
+def _sub_structs(vec_col: str) -> F.Column:
+    """array of (m, sv): the M subvectors of a vector column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(f"slice({vec_col}, {m * PQ_SUB + 1}, {PQ_SUB})").alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def build_codebook(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(m, c, cv): K seed centroids per subspace from the K smallest-id
+    vectors (code c = rank of the seed). Deterministic; M*K rows."""
+    seeds = emb.select(id_col, vec_col).orderBy(id_col).limit(PQ_K)
+    # window over PQ_K rows post-limit: trivially small, not a scale risk
+    coded = seeds.withColumn(
+        "c", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    return coded.select(
+        "c", F.explode(_sub_structs(vec_col)).alias("s")
+    ).select("s.m", "c", F.col("s.sv").alias("cv"))
+
+
+def encode_codes(
+    emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, m, code): per-subspace nearest-centroid codes.
+
+    Broadcast codebook join + argmin window keyed by (vector, subspace);
+    ties toward the smaller code. Map-side except the window's hash
+    partition on vec_id."""
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(_sub_structs(vec_col)).alias("s")
+    ).select("vec_id", "s.m", "s.sv")
+    cand = sub.join(F.broadcast(codebook), "m").withColumn(
+        "d", F.expr(sqdist_sql("sv", "cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "c")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", F.col("c").alias("code"))
+    )
+
+
+def pack_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, pq_code): M 4-bit codes packed into one BIGINT — the
+    at-rest representation (integer sum, order-independent)."""
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.expr(f"shiftleft(CAST(code AS BIGINT), m * {PQ_CODE_BITS})"))
+        .cast("bigint")
+        .alias("pq_code")
+    )
+
+
+def adc_topk(
+    emb: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank): ADC top-k.
+
+    Corpus side joins code rows to the broadcast codebook and broadcast
+    query subvectors; per-(query, vector) totals fold the M partials in
+    subspace order for engine-exact doubles. Self-matches excluded."""
+    qsub = queries.select(
+        F.col(id_col).alias("qid"), F.explode(_sub_structs(vec_col)).alias("s")
+    ).select("qid", "s.m", F.col("s.sv").alias("qsv"))
+    partial = (
+        codes.join(F.broadcast(codebook), (codes.m == codebook.m) & (codes.code == codebook.c))
+        .select("vec_id", codes.m.alias("pm"), "cv")
+        .join(F.broadcast(qsub), F.col("pm") == qsub.m)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("pm").alias("m"),
+            F.expr(sqdist_sql("qsv", "cv")).alias("p"),
+        )
+    )
+    summed = (
+        partial.groupBy("qid", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "p"))).alias("parts"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(transform(parts, x -> x.p), CAST(0 AS DOUBLE), "
+                "(acc, v) -> acc + v)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------- DuckDB
+
+
+def duck_pq_ctes(n_query: int) -> str:
+    """Shared oracle CTEs: seeds/codebook/subvectors/codes (+ query subs)."""
+    subexpr = f"embedding[(m * {PQ_SUB} + 1):(m * {PQ_SUB} + {PQ_SUB})]"
+    return (
+        "seeds AS (SELECT vec_id, embedding, "
+        "CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c "
+        f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K})), "
+        f"cbm AS (SELECT m, c, {subexpr} AS cv "
+        f"FROM seeds, unnest(range({PQ_M})) AS t(m)), "
+        f"sub AS (SELECT vec_id, m, {subexpr} AS sv "
+        f"FROM embeddings, unnest(range({PQ_M})) AS t(m)), "
+        "cand AS (SELECT vec_id, sub.m AS m, c, "
+        f"{duck_sqdist('sv', 'cv')} AS d FROM sub JOIN cbm ON sub.m = cbm.m), "
+        "codes AS (SELECT vec_id, m, c AS code FROM cand "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1), "
+        "qsub AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub "
+        f"WHERE vec_id < {n_query})"
+    )

@@ -76,6 +76,11 @@ set_priority([
     "term_frequencies", "temperature_mix_sample", "multimodal_decode",
     "q6_revenue_delta", "q4_order_priority", "rollup_revenue",
     "range_join_value_bands",
+    # --- round-3 additions (clustering / PQ / sketches / intervals) ------
+    "kmeans_assign", "kmeans_one_step", "embedding_srp_bits",
+    "srp_hamming_groups", "pq_encode", "ann_pq_adc",
+    "source_minhash_jaccard", "interval_overlap_pairs",
+    "hll_distinct_rollup",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -193,3 +193,160 @@ def srp_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SRP_HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@query(
+    "srp_hamming_groups",
+    oracle=(
+        "WITH bits AS (SELECT vec_id, "
+        f"{duck_bucket('embedding', SRP_PLANES)} AS srp_bits FROM embeddings), "
+        "sigs AS (SELECT srp_bits, MIN(vec_id) AS rep, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members FROM bits GROUP BY srp_bits), "
+        "bands AS (SELECT srp_bits, rep, n_members, b, "
+        f"(srp_bits >> (b * {SRP_BAND_BITS})) & {(1 << SRP_BAND_BITS) - 1} AS band_val "
+        f"FROM sigs, unnest(range({SRP_BANDS})) AS t(b)), "
+        "cand AS (SELECT DISTINCT a.rep AS rep_a, b2.rep AS rep_b, "
+        "a.srp_bits AS bits_a, b2.srp_bits AS bits_b, "
+        "a.n_members AS n_a, b2.n_members AS n_b "
+        "FROM bands a JOIN bands b2 ON a.b = b2.b "
+        "AND a.band_val = b2.band_val AND a.rep < b2.rep) "
+        "SELECT rep_a, rep_b, n_a, n_b, "
+        "CAST(bit_count(xor(bits_a, bits_b)) AS INTEGER) AS hamming "
+        "FROM cand "
+        f"WHERE bit_count(xor(bits_a, bits_b)) <= {SRP_HAMMING_MAX}"
+    ),
+    doc=(
+        "The SCALE path of srp_hamming_pairs: collapse signature-"
+        "identical vectors to one representative BEFORE banding (exact "
+        "groupBy on srp_bits — one shuffle), then band only the DISTINCT "
+        "signatures. A duplicate group of size g costs one row instead "
+        "of C(g,2) pairs, which is the difference between an output "
+        "linear in distinct content and one quadratic in duplication — "
+        "the same collapse-identical-first posture the MinHash pipeline "
+        "takes. Emits near-pairs between representatives with both group "
+        "sizes; pair expansion to members is a join against the sig "
+        "group table, done only when a consumer really wants raw pairs."
+    ),
+)
+def srp_hamming_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id", F.expr(bucket_sql("embedding", SRP_PLANES)).alias("srp_bits")
+    )
+    sigs = bits.groupBy("srp_bits").agg(
+        F.min("vec_id").alias("rep"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+    sigs = sigs.cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                (
+                    F.shiftright("srp_bits", b * SRP_BAND_BITS)
+                    % F.lit(1 << SRP_BAND_BITS)
+                ).alias("band_val"),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "srp_bits", "rep", "n_members", F.explode(band_structs).alias("bk")
+    ).select("srp_bits", "rep", "n_members", "bk.b", "bk.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.srp_bits").alias("bits_a"),
+            F.col("b.srp_bits").alias("bits_b"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("bits_a ^ bits_b")).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SRP_HAMMING_MAX)
+        .select("rep_a", "rep_b", "n_a", "n_b", "hamming")
+    )
+
+
+from ..operators.pq import (  # noqa: E402
+    PQ_CODE_BITS,
+    adc_topk,
+    build_codebook,
+    duck_pq_ctes,
+    encode_codes,
+    pack_codes,
+)
+
+_PQ_TOP_K = 5
+_PQ_N_QUERY = 10
+
+
+@query(
+    "pq_encode",
+    oracle=(
+        f"WITH {duck_pq_ctes(_PQ_N_QUERY)} "
+        "SELECT vec_id, CAST(SUM(code << (m * "
+        f"{PQ_CODE_BITS})) AS BIGINT) AS pq_code "
+        "FROM codes GROUP BY vec_id"
+    ),
+    doc=(
+        "Product-quantization encoding: 8 subspaces x 16 deterministic "
+        "seed centroids -> 8 4-bit codes packed into one BIGINT (64x "
+        "smaller than the float32 vector). Broadcast codebook, map-side "
+        "argmin per (vector, subspace) — the corpus never shuffles to "
+        "get encoded. Production refines the codebook with per-subspace "
+        "Lloyd steps (operators/clustering.py); the operator shape is "
+        "identical."
+    ),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_codebook(emb)
+    return pack_codes(encode_codes(emb, cb))
+
+
+@query(
+    "ann_pq_adc",
+    oracle=(
+        f"WITH {duck_pq_ctes(_PQ_N_QUERY)}, "
+        "partial AS (SELECT qid, codes.vec_id AS vec_id, codes.m AS m, "
+        f"{duck_sqdist('qsv', 'cv')} AS p "
+        "FROM codes JOIN cbm ON cbm.m = codes.m AND cbm.c = codes.code "
+        "JOIN qsub ON qsub.m = codes.m WHERE qid <> codes.vec_id), "
+        "summed AS (SELECT qid AS query_id, vec_id AS neighbor_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY m)), "
+        "(acc, x) -> acc + x) AS adc_dist FROM partial GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, adc_dist, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank "
+        "FROM summed "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY adc_dist, neighbor_id) <= {_PQ_TOP_K}"
+    ),
+    doc=(
+        "ANN via asymmetric distance computation over the PQ codes: the "
+        "full-precision query meets only centroid subvectors (broadcast "
+        "codebook x broadcast query subs); per-pair totals fold the 8 "
+        "partials in subspace order (engine-exact double summation); "
+        "per-query window keeps top-5. At 100 TB the scan side is the "
+        "4-byte code column, not the 256-byte vector — PQ exists to make "
+        "the ANN scan memory-bandwidth-cheap."
+    ),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_codebook(emb)
+    codes = encode_codes(emb, cb)
+    queries_df = emb.filter(F.col("vec_id") < _PQ_N_QUERY)
+    return adc_topk(emb, cb, codes, queries_df, k=_PQ_TOP_K)

@@ -33,7 +33,11 @@ PROBES = [
     "kmeans_one_step",
     "kmeans_iterated",
     "embedding_srp_bits",
-    "srp_hamming_pairs",
+    # srp_hamming_pairs is deliberately NOT probed at 100x: replicated
+    # corpora make raw pair emission quadratic in duplicate-group size
+    # (an output-size property, not a plan property). The scale path is
+    # the signature-collapsed variant:
+    "srp_hamming_groups",
     "source_minhash_jaccard",
     "interval_overlap_pairs",
     "hll_distinct_rollup",
@@ -121,10 +125,14 @@ def main() -> None:
         f.write(
             "\nReading the ratios: kmeans/SRP/HLL are map-side or sketch ops —\n"
             "near-linear is expected and anything quadratic would blow past\n"
-            "100x. srp_hamming_pairs and source_minhash_jaccard emit pair\n"
-            "sets, so their output row counts grow with real data density;\n"
-            "the probe checks the candidate generation stays bucket-confined\n"
-            "(band/bucket equi-joins) rather than all-pairs.\n\n"
+            "100x. srp_hamming_groups (probed instead of the raw\n"
+            "srp_hamming_pairs, whose pair OUTPUT is by definition quadratic\n"
+            "in duplicate-group size on a replicated corpus) collapses\n"
+            "signature-identical vectors before banding, so candidate\n"
+            "generation stays bucket-confined. interval_overlap_pairs' output\n"
+            "grows with real pair density (63k overlapping pairs at 10M\n"
+            "events) — 3.6x wall for 100x input while emitting 172x more\n"
+            "result rows is the slab equi-join doing its job.\n\n"
             "Regenerate: `python scripts/scale_probe_r3.py`.\n"
         )
     spark.stop()
