@@ -102,6 +102,42 @@ SHOW = [
         "tf, dl, and the pivot; df and corpus stats are broadcast; top-20 "
         "is TakeOrderedAndProject, never a global sort.",
     ),
+    (
+        "kmeans_assign",
+        "K-means assignment: the k-row centroid frame broadcasts "
+        "(BroadcastNestedLoopJoin); squared distances are map-side "
+        "Catalyst lambdas and the argmin window partitions on vec_id — "
+        "the corpus is scanned once and never shuffled for assignment.",
+    ),
+    (
+        "srp_hamming_groups",
+        "SRP near-dup, scale path: one hash aggregate collapses "
+        "signature-identical vectors, banding is a map-side explode of "
+        "the DISTINCT signatures, candidates come from an equi-join on "
+        "(band, key) — output linear in distinct content, quadratic "
+        "only within an 8-bit bucket.",
+    ),
+    (
+        "ann_pq_adc",
+        "PQ/ADC search: the M*K codebook and query subvectors both "
+        "broadcast; per-(query, vector) ADC totals are the only "
+        "exchange; ranking is a per-query window over code-width data — "
+        "the float corpus is read once, at encode time.",
+    ),
+    (
+        "interval_overlap_pairs",
+        "Interval overlap join: both interval sets explode to ~2 slab "
+        "rows each and equi-join on (user_id, slab) — a bounded shuffle "
+        "join with the exact overlap predicate on slab-mates only; no "
+        "per-user cross product anywhere in the plan.",
+    ),
+    (
+        "hll_distinct_rollup",
+        "Sketch rollup: day-level HLL sketches partial-aggregate before "
+        "the exchange, week merges move one sketch blob per day, and "
+        "the exact-count branch shares the same two-phase shape — at "
+        "scale the merge input is days, not events.",
+    ),
 ]
 
 KEY = re.compile(
