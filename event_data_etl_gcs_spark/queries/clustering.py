@@ -350,3 +350,88 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = encode_codes(emb, cb)
     queries_df = emb.filter(F.col("vec_id") < _PQ_N_QUERY)
     return adc_topk(emb, cb, codes, queries_df, k=_PQ_TOP_K)
+
+
+@query(
+    "ann_ivfpq",
+    oracle=(
+        f"WITH {duck_pq_ctes(_PQ_N_QUERY)}, "
+        "lab AS (SELECT vec_id, label FROM embeddings), "
+        "qlab AS (SELECT vec_id AS qid2, label AS qlabel FROM embeddings "
+        f"WHERE vec_id < {_PQ_N_QUERY}), "
+        "partial AS (SELECT qid, codes.vec_id AS vec_id, codes.m AS m, "
+        f"{duck_sqdist('qsv', 'cv')} AS p "
+        "FROM codes JOIN cbm ON cbm.m = codes.m AND cbm.c = codes.code "
+        "JOIN lab ON lab.vec_id = codes.vec_id "
+        "JOIN qsub ON qsub.m = codes.m "
+        "JOIN qlab ON qlab.qid2 = qsub.qid AND qlab.qlabel = lab.label "
+        "WHERE qid <> codes.vec_id), "
+        "summed AS (SELECT qid AS query_id, vec_id AS neighbor_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY m)), "
+        "(acc, x) -> acc + x) AS adc_dist FROM partial GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, adc_dist, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank "
+        "FROM summed "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY adc_dist, neighbor_id) <= {_PQ_TOP_K}"
+    ),
+    doc=(
+        "IVF-PQ: the billion-scale ANN layout — coarse cells (the label "
+        "column, as in ann_ivf_cells) route each query to one cell, and "
+        "within the cell distance is PQ/ADC over 4-bit codes, never the "
+        "float vectors. The candidate set is one cell AND the scan width "
+        "is one BIGINT of codes: cells bound the rows, PQ bounds the "
+        "bytes. Cell routing is an equi-join on the cell id; codebook "
+        "and query subvectors broadcast."
+    ),
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = build_codebook(emb)
+    codes = encode_codes(emb, cb)
+    codes_l = codes.join(emb.select("vec_id", "label"), "vec_id")
+    queries_df = emb.filter(F.col("vec_id") < _PQ_N_QUERY)
+    from ..operators.pq import _sub_structs
+    from ..operators.clustering import sqdist_sql
+
+    qsub = queries_df.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.explode(_sub_structs("embedding")).alias("s"),
+    ).select("qid", "qlabel", "s.m", F.col("s.sv").alias("qsv"))
+    partial = (
+        codes_l.join(F.broadcast(cb), (codes_l.m == cb.m) & (codes_l.code == cb.c))
+        .select("vec_id", "label", codes_l.m.alias("pm"), "cv")
+        .join(
+            F.broadcast(qsub),
+            (F.col("pm") == qsub.m) & (F.col("label") == qsub.qlabel),
+        )
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("pm").alias("m"),
+            F.expr(sqdist_sql("qsv", "cv")).alias("p"),
+        )
+    )
+    summed = (
+        partial.groupBy("qid", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("m", "p"))).alias("parts"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(transform(parts, x -> x.p), CAST(0 AS DOUBLE), "
+                "(acc, v) -> acc + v)"
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        summed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

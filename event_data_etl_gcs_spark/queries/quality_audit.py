@@ -109,3 +109,76 @@ def null_rate_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n - F.count("props")).cast("double") / n).alias("null_rate"),
     )
     return a.unionByName(b)
+
+
+_DRIFT_BUCKET_SPARK = "width_bucket(value, 0.0, 500.0, 10)"
+_DRIFT_BUCKET_DUCK = (
+    "CASE WHEN value < 0.0 THEN 0 WHEN value >= 500.0 THEN 11 "
+    "ELSE CAST(FLOOR(value / 50.0) + 1 AS BIGINT) END"
+)
+
+
+@query(
+    "value_drift_tvd",
+    oracle=(
+        "WITH binned AS (SELECT event_type, "
+        f"{_DRIFT_BUCKET_DUCK} AS bucket, "
+        "CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS half "
+        "FROM events), "
+        "cells AS (SELECT event_type, bucket, "
+        "SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS n_a, "
+        "SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS n_b "
+        "FROM binned GROUP BY 1, 2), "
+        "tot AS (SELECT event_type, SUM(n_a) AS t_a, SUM(n_b) AS t_b "
+        "FROM cells GROUP BY 1) "
+        "SELECT c.event_type, CAST(t.t_a AS BIGINT) AS n_first_half, "
+        "CAST(t.t_b AS BIGINT) AS n_second_half, "
+        "CAST(SUM(abs(c.n_a * t.t_b - c.n_b * t.t_a)) AS DOUBLE) "
+        "/ (2.0 * t.t_a * t.t_b) AS tvd "
+        "FROM cells c JOIN tot t ON c.event_type = t.event_type "
+        "GROUP BY c.event_type, t.t_a, t.t_b"
+    ),
+    doc=(
+        "Distribution-drift monitor: total-variation distance between "
+        "the first and second half-of-month value histograms, per event "
+        "type. The TVD is computed as SUM|n_a*T_b - n_b*T_a| / "
+        "(2*T_a*T_b): every sum is INTEGER (order-independent, "
+        "engine-exact) and the only float operation is one final "
+        "division — the drift analogue of the decimal-sum pattern. "
+        "Map-side binning, two narrow aggregates; at extreme row counts "
+        "the integer products approach 2^63 and the production variant "
+        "scales counts per-mille first (documented tradeoff)."
+    ),
+)
+def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.expr(_DRIFT_BUCKET_SPARK).alias("bucket"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b")).alias("half"),
+    )
+    cells = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    joined = cells.join(tot, "event_type")
+    return (
+        joined.groupBy("event_type", "t_a", "t_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a"))
+            ).alias("num")
+        )
+        .select(
+            "event_type",
+            F.col("t_a").cast("bigint").alias("n_first_half"),
+            F.col("t_b").cast("bigint").alias("n_second_half"),
+            (
+                F.col("num").cast("double")
+                / (F.lit(2.0) * F.col("t_a") * F.col("t_b"))
+            ).alias("tvd"),
+        )
+    )
