@@ -558,3 +558,136 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+from ..operators.text import char_hash_sql, duck_char_hash, tokens_sql  # noqa: E402
+
+_HTF_DIMS = 64
+_HTF_N_QUERY = 5
+_HTF_TOP_K = 5
+
+
+@query(
+    "hashed_tf_vectors",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest("
+        f"{duck_tokens('text')}) AS tok FROM documents), "
+        f"dims AS (SELECT doc_id, {duck_char_hash('tok')} % {_HTF_DIMS} AS dim, "
+        "CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), "
+        "ssq AS (SELECT doc_id, SUM(tf * tf) AS ssq FROM dims GROUP BY 1) "
+        "SELECT d.doc_id, CAST(d.dim AS INTEGER) AS dim, d.tf, "
+        "CAST(d.tf AS DOUBLE) / sqrt(CAST(s.ssq AS DOUBLE)) AS weight "
+        "FROM dims d JOIN ssq s ON d.doc_id = s.doc_id"
+    ),
+    doc=(
+        "Feature-hashing (hashing-trick) document vectors: tokens hash "
+        "into 64 dimensions, emitted SPARSE as (doc_id, dim, tf, "
+        "l2-weight) rows — the text-side bridge into the similarity "
+        "family with no vocabulary build and no dense array column. "
+        "One explode + one hash aggregate; tf and the squared norm stay "
+        "integer, the l2 weight is one IEEE-exact sqrt + division."
+    ),
+)
+def hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("text"))).alias("tok")
+    )
+    dims = (
+        toks.select(
+            "doc_id",
+            F.expr(f"{char_hash_sql('tok')} % {_HTF_DIMS}").alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    ssq = dims.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+    return dims.join(ssq, "doc_id").select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
+        "tf",
+        (
+            F.col("tf").cast("double") / F.sqrt(F.col("ssq").cast("double"))
+        ).alias("weight"),
+    )
+
+
+@query(
+    "doc_similarity_hashed_tf",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest("
+        f"{duck_tokens('text')}) AS tok FROM documents), "
+        f"dims AS (SELECT doc_id, {duck_char_hash('tok')} % {_HTF_DIMS} AS dim, "
+        "CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), "
+        "ssq AS (SELECT doc_id, SUM(tf * tf) AS ssq FROM dims GROUP BY 1), "
+        f"q AS (SELECT * FROM dims WHERE doc_id < {_HTF_N_QUERY}), "
+        "dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, "
+        "SUM(q.tf * c.tf) AS sxy FROM q JOIN dims c "
+        "ON q.dim = c.dim AND q.doc_id <> c.doc_id GROUP BY 1, 2), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        "CAST(sxy AS DOUBLE) / sqrt(CAST(sq.ssq AS DOUBLE) * CAST(sc.ssq AS DOUBLE)) "
+        "AS cos_sim FROM dots "
+        "JOIN ssq sq ON sq.doc_id = dots.query_id "
+        "JOIN ssq sc ON sc.doc_id = dots.neighbor_id) "
+        "SELECT query_id, neighbor_id, cos_sim, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank "
+        "FROM scored "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos_sim DESC, neighbor_id) <= {_HTF_TOP_K}"
+    ),
+    doc=(
+        "Document similarity search over the hashed-TF sparse vectors: "
+        "query docs' dimension rows join the corpus on dim (an inverted-"
+        "index join — only dimension-sharing pairs are scored, never "
+        "all pairs), integer dot products, cosine = one sqrt + divide. "
+        "All sums integer -> engine-exact ranking."
+    ),
+)
+def doc_similarity_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("text"))).alias("tok")
+    )
+    dims = (
+        toks.select(
+            "doc_id",
+            F.expr(f"{char_hash_sql('tok')} % {_HTF_DIMS}").alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dims = dims.cache()
+    ssq = dims.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+    q = dims.filter(F.col("doc_id") < _HTF_N_QUERY).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("tf").alias("tf_q")
+    )
+    dots = (
+        dims.join(F.broadcast(q), "dim")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("tf_q") * F.col("tf")).alias("sxy"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(ssq.withColumnRenamed("doc_id", "query_id").withColumnRenamed("ssq", "ssq_q")),
+            "query_id",
+        )
+        .join(ssq.withColumnRenamed("doc_id", "neighbor_id").withColumnRenamed("ssq", "ssq_c"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("sxy").cast("double")
+                / F.sqrt(F.col("ssq_q").cast("double") * F.col("ssq_c").cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HTF_TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -58,3 +58,36 @@ def test_unsupported_join_shapes_fail_fast(spark, tmp_path):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="unsupported"):
             stream_static_enrich(stream, profile, on="user_id", how=how)
+
+
+def test_srp_bits_streams_stateless(spark, tmp_path):
+    """embedding_srp_bits is a pure projection (plan test asserts no
+    Exchange) — so it must run unchanged as a stateless streaming
+    transform, and the streamed signatures must equal the batch ones."""
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.similarity import bucket_sql
+
+    emb = load_table(spark, SF, "embeddings")
+    d = str(tmp_path / "emb_stream")
+    emb.repartition(3).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    bits = lambda df: df.select(  # noqa: E731
+        "vec_id", F.expr(bucket_sql("embedding", 32)).alias("srp_bits")
+    )
+    q = (
+        bits(stream)
+        .writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("srp_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("srp_stream")
+    want = bits(emb)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
