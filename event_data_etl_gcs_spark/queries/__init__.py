@@ -78,9 +78,10 @@ set_priority([
     "range_join_value_bands",
     # --- round-3 additions (clustering / PQ / sketches / intervals) ------
     "kmeans_assign", "kmeans_one_step", "embedding_srp_bits",
-    "srp_hamming_groups", "pq_encode", "ann_pq_adc",
+    "srp_hamming_groups", "pq_encode", "ann_pq_adc", "ann_ivfpq",
     "source_minhash_jaccard", "interval_overlap_pairs",
-    "hll_distinct_rollup",
+    "hll_distinct_rollup", "value_drift_tvd",
+    "hashed_tf_vectors", "doc_similarity_hashed_tf",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
