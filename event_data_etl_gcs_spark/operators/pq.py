@@ -165,3 +165,75 @@ def duck_pq_ctes(n_query: int) -> str:
         "qsub AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub "
         f"WHERE vec_id < {n_query})"
     )
+
+
+def train_codebook(
+    emb: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebook: per-subspace k-means starting from the
+    deterministic seeds. Each iteration is one broadcast-assignment pass
+    + one avg-recompute over (m, c, pos); the M*K*PQ_SUB centroid floats
+    round-trip the driver between iterations (tiny, like MLlib). Lloyd
+    never increases within-cluster SSE, so reconstruction error is
+    monotonically <= the seeded codebook's (tested). Returns (m, c, cv).
+    """
+    spark = emb.sparkSession
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(_sub_structs(vec_col)).alias("s")
+    ).select("vec_id", "s.m", "s.sv")
+    sub = sub.cache()
+    cb = build_codebook(emb, id_col, vec_col)
+    rows = [(r["m"], r["c"], r["cv"]) for r in cb.collect()]
+    for _ in range(n_iter):
+        cb_df = spark.createDataFrame(rows, "m INT, c INT, cv ARRAY<FLOAT>")
+        cand = sub.join(F.broadcast(cb_df), "m").withColumn(
+            "d", F.expr(sqdist_sql("sv", "cv"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d", "c")
+        assign = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "m", "c", "sv")
+        )
+        new = (
+            assign.select("m", "c", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("m", "c", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("m", "c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(
+                "m",
+                "c",
+                F.expr("transform(pv, x -> CAST(x.v AS FLOAT))").alias("cv"),
+            )
+        )
+        got = {(r["m"], r["c"]): r["cv"] for r in new.collect()}
+        # empty cells keep their previous centroid (standard practice)
+        rows = [(m, c, got.get((m, c), cv)) for m, c, cv in rows]
+    sub.unpersist()
+    return spark.createDataFrame(rows, "m INT, c INT, cv ARRAY<FLOAT>")
+
+
+def reconstruction_error(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of PQ-encoding `emb` with
+    `codebook` — the quantization-quality metric Lloyd training drives
+    down. One assignment pass; the min distances sum per vector."""
+    sub = emb.select(
+        F.col(id_col).alias("vec_id"), F.explode(_sub_structs(vec_col)).alias("s")
+    ).select("vec_id", "s.m", "s.sv")
+    cand = sub.join(F.broadcast(codebook), "m").withColumn(
+        "d", F.expr(sqdist_sql("sv", "cv"))
+    )
+    per_sub = cand.groupBy("vec_id", "m").agg(F.min("d").alias("dmin"))
+    row = per_sub.groupBy("vec_id").agg(F.sum("dmin").alias("err")).agg(
+        F.avg("err").alias("mse")
+    ).collect()[0]
+    return float(row["mse"])
