@@ -16,6 +16,8 @@ Scale-posture replacements:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -185,3 +187,54 @@ def write_zordered(
         .drop("__z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def delete_where(
+    spark,
+    table_dir: str,
+    predicate: str,
+    partition_col: str,
+) -> int:
+    """DML DELETE on a hive-partitioned parquet table without a table
+    format: the anti-join + dynamic-partition-overwrite shape that
+    Delta/Iceberg MERGE DELETE compiles to.
+
+    1. Find the partitions containing matching rows (partition-pruned
+       aggregate — at 100 TB this touches only the predicate columns).
+    2. Re-read ONLY those partitions, drop matching rows, and rewrite
+       them under dynamic partition overwrite — untouched partitions'
+       files are never read or rewritten (tested byte-identical).
+    3. A partition whose EVERY row matched produces no output rows, so
+       dynamic overwrite would leave it stale — those are removed
+       explicitly (the table-format equivalent is a delete manifest).
+
+    Returns the number of rows deleted."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(table_dir)
+    affected = [
+        r[0]
+        for r in df.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    sub = df.filter(F.col(partition_col).isin(affected))
+    n_before = sub.count()
+    keep = sub.filter(f"NOT ({predicate})")
+    n_after = keep.count()
+    survivors = {
+        r[0] for r in keep.select(partition_col).distinct().collect()
+    }
+    # dynamic partition overwrite: only partitions present in `keep` are
+    # replaced (session.py pins partitionOverwriteMode=dynamic)
+    if survivors:
+        keep.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    for part in affected:
+        if part not in survivors:
+            shutil.rmtree(
+                os.path.join(table_dir, f"{partition_col}={part}"),
+                ignore_errors=True,
+            )
+    return n_before - n_after

@@ -1,0 +1,75 @@
+"""Targeted DELETE on a partitioned parquet lake: only touched
+partitions may be rewritten; untouched partition files must stay
+byte-identical; fully-emptied partitions must disappear."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.sources.catalog import load_table
+from event_data_etl_gcs_spark.sources.parquet_sink import delete_where
+
+SF = "/root/testdata/sf0.001"
+
+
+def _snapshot(table_dir):
+    out = {}
+    for f in glob.glob(os.path.join(table_dir, "day=*", "*.parquet")):
+        st = os.stat(f)
+        out[f] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _stage(spark, tmp_path):
+    d = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(d)
+    return d, ev
+
+
+def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    d, ev = _stage(spark, tmp_path)
+    before = _snapshot(d)
+    n_day3_purchases = ev.filter(
+        (F.col("day") == 3) & (F.col("event_type") == "purchase")
+    ).count()
+    assert n_day3_purchases > 0
+
+    deleted = delete_where(
+        spark, d, "day = 3 AND event_type = 'purchase'", "day"
+    )
+    assert deleted == n_day3_purchases
+
+    after = _snapshot(d)
+    touched = {f for f in before if (f not in after) or before[f] != after[f]}
+    assert touched and all("day=3" in f for f in touched)
+    new_files = {f for f in after if f not in before}
+    assert all("day=3" in f for f in new_files)
+
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count() - deleted
+    assert back.filter("day = 3 AND event_type = 'purchase'").count() == 0
+    # other days untouched row-wise too
+    assert back.filter("day <> 3").count() == ev.filter("day <> 3").count()
+
+
+def test_delete_entire_partition_removes_directory(spark, tmp_path):
+    d, ev = _stage(spark, tmp_path)
+    deleted = delete_where(spark, d, "day = 5", "day")
+    assert deleted == ev.filter("day = 5").count()
+    assert not os.path.exists(os.path.join(d, "day=5"))
+    back = spark.read.parquet(d)
+    assert back.filter("day = 5").count() == 0
+    assert back.count() == ev.count() - deleted
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    d, _ = _stage(spark, tmp_path)
+    before = _snapshot(d)
+    assert delete_where(spark, d, "day = 99", "day") == 0
+    assert _snapshot(d) == before
