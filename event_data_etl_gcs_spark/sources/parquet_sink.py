@@ -238,3 +238,43 @@ def delete_where(
                 ignore_errors=True,
             )
     return n_before - n_after
+
+
+def update_where(
+    spark,
+    table_dir: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    partition_col: str,
+) -> int:
+    """DML UPDATE on a hive-partitioned parquet table: rewrite matching
+    rows with `set_exprs` (column -> SQL expression over the row),
+    touching only the partitions that contain matches — same
+    partition-pruned dynamic-overwrite shape as delete_where. The
+    partition column itself cannot be updated (that's a delete+insert,
+    a different operation with different pruning). Returns rows updated."""
+    from pyspark.sql import functions as F
+
+    if partition_col in set_exprs:
+        raise ValueError(
+            "update_where cannot change the partition column; "
+            "delete + append instead"
+        )
+    df = spark.read.parquet(table_dir)
+    affected = [
+        r[0]
+        for r in df.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    sub = df.filter(F.col(partition_col).isin(affected))
+    n_updated = sub.filter(predicate).count()
+    match = F.expr(predicate)
+    updated = sub.withColumns(
+        {
+            col: F.when(match, F.expr(expr)).otherwise(F.col(col))
+            for col, expr in set_exprs.items()
+        }
+    )
+    updated.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    return n_updated

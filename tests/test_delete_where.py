@@ -73,3 +73,48 @@ def test_delete_no_match_is_noop(spark, tmp_path):
     before = _snapshot(d)
     assert delete_where(spark, d, "day = 99", "day") == 0
     assert _snapshot(d) == before
+
+
+def test_update_rewrites_only_touched_partitions(spark, tmp_path):
+    from event_data_etl_gcs_spark.sources.parquet_sink import update_where
+
+    d, ev = _stage(spark, tmp_path)
+    before = _snapshot(d)
+    n_match = ev.filter("day = 7 AND event_type = 'error'").count()
+    assert n_match > 0
+
+    updated = update_where(
+        spark,
+        d,
+        "day = 7 AND event_type = 'error'",
+        {"value": "value * 0", "event_type": "'error_voided'"},
+        "day",
+    )
+    assert updated == n_match
+
+    after = _snapshot(d)
+    touched = {f for f in before if (f not in after) or before[f] != after[f]}
+    assert touched and all("day=7" in f for f in touched)
+
+    back = spark.read.parquet(d)
+    assert back.filter("event_type = 'error_voided'").count() == n_match
+    assert back.filter("day = 7 AND event_type = 'error'").count() == 0
+    assert (
+        back.filter("event_type = 'error_voided' AND value <> 0.0").count() == 0
+    )
+    assert back.count() == ev.count()  # UPDATE never changes cardinality
+    # non-matching rows in the touched partition survive verbatim
+    assert (
+        back.filter("day = 7 AND event_type <> 'error_voided'").count()
+        == ev.filter("day = 7 AND event_type <> 'error'").count()
+    )
+
+
+def test_update_partition_column_rejected(spark, tmp_path):
+    import pytest
+
+    from event_data_etl_gcs_spark.sources.parquet_sink import update_where
+
+    d, _ = _stage(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(spark, d, "day = 1", {"day": "2"}, "day")
