@@ -435,3 +435,25 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+@query(
+    "ann_pq_adc_trained",
+    oracle=None,  # Lloyd-refined codebook: float avgs across partitions
+    # in training make the codebook engine-unportable; rows-only.
+    doc=(
+        "ADC search over a Lloyd-refined PQ codebook (3 per-subspace "
+        "k-means iterations from the deterministic seeds) — the trained "
+        "production variant of ann_pq_adc. Quality tradeoffs are "
+        "measured in tests/test_pq.py: training halves reconstruction "
+        "MSE; ranking quality is recovered by shortlist + exact re-rank."
+    ),
+)
+def ann_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import train_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_codebook(emb, n_iter=3)
+    codes = encode_codes(emb, cb)
+    queries_df = emb.filter(F.col("vec_id") < _PQ_N_QUERY)
+    return adc_topk(emb, cb, codes, queries_df, k=_PQ_TOP_K)
