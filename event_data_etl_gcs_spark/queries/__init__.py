@@ -81,7 +81,7 @@ set_priority([
     "srp_hamming_groups", "pq_encode", "ann_pq_adc", "ann_ivfpq",
     "source_minhash_jaccard", "interval_overlap_pairs",
     "hll_distinct_rollup", "value_drift_tvd",
-    "hashed_tf_vectors", "doc_similarity_hashed_tf",
+    "hashed_tf_vectors", "doc_similarity_hashed_tf", "sequence_pack_layout",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

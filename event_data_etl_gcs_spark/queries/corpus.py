@@ -12,6 +12,7 @@ from ..operators.text import (
     duck_quality_select,
     duck_shingle_hash_set,
     duck_tokens,
+    tokens_sql,
 )
 from ..plans.training_corpus import (
     MAX_PUNCT_RATIO,
@@ -106,4 +107,61 @@ def decontaminate_against_benchmark(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("train_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 4)
+    )
+
+
+_PACK_CAP = 512  # context-window token budget
+
+
+@query(
+    "sequence_pack_layout",
+    oracle=(
+        "WITH t AS (SELECT doc_id, source, "
+        f"CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, source, n_tokens, "
+        "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_prev "
+        "FROM t) "
+        "SELECT doc_id, source, n_tokens, "
+        "CAST(COALESCE(cum_prev, 0) AS BIGINT) AS start_offset, "
+        f"CAST(COALESCE(cum_prev, 0) // {_PACK_CAP} AS BIGINT) AS start_bin, "
+        f"CAST((COALESCE(cum_prev, 0) + n_tokens - 1) // {_PACK_CAP} AS BIGINT) "
+        "AS end_bin FROM c WHERE n_tokens > 0"
+    ),
+    doc=(
+        "Sequence packing (GPT-style concat-then-chunk): documents "
+        "concatenate in id order within each source stream and slice "
+        "into 512-token training windows; each doc's (start_offset, "
+        "start_bin, end_bin) locates it in the packed layout. One "
+        "window cumsum PARTITIONED BY SOURCE — the packing is "
+        "embarrassingly parallel across streams, no global sequential "
+        "scan; integer arithmetic end to end (exact oracle). The "
+        "downstream chunk emitter is chunk_documents; this query is the "
+        "layout planner that makes packing deterministic and resumable."
+    ),
+)
+def sequence_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({tokens_sql('text')}) AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("cum_prev").cast("bigint").alias("start_offset"),
+        F.floor(F.col("cum_prev") / _PACK_CAP).cast("bigint").alias("start_bin"),
+        F.floor((F.col("cum_prev") + F.col("n_tokens") - 1) / _PACK_CAP)
+        .cast("bigint")
+        .alias("end_bin"),
     )

@@ -136,3 +136,51 @@ def test_bucketed_running_sum_any_width(spark, data, width_s):
         acc[k] = acc.get(k, 0.0) + v
         want[i] = acc[k]
     assert got == want
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=40),  # start
+        st.integers(min_value=0, max_value=10),  # length
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=intervals, right=intervals, width=st.integers(min_value=1, max_value=13))
+@SETTINGS
+def test_interval_overlap_join_matches_naive_model(spark, left, right, width):
+    """Slab-bucketed interval join == the naive quadratic model, for any
+    slab width (including widths smaller/larger than every interval —
+    the dedup-across-slabs and multi-slab-explosion paths)."""
+    from event_data_etl_gcs_spark.operators.temporal_joins import (
+        interval_overlap_join,
+    )
+
+    ldata = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(left)]
+    rdata = [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(right)]
+    ldf = spark.createDataFrame(
+        ldata or [(0, 0, 0, 0)], "k int, lid int, l_start long, l_end long"
+    )
+    rdf = spark.createDataFrame(
+        rdata or [(0, 0, 0, 0)], "k int, rid int, r_start long, r_end long"
+    )
+    if not ldata:
+        ldf = ldf.limit(0)
+    if not rdata:
+        rdf = rdf.limit(0)
+    got = {
+        (r.k, r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, keys=["k"], bucket_width=width
+        ).collect()
+    }
+    want = {
+        (lk, lid, rid)
+        for (lk, lid, ls, le) in ldata
+        for (rk, rid, rs, re) in rdata
+        if lk == rk and ls <= re and rs <= le
+    }
+    assert got == want
