@@ -139,3 +139,41 @@ def run_streaming_ivf_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_pq_ingest(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    codebook,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming PQ-index ingest: each arriving embedding batch encodes
+    against the frozen codebook (map-only broadcast argmin) and its
+    PACKED codes append to the persisted code table — the ANN index
+    grows at 8 bytes/vector while the stream flows. Same monotone-index
+    posture as the IVF ingest above; encoding is per-vector, so the
+    streamed code table is bit-identical to a from-scratch encode of the
+    same corpus (tested in test_pq.py)."""
+    from ..operators.pq import pack_codes, pq_append_batch
+
+    schema = spark.read.parquet(emb_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pack_codes(pq_append_batch(batch_df, codebook)).write.mode(
+            "append"
+        ).parquet(f"{index_dir}/codes")
+
+    q = (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()
