@@ -484,3 +484,42 @@ def source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_union"),
     )
+
+
+from ..operators.dedup import minhash_lsh_pairs as _mh_pairs  # noqa: E402
+
+
+@query(
+    "near_dup_rate_by_source",
+    oracle=(
+        f"WITH {duck_minhash_lsh_ctes(threshold=0.5)}, "
+        "ids AS (SELECT id_a AS id FROM mh_pairs "
+        "UNION SELECT id_b FROM mh_pairs) "
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(i.id) AS BIGINT) AS n_near_dup, "
+        "CAST(COUNT(i.id) AS DOUBLE) / COUNT(*) AS near_dup_rate "
+        "FROM documents d LEFT JOIN ids i ON i.id = d.doc_id "
+        "GROUP BY d.source"
+    ),
+    doc=(
+        "Corpus-health metric: per-source near-duplicate rate (share of "
+        "docs appearing in any MinHash pair at jaccard >= 0.5) — the "
+        "number a curation pipeline tracks per crawl/source to decide "
+        "what to ingest. Reuses the banded pipeline; the per-source "
+        "rollup adds one integer aggregate and a single final division."
+    ),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _mh_pairs(docs, threshold=0.5)
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    joined = docs.join(ids, docs.doc_id == ids.id, "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("id").cast("bigint").alias("n_near_dup"),
+        (F.count("id").cast("double") / F.count("*")).alias("near_dup_rate"),
+    )

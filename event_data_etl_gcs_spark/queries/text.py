@@ -691,3 +691,60 @@ def doc_similarity_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HTF_TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+from ..operators.text import duck_language_id, language_id_column  # noqa: E402
+
+
+@query(
+    "code_switch_flags",
+    oracle=(
+        "WITH t AS (SELECT doc_id, lang, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        "halves AS (SELECT doc_id, lang, "
+        "toks[1:(len(toks) // 2)] AS h1, "
+        "toks[(len(toks) // 2 + 1):len(toks)] AS h2 FROM t), "
+        f"scored AS (SELECT doc_id, lang, {duck_language_id('h1')} AS lang_first, "
+        f"{duck_language_id('h2')} AS lang_second FROM halves) "
+        "SELECT doc_id, lang, lang_first, lang_second, "
+        "(lang_first <> lang_second AND lang_first <> 'und' "
+        "AND lang_second <> 'und') AS is_code_switched FROM scored"
+    ),
+    doc=(
+        "Mixed-language (code-switching) detection: language-ID each "
+        "HALF of the token stream independently and flag documents "
+        "whose halves disagree (both confidently) — the curation signal "
+        "for docs that straddle languages, which single-doc language ID "
+        "silently mislabels. Map-only; same marker-lexicon argmax as "
+        "lang_id on both engines."
+    ),
+)
+def code_switch_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.expr(tokens_sql("text")).alias("toks"))
+    halves = t.select(
+        "doc_id",
+        "lang",
+        F.expr("slice(toks, 1, CAST(size(toks) / 2 AS INT))").alias("h1"),
+        F.expr(
+            "slice(toks, CAST(size(toks) / 2 AS INT) + 1, "
+            "size(toks) - CAST(size(toks) / 2 AS INT))"
+        ).alias("h2"),
+    )
+    scored = halves.select(
+        "doc_id",
+        "lang",
+        language_id_column("h1").alias("lang_first"),
+        language_id_column("h2").alias("lang_second"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "lang_first",
+        "lang_second",
+        (
+            (F.col("lang_first") != F.col("lang_second"))
+            & (F.col("lang_first") != "und")
+            & (F.col("lang_second") != "und")
+        ).alias("is_code_switched"),
+    )
