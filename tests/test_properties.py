@@ -184,3 +184,42 @@ def test_interval_overlap_join_matches_naive_model(spark, left, right, width):
         if lk == rk and ls <= re and rs <= le
     }
     assert got == want
+
+
+lake_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # day (partition)
+        st.integers(min_value=0, max_value=2),  # category
+        st.integers(min_value=0, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(data=lake_rows, target_day=st.integers(min_value=1, max_value=4),
+       target_cat=st.integers(min_value=0, max_value=2))
+@SETTINGS
+def test_delete_where_matches_filter_model(spark, tmp_path_factory, data, target_day, target_cat):
+    """delete_where == plain filter on random partitioned tables,
+    including all-rows-deleted partitions and no-match predicates."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import delete_where
+
+    d = str(tmp_path_factory.mktemp("lake"))
+    df = spark.createDataFrame(data, "day int, cat int, v int")
+    df.write.mode("overwrite").partitionBy("day").parquet(d)
+    pred = f"day = {target_day} AND cat = {target_cat}"
+    deleted = delete_where(spark, d, pred, "day")
+    want = [(dy, c, v) for (dy, c, v) in data if not (dy == target_day and c == target_cat)]
+    assert deleted == len(data) - len(want)
+    if not want:
+        # table fully emptied: every partition directory is gone, and a
+        # parquet dir with no files is unreadable by contract
+        import glob as _glob
+
+        assert not _glob.glob(f"{d}/day=*/*.parquet")
+        return
+    got = sorted(
+        (r.day, r.cat, r.v) for r in spark.read.parquet(d).collect()
+    )
+    assert got == sorted(want)
