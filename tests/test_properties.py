@@ -223,3 +223,24 @@ def test_delete_where_matches_filter_model(spark, tmp_path_factory, data, target
         (r.day, r.cat, r.v) for r in spark.read.parquet(d).collect()
     )
     assert got == sorted(want)
+
+
+@given(data=lake_rows, target_day=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_update_where_matches_map_model(spark, tmp_path_factory, data, target_day):
+    """update_where == a per-row conditional map on random partitioned
+    tables (cardinality preserved, non-matching rows verbatim)."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import update_where
+
+    d = str(tmp_path_factory.mktemp("lake_u"))
+    df = spark.createDataFrame(data, "day int, cat int, v int")
+    df.write.mode("overwrite").partitionBy("day").parquet(d)
+    pred = f"day = {target_day} AND cat = 1"
+    updated = update_where(spark, d, pred, {"v": "v + 1000"}, "day")
+    want = sorted(
+        (dy, c, v + 1000 if (dy == target_day and c == 1) else v)
+        for (dy, c, v) in data
+    )
+    assert updated == sum(1 for (dy, c, _) in data if dy == target_day and c == 1)
+    got = sorted((r.day, r.cat, r.v) for r in spark.read.parquet(d).collect())
+    assert got == want
