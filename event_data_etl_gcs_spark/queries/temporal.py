@@ -282,3 +282,36 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("p_end_us", "c_end_us") - F.greatest("p_start_us", "c_start_us")
         ).cast("bigint").alias("overlap_us"),
     )
+
+
+@query(
+    "dedup_events_tumbling",
+    oracle=(
+        "SELECT user_id, event_type, "
+        "CAST(to_timestamp((epoch_us(ts) // 300000000) * 300) AS TIMESTAMP) "
+        "AS window_start, "
+        "CAST(MIN(event_id) AS BIGINT) AS kept_event_id, "
+        "CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    doc=(
+        "Time-windowed event dedup: one kept event (min id) per "
+        "(user, event_type, 5-minute tumbling window), the rest counted "
+        "as suppressed — the batch analogue of the streaming "
+        "watermark-dedup stage (streaming/incremental.py), for replays "
+        "and backfills. One hash aggregate, map-side partials; the "
+        "window key is integer arithmetic on epoch micros so both "
+        "engines bucket identically."
+    ),
+)
+def dedup_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.timestamp_seconds(
+        (F.floor(F.unix_micros("ts") / F.lit(300_000_000))) * F.lit(300)
+    )
+    return ev.groupBy(
+        "user_id", "event_type", win.alias("window_start")
+    ).agg(
+        F.min("event_id").cast("bigint").alias("kept_event_id"),
+        (F.count("*") - 1).cast("bigint").alias("n_suppressed"),
+    )

@@ -41,6 +41,15 @@ PROBES = [
     "source_minhash_jaccard",
     "interval_overlap_pairs",
     "hll_distinct_rollup",
+    "pq_encode",
+    "ann_pq_adc",
+    "ann_ivfpq",
+    "value_drift_tvd",
+    "hashed_tf_vectors",
+    "doc_similarity_hashed_tf",
+    "sequence_pack_layout",
+    "near_dup_rate_by_source",
+    "code_switch_flags",
 ]
 
 
