@@ -112,28 +112,44 @@ def adc_topk(
     qsub = queries.select(
         F.col(id_col).alias("qid"), F.explode(_sub_structs(vec_col)).alias("s")
     ).select("qid", "s.m", F.col("s.sv").alias("qsv"))
-    partial = (
-        codes.join(F.broadcast(codebook), (codes.m == codebook.m) & (codes.code == codebook.c))
-        .select("vec_id", codes.m.alias("pm"), "cv")
-        .join(F.broadcast(qsub), F.col("pm") == qsub.m)
-        .filter(F.col("qid") != F.col("vec_id"))
+    # THE ADC trick: precompute the distance lookup table — one sqdist
+    # per (query, subspace, code), n_query*M*K rows — so the corpus-side
+    # pass is a pure code-table join + lookup, never a per-pair distance
+    # computation. Same doubles (each distance computed once, not
+    # recomputed per pair).
+    lut = (
+        qsub.join(F.broadcast(codebook), qsub.m == codebook.m)
         .select(
             "qid",
-            "vec_id",
-            F.col("pm").alias("m"),
+            codebook.m.alias("m"),
+            F.col("c").alias("code"),
             F.expr(sqdist_sql("qsv", "cv")).alias("p"),
         )
     )
+    partial = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", "m", "p")
+    )
+    # Pivot the M partials into fixed columns and add them in subspace
+    # order: each conditional sum aggregates exactly ONE value, and the
+    # final p0+p1+...+p7 is a fixed-order expression — deterministic
+    # doubles without materializing/sorting an array per pair (the
+    # collect_list fold this replaces was the hot spot at 100x).
+    per_m = [
+        F.sum(F.when(F.col("m") == m, F.col("p"))).alias(f"p{m}")
+        for m in range(PQ_M)
+    ]
+    total = F.col("p0")
+    for m in range(1, PQ_M):
+        total = total + F.col(f"p{m}")
     summed = (
         partial.groupBy("qid", "vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("m", "p"))).alias("parts"))
+        .agg(*per_m)
         .select(
             F.col("qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                "aggregate(transform(parts, x -> x.p), CAST(0 AS DOUBLE), "
-                "(acc, v) -> acc + v)"
-            ).alias("adc_dist"),
+            total.alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")

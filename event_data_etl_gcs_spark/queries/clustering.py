@@ -402,31 +402,45 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
         F.explode(_sub_structs("embedding")).alias("s"),
     ).select("qid", "qlabel", "s.m", F.col("s.sv").alias("qsv"))
-    partial = (
-        codes_l.join(F.broadcast(cb), (codes_l.m == cb.m) & (codes_l.code == cb.c))
-        .select("vec_id", "label", codes_l.m.alias("pm"), "cv")
-        .join(
-            F.broadcast(qsub),
-            (F.col("pm") == qsub.m) & (F.col("label") == qsub.qlabel),
-        )
-        .filter(F.col("qid") != F.col("vec_id"))
+    # distance lookup table (see operators/pq.adc_topk): one sqdist per
+    # (query, subspace, code); the cell-routed corpus pass is then a
+    # code join + lookup with the label filter, no per-pair distances
+    lut = (
+        qsub.join(F.broadcast(cb), qsub.m == cb.m)
         .select(
             "qid",
-            "vec_id",
-            F.col("pm").alias("m"),
+            "qlabel",
+            cb.m.alias("m"),
+            F.col("c").alias("code"),
             F.expr(sqdist_sql("qsv", "cv")).alias("p"),
         )
     )
+    partial = (
+        codes_l.join(F.broadcast(lut), ["m", "code"])
+        .filter(
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("qid") != F.col("vec_id"))
+        )
+        .select("qid", "vec_id", "m", "p")
+    )
+    # fixed-order pivot-add (see operators/pq.adc_topk): deterministic
+    # without per-pair array materialization
+    from ..operators.pq import PQ_M as _PQ_M
+
+    per_m = [
+        F.sum(F.when(F.col("m") == m, F.col("p"))).alias(f"p{m}")
+        for m in range(_PQ_M)
+    ]
+    total = F.col("p0")
+    for m in range(1, _PQ_M):
+        total = total + F.col(f"p{m}")
     summed = (
         partial.groupBy("qid", "vec_id")
-        .agg(F.sort_array(F.collect_list(F.struct("m", "p"))).alias("parts"))
+        .agg(*per_m)
         .select(
             F.col("qid").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                "aggregate(transform(parts, x -> x.p), CAST(0 AS DOUBLE), "
-                "(acc, v) -> acc + v)"
-            ).alias("adc_dist"),
+            total.alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
