@@ -156,23 +156,34 @@ def interval_overlap_join(
     cross join. Here both sides explode to the fixed-width slabs each
     interval covers, the join runs as an EQUI-join on (keys..., slab) —
     shuffle-partitioned, skew bounded by slab width — and the exact
-    overlap predicate filters candidates only. A pair overlapping k slabs
-    appears k times, so candidates dedupe before the filter. Pick
-    bucket_width ~ the typical interval length: each interval then
-    explodes to ~2 slab rows, and a candidate bucket holds only
-    near-in-time rows — at 100 TB this is the difference between a
-    bounded equi-join and a hot-key cross join.
+    overlap predicate filters candidates only. A pair sharing k slabs
+    would match k times; the CANONICAL-SLAB filter (emit only in slab
+    max(left_start_slab, right_start_slab) — the first slab any
+    overlapping pair shares) makes each pair match exactly once, with
+    no distinct shuffle and no row collapsing if the inputs contain
+    genuinely duplicate rows. Pick bucket_width ~ the typical interval
+    length: each interval then explodes to ~2 slab rows, and a
+    candidate bucket holds only near-in-time rows — at 100 TB this is
+    the difference between a bounded equi-join and a hot-key cross join.
     """
     ls = F.floor(F.col(left_start) / bucket_width).cast("long")
     le = F.floor(F.col(left_end) / bucket_width).cast("long")
     rs = F.floor(F.col(right_start) / bucket_width).cast("long")
     re = F.floor(F.col(right_end) / bucket_width).cast("long")
-    lx = left.withColumn("__slab", F.explode(F.sequence(ls, le)))
-    rx = right.withColumn("__slab", F.explode(F.sequence(rs, re)))
+    lx = left.withColumn("__start_slab", ls).withColumn(
+        "__slab", F.explode(F.sequence(ls, le))
+    )
+    rx = right.withColumn("__r_start_slab", rs).withColumn(
+        "__slab", F.explode(F.sequence(rs, re))
+    )
     joined = (
         lx.join(rx, keys + ["__slab"])
-        .drop("__slab")
-        .dropDuplicates()
+        # canonical slab: the later of the two start slabs is shared by
+        # every slab-overlapping pair, so this keeps exactly one match
+        .filter(
+            F.col("__slab") == F.greatest("__start_slab", "__r_start_slab")
+        )
+        .drop("__slab", "__start_slab", "__r_start_slab")
         .filter(
             (F.col(left_start) <= F.col(right_end))
             & (F.col(right_start) <= F.col(left_end))
