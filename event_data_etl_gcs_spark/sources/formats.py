@@ -89,3 +89,31 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     gzipped file is one task regardless of size (document the trap
     instead of hitting it at 100 TB: re-chunk gzip corpora at ingest)."""
     return spark.read.text(path)
+
+
+def rechunk_gzip_jsonl(
+    spark: SparkSession,
+    src_glob: str,
+    out_dir: str,
+    schema: StructType,
+    target_partitions: int = 64,
+    mode: str = "overwrite",
+) -> int:
+    """One-time ingest fix for gzipped JSONL corpora: read the
+    unsplittable .gz files (one task per FILE — the read itself cannot
+    parallelize further; that is gzip, not Spark), immediately
+    repartition, and land splittable parquet. Every downstream pass then
+    scans with full parallelism instead of re-paying one-task-per-file
+    on every query — at 100 TB this single pass is the difference
+    between a cluster and a queue of single-threaded gunzips.
+
+    Explicit schema (never inferSchema — that would read the gzip
+    twice). Returns the row count landed."""
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(src_glob)
+        .repartition(target_partitions)
+    )
+    df.write.mode(mode).parquet(out_dir)
+    return spark.read.parquet(out_dir).count()

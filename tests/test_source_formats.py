@@ -94,3 +94,28 @@ def test_jsonl_round_trip(spark, tmp_path):
     export_jsonl(docs, path, compression=None)
     back = spark.read.schema(docs.schema).json(path)
     assert_same_rows(back, docs)
+
+
+def test_rechunk_gzip_jsonl(spark, tmp_path):
+    """Gzipped JSONL lands as splittable parquet with identical rows and
+    real parallelism (>1 output partition from 1 unsplittable input)."""
+    import glob
+    import gzip
+    import json
+
+    from event_data_etl_gcs_spark.sources.formats import rechunk_gzip_jsonl
+
+    docs = load_table(spark, SF, "documents")
+    rows = [r.asDict() for r in docs.collect()]
+    gz = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "rechunked")
+    n = rechunk_gzip_jsonl(spark, str(gz), out, docs.schema, target_partitions=8)
+    assert n == len(rows)
+    back = spark.read.parquet(out).select(*docs.columns)
+    assert_same_rows(back, docs)
+    # the landed layout is actually parallel: multiple parquet files
+    assert len(glob.glob(f"{out}/*.parquet")) == 8
