@@ -182,3 +182,59 @@ def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+_CENTS_SPARK = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS_DUCK = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "mad_outliers",
+    oracle=(
+        f"WITH c AS (SELECT event_type, {_CENTS_DUCK} AS v FROM events), "
+        "med AS (SELECT event_type, quantile_cont(v::DOUBLE, 0.5) AS median_c "
+        "FROM c GROUP BY 1), "
+        "dev AS (SELECT c.event_type, abs(c.v - m.median_c) AS d, m.median_c "
+        "FROM c JOIN med m ON c.event_type = m.event_type), "
+        "mad AS (SELECT event_type, median_c, "
+        "quantile_cont(d, 0.5) AS mad_c FROM dev GROUP BY 1, 2) "
+        "SELECT dev.event_type, mad.median_c, mad.mad_c, "
+        "CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_outliers, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM dev JOIN mad ON dev.event_type = mad.event_type "
+        "GROUP BY dev.event_type, mad.median_c, mad.mad_c"
+    ),
+    doc=(
+        "Robust outlier detection: median absolute deviation per event "
+        "type, counting points beyond 3*MAD — the robust-stats "
+        "alternative to z-scores (immune to the outliers it hunts). "
+        "Values go through the exact integer-cents cast (decimal "
+        "pattern), so medians interpolate on an integral/half-integral "
+        "grid where doubles are exact in both engines. Two percentile "
+        "aggregates + one counting pass; each is a narrow shuffle on "
+        "event_type."
+    ),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", F.expr(_CENTS_SPARK).alias("v"))
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("median_c")
+    )
+    dev = c.join(med, "event_type").select(
+        "event_type", "median_c", F.abs(F.col("v") - F.col("median_c")).alias("d")
+    )
+    mad = dev.groupBy("event_type", "median_c").agg(
+        F.expr("percentile(d, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(mad.select("event_type", "mad_c"), "event_type")
+        .groupBy("event_type", "median_c", "mad_c")
+        .agg(
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select("event_type", "median_c", "mad_c", "n_outliers", "n")
+    )
