@@ -83,7 +83,7 @@ set_priority([
     "hll_distinct_rollup", "value_drift_tvd",
     "hashed_tf_vectors", "doc_similarity_hashed_tf", "sequence_pack_layout",
     "near_dup_rate_by_source", "code_switch_flags", "dedup_events_tumbling",
-    "mad_outliers",
+    "mad_outliers", "cluster_quality_stats",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -471,3 +471,47 @@ def ann_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = encode_codes(emb, cb)
     queries_df = emb.filter(F.col("vec_id") < _PQ_N_QUERY)
     return adc_topk(emb, cb, codes, queries_df, k=_PQ_TOP_K)
+
+
+@query(
+    "cluster_quality_stats",
+    oracle=(
+        f"WITH {_DUCK_ASSIGN_CTES}, "
+        "j AS (SELECT a.cluster_id, a.vec_id, a.sqdist FROM assign a) "
+        "SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list(sqdist ORDER BY vec_id)), (acc, x) -> acc + x) / COUNT(*) "
+        "AS mean_sqdist, MAX(sqdist) AS max_sqdist, MIN(sqdist) AS min_sqdist "
+        "FROM j GROUP BY cluster_id"
+    ),
+    doc=(
+        "Clustering quality report: per-cluster size and the mean/max/"
+        "min squared distance to the assigned centroid — the numbers "
+        "that drive 'retrain or re-k' decisions for the IVF/PQ coarse "
+        "quantizers. The mean folds member distances in vec_id order "
+        "(order-pinned float summation); max/min are order-free. One "
+        "narrow shuffle on cluster_id over (id, sqdist) pairs."
+    ),
+)
+def cluster_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = assign_clusters(emb, initial_centroids(emb))
+    grouped = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sort_array(F.collect_list(F.struct("vec_id", "sqdist"))).alias("pairs"),
+        F.max("sqdist").alias("max_sqdist"),
+        F.min("sqdist").alias("min_sqdist"),
+    )
+    return grouped.select(
+        "cluster_id",
+        "n_members",
+        (
+            F.expr(
+                "aggregate(transform(pairs, p -> p.sqdist), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n_members")
+        ).alias("mean_sqdist"),
+        "max_sqdist",
+        "min_sqdist",
+    )

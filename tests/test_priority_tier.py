@@ -1,6 +1,6 @@
 """Driver-prefix safety: the correctness driver checks a PREFIX of the
 registered inventory (50 names in rounds 1-2, possibly more later). This
-pins, for the first 91 priority names (the full explicit priority list), the properties a driver row needs:
+pins, for the first 92 priority names (the full explicit priority list), the properties a driver row needs:
 registered, oracle-bearing (or an explicitly documented rows-only
 exception), and — via analysis only, no execution — an output schema of
 atomic columns the driver's pandas canonicalizer can sort and hash.
@@ -13,7 +13,7 @@ import pytest
 
 from event_data_etl_gcs_spark.queries import all_queries
 
-TIER_N = 91
+TIER_N = 92
 
 # Rows-only by documented design (non-SQL-expressible): the driver records
 # a weaker rows-only check for these, which tolerates non-atomic columns.
