@@ -87,3 +87,207 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
+
+
+def symmetrize(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Undirected (u<v) edge list -> both-direction adjacency."""
+    return edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+
+
+def knn_edges(vectors: DataFrame, k: int = 3) -> DataFrame:
+    """Undirected kNN graph over an embedding column: (u, v, cos_sim)
+    with u < v, where (u, v) appears iff v is among u's exact cosine
+    top-k or vice versa.
+
+    Built from :func:`..similarity.brute_force_topk` (broadcast queries,
+    JVM-lambda dot products). cos_sim is direction-independent bit-exact
+    (elementwise multiply commutes, fold order over dims is fixed), so
+    the symmetrized DISTINCT collapses the two directions to one row.
+
+    Scale: at 100 TB you would not brute-force the kNN step — swap the
+    candidate generator for the ANN paths (lsh_bucket_topk / IVF / PQ)
+    and keep this symmetrize+distinct contract; the graph ops downstream
+    only see (u, v) edges.
+    """
+    from .similarity import brute_force_topk
+
+    topk = brute_force_topk(vectors, vectors, k=k)
+    und = topk.select(
+        F.least("query_id", "neighbor_id").alias("u"),
+        F.greatest("query_id", "neighbor_id").alias("v"),
+        "cos_sim",
+    )
+    return und.distinct()
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """(node, degree) over an undirected u<v edge list. One shuffle."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient.
+
+    Input: undirected edge list with u < v (one row per edge). Each
+    triangle a<b<c is enumerated exactly once via two shuffle joins on
+    the oriented edge list (the classic sort-merge triangle listing:
+    wedges a->b->c checked against closing edge (a, c)), then exploded
+    to its three corners and counted per node.
+
+    Output: (node, degree, n_triangles, lcc) for every node, where
+    lcc = 2*T / (d*(d-1)) — both operands exact integers, one double
+    division, so the float is bit-portable. d == 1 nodes get lcc 0.0.
+
+    Scale: id-orientation bounds work by sum of per-node out-degree
+    squared; for skewed degree distributions re-orient by (degree, id)
+    first — the count is identical, the join fan-out drops to the
+    compact-forward bound. kNN graphs are degree-bounded by 2k, so the
+    plain orientation is already tight here.
+    """
+    e = edges.select("u", "v")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = degree_table(e)
+    return (
+        deg.join(corners, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0).cast("long")))
+        .withColumn(
+            "lcc",
+            F.when(
+                F.col("degree") > 1,
+                (F.lit(2.0) * F.col("n_triangles").cast("double"))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("node", "degree", "n_triangles", "lcc")
+    )
+
+
+def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Minimum hop distance from the seed (= global min node id) to every
+    node reachable within ``max_hops``: (node, hops).
+
+    Fixed-depth frontier expansion: each level is one shuffle join of the
+    current distance table against the adjacency list, then a min-hops
+    groupBy — O(max_hops) bounded iterations, no convergence check
+    needed. Caching per level, previous generation unpersisted (same
+    discipline as :func:`connected_components`).
+    """
+    sym = symmetrize(edges).cache()
+    # u < v on every input row, so min(u) is the global min node id.
+    seed = edges.agg(F.min("u").alias("node"))
+    dist = seed.withColumn("hops", F.lit(0).cast("int")).cache()
+    dist.count()
+    for h in range(1, max_hops + 1):
+        frontier = (
+            dist.filter(F.col("hops") == h - 1)
+            .alias("d")
+            .join(sym.alias("s"), F.col("d.node") == F.col("s.u"))
+            .select(
+                F.col("s.v").alias("node"), F.lit(h).cast("int").alias("hops")
+            )
+        )
+        new_dist = (
+            dist.union(frontier)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .cache()
+        )
+        new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+    sym.unpersist()
+    return dist
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected u<v edge list:
+    (node, pagerank).
+
+    Power iteration: rank_{t+1}(n) = (1-d)/N + d * sum over neighbors m
+    of rank_t(m)/degree(m). Every node in the edge list has degree >= 1
+    (no dangling mass). Each iteration is one shuffle join on node id +
+    one groupBy — the standard large-scale formulation; adjacency and
+    degrees are computed once and cached across iterations.
+
+    Cross-partition double summation makes the result engine- and
+    partitioning-nondeterministic in the last ulp, so this is a
+    rows-only query (the pytest gate compares against a numpy power
+    iteration at 1e-9 instead of a SQL oracle).
+    """
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    adj = (
+        sym.alias("s")
+        .join(deg.alias("g"), F.col("s.u") == F.col("g.node"))
+        .select(
+            F.col("s.u").alias("src"),
+            F.col("s.v").alias("dst"),
+            F.col("g.degree").alias("degree"),
+        )
+        .cache()
+    )
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    # Each iteration references `ranks` twice (contribs + the node-list
+    # left join), so lineage doubles per round — localCheckpoint truncates
+    # the logical plan (cache alone leaves it growing 2^iterations).
+    ranks = deg.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            adj.alias("a")
+            .join(ranks.alias("r"), F.col("a.src") == F.col("r.node"))
+            .select(
+                F.col("a.dst").alias("node"),
+                (F.col("r.rank") / F.col("a.degree")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        new_ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = new_ranks
+    adj.unpersist()
+    return ranks.select("node", F.col("rank").alias("pagerank"))

@@ -1,0 +1,138 @@
+"""Graph analytics over the embedding kNN graph (round 3).
+
+The substrate is the exact cosine kNN graph over the embeddings table
+(deterministic: bit-exact cosines + id tiebreaks, verified in prior
+rounds), symmetrized to an undirected u<v edge list. On top of it:
+per-node triangle counts / local clustering coefficient (integer-exact),
+bounded-depth BFS hop distances (integer-exact, DuckDB recursive-CTE
+oracle), and fixed-iteration PageRank (rows-only; numpy-verified in
+tests/test_graph.py — cross-partition double sums are last-ulp
+nondeterministic by construction).
+
+These extend the dedup-clustering machinery (operators/graph.py
+connected_components) to the general graph-analytics surface a
+training-data pipeline uses for corpus structure analysis: duplicate
+neighborhoods, embedding-space connectivity, centrality-weighted
+sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.graph import bfs_hops, knn_edges, pagerank, triangle_counts
+from ..operators.similarity import duck_dot, duck_norm
+from ..sources.catalog import load_table
+from .registry import query
+
+K_NN = 3
+BFS_MAX_HOPS = 4
+
+# Exact cosine top-K_NN per vector, symmetrized to undirected u<v edges.
+# cos_sim is direction-independent bit-exact (elementwise multiply
+# commutes; the fold order over dims is fixed), so DISTINCT collapses
+# the two directions of a mutual-kNN pair to one row in both engines.
+_DUCK_EDGE_CTES = (
+    "n AS (SELECT vec_id, embedding, "
+    f"{duck_norm('embedding')} AS nrm FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    f"{duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_sim "
+    "FROM n q JOIN n c ON c.vec_id <> q.vec_id "
+    "WHERE q.nrm > 0 AND c.nrm > 0), "
+    "knn AS (SELECT * FROM scored QUALIFY row_number() OVER "
+    f"(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {K_NN}), "
+    "edges AS (SELECT DISTINCT least(query_id, neighbor_id) AS u, "
+    "greatest(query_id, neighbor_id) AS v, cos_sim FROM knn), "
+    "ed AS (SELECT u, v FROM edges)"
+)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_edges(emb, k=K_NN)
+
+
+@query(
+    "knn_graph_edges",
+    oracle=f"WITH {_DUCK_EDGE_CTES} SELECT u, v, cos_sim FROM edges",
+    doc=(
+        "Undirected exact-cosine kNN graph over the embeddings table: "
+        "(u, v, cos_sim) with u < v. Broadcast query side, JVM-lambda "
+        "dot products, per-query top-k window; at 100 TB swap the "
+        "brute-force candidate step for the ANN paths (LSH/IVF/PQ) and "
+        "keep the symmetrize+distinct contract."
+    ),
+)
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir)
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=(
+        f"WITH {_DUCK_EDGE_CTES}, "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM ed e1 JOIN ed e2 ON e2.u = e1.v "
+        "JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v), "
+        "corners AS (SELECT a AS node FROM tri "
+        "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+        "tcount AS (SELECT node, count(*) AS n_triangles "
+        "FROM corners GROUP BY node), "
+        "sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed), "
+        "deg AS (SELECT u AS node, count(*) AS degree FROM sym GROUP BY u) "
+        "SELECT d.node, d.degree, "
+        "COALESCE(t.n_triangles, 0) AS n_triangles, "
+        "CASE WHEN d.degree > 1 THEN 2.0 * COALESCE(t.n_triangles, 0) "
+        "/ (d.degree * (d.degree - 1)) ELSE 0.0 END AS lcc "
+        "FROM deg d LEFT JOIN tcount t USING (node)"
+    ),
+    doc=(
+        "Per-node triangle participation + local clustering coefficient "
+        "over the kNN graph. Triangles enumerated once each (a<b<c) via "
+        "two shuffle joins on the oriented edge list; counts are exact "
+        "integers and lcc = 2T/(d(d-1)) is a single bit-portable double "
+        "division. kNN graphs bound degree by 2k, so id-orientation is "
+        "already the compact-forward bound."
+    ),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(_edges(spark, sf_dir).select("u", "v"))
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=(
+        f"WITH RECURSIVE {_DUCK_EDGE_CTES}, "
+        "sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed), "
+        "seed AS (SELECT min(u) AS node FROM ed), "
+        "walk(node, hops) AS ("
+        "SELECT node, 0 FROM seed "
+        "UNION ALL "
+        "SELECT s.v, w.hops + 1 FROM walk w JOIN sym s ON s.u = w.node "
+        f"WHERE w.hops < {BFS_MAX_HOPS}) "
+        "SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node"
+    ),
+    doc=(
+        "Minimum hop distance from the min-id node to everything within "
+        f"{BFS_MAX_HOPS} hops of it on the kNN graph: bounded frontier "
+        "expansion, one shuffle join + min-groupBy per level, no "
+        "convergence check needed. Oracle is a DuckDB recursive CTE "
+        "over the same edges — hop counts are integer-exact."
+    ),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_hops(_edges(spark, sf_dir).select("u", "v"), max_hops=BFS_MAX_HOPS)
+
+
+@query(
+    "graph_pagerank",
+    oracle=None,  # cross-partition double sums: last-ulp partitioning-
+    # dependent by construction; verified against numpy in test_graph.py.
+    doc=(
+        "Fixed-iteration (10) damped PageRank over the kNN graph: "
+        "cached adjacency+degree, one shuffle join + groupBy-sum per "
+        "iteration — the standard large-scale power-iteration shape."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank(_edges(spark, sf_dir).select("u", "v"))

@@ -1,0 +1,78 @@
+"""Graph analytics: hand-built fixtures for triangles/BFS, a numpy
+power-iteration reference for the rows-only PageRank query, and a
+consistency check between the kNN edge list and the downstream ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from event_data_etl_gcs_spark.operators.graph import (
+    bfs_hops,
+    knn_edges,
+    pagerank,
+    triangle_counts,
+)
+from event_data_etl_gcs_spark.queries.graph import K_NN, _edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    res = {
+        r["node"]: r
+        for r in triangle_counts(_edge_df(spark, k4 + [(4, 5)])).collect()
+    }
+    for n in (1, 2, 3):
+        assert res[n]["n_triangles"] == 3 and res[n]["degree"] == 3
+        assert res[n]["lcc"] == 1.0
+    assert res[4]["degree"] == 4 and res[4]["n_triangles"] == 3
+    assert res[4]["lcc"] == pytest.approx(0.5)
+    assert res[5]["n_triangles"] == 0 and res[5]["lcc"] == 0.0
+
+
+def test_bfs_hops_path_graph(spark):
+    # path 1-2-3-4-5-6-7: hops capped at 4 -> node 7 (5 hops) excluded.
+    path = [(i, i + 1) for i in range(1, 7)]
+    res = {r["node"]: r["hops"] for r in bfs_hops(_edge_df(spark, path)).collect()}
+    assert res == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = _edges(spark, SF).select("u", "v")
+    pr = {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+
+    rows = edges.collect()
+    nodes = sorted({r["u"] for r in rows} | {r["v"] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for r in rows:
+        adj[idx[r["u"]], idx[r["v"]]] = 1.0
+        adj[idx[r["v"]], idx[r["u"]]] = 1.0
+    deg = adj.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        rank = (1 - 0.85) / n + 0.85 * adj.T @ (rank / deg)
+
+    assert set(pr) == set(nodes)
+    for node in nodes:
+        assert pr[node] == pytest.approx(rank[idx[node]], abs=1e-9)
+
+
+def test_knn_edges_degree_bounded(spark):
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    edges = knn_edges(emb, k=K_NN)
+    deg = triangle_counts(edges.select("u", "v")).agg({"degree": "max"}).collect()
+    # each node contributes k out-edges; in-degree is unbounded in
+    # theory but tiny in practice — sanity-bound it generously.
+    assert deg[0][0] >= K_NN
+    assert edges.count() >= emb.count() * K_NN / 2
