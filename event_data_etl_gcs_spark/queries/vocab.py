@@ -1,0 +1,178 @@
+"""Tokenizer-vocabulary induction statistics (round 3).
+
+The corpus-level counting a BPE tokenizer trainer runs before its first
+merge: adjacent-pretoken pair frequencies (the merge-candidate table),
+top-V vocabulary coverage (what fraction of token occurrences a V-entry
+vocab captures), and per-source token diversity (Simpson index /
+effective vocabulary size) — the concentration diagnostic used when
+balancing corpus mixes.
+
+All three are one-shuffle groupBy counts with distributed top-k
+(`TakeOrderedAndProject`, never a global sort); floats are either a
+single division of exact integers or an order-pinned fold, so every
+query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import bpe_tokens_column, duck_bpe_tokens, duck_tokens, tokens_sql
+from ..sources.catalog import load_table
+from .registry import query
+
+TOP_MERGES = 50
+VOCAB_V = 500
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=(
+        f"WITH toks AS (SELECT {duck_bpe_tokens()} AS t FROM documents), "
+        "pairs AS (SELECT t[i] AS left_tok, t[i + 1] AS right_tok "
+        "FROM toks, unnest(range(1, len(t))) AS r(i)) "
+        "SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS pair_count "
+        "FROM pairs GROUP BY left_tok, right_tok "
+        f"ORDER BY pair_count DESC, left_tok, right_tok LIMIT {TOP_MERGES}"
+    ),
+    doc=(
+        f"Top-{TOP_MERGES} adjacent BPE-pretoken pairs by corpus frequency "
+        "— the candidate table for the first merge of BPE training. "
+        "Map-side pair explosion, one count shuffle, distributed top-k "
+        "with a total (count desc, left, right) order so the cut is "
+        "deterministic. Counts are exact integers."
+    ),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # sequence(1, 0) is DESCENDING in Spark, so short docs need the guard.
+    pairs = (
+        docs.select(bpe_tokens_column().alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> named_struct('left_tok', t[i - 1], 'right_tok', t[i])) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.left_tok", "p.right_tok")
+    )
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(TOP_MERGES)
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle=(
+        f"WITH toks AS (SELECT unnest({duck_tokens('text')}) AS token "
+        "FROM documents), "
+        "c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token), "
+        "total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c), "
+        f"top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT {VOCAB_V}) "
+        "SELECT token, CAST(cnt AS BIGINT) AS token_count, "
+        "CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank, "
+        "CAST(sum(cnt) OVER (ORDER BY cnt DESC, token "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count, "
+        "CAST(sum(cnt) OVER (ORDER BY cnt DESC, token "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / (SELECT n FROM total) "
+        "AS cum_coverage FROM top"
+    ),
+    doc=(
+        f"Top-{VOCAB_V} whitespace tokens with cumulative corpus coverage "
+        "— 'how big must the vocab be to cover X% of occurrences'. The "
+        "corpus-wide count + distributed top-k do the heavy lifting; the "
+        "cumulative window runs over the V surviving rows only (never a "
+        "global single-partition window). Coverage = exact-integer "
+        "cumsum / exact-integer total: one portable double division."
+    ),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(tokens_sql("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(VOCAB_V)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "token")
+        ).cast("int"))
+        .withColumn("cum_count", F.sum("cnt").over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("cnt").alias("token_count"),
+            "rank",
+            "cum_count",
+            (F.col("cum_count").cast("double") / F.col("n").cast("double")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+@query(
+    "token_diversity_by_source",
+    oracle=(
+        "WITH toks AS (SELECT source, "
+        f"unnest({duck_tokens('text')}) AS token FROM documents), "
+        "c AS (SELECT source, token, count(*) AS cnt "
+        "FROM toks GROUP BY source, token), "
+        "g AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS distinct_tokens, "
+        "list(cnt ORDER BY token) AS cnts FROM c GROUP BY source), "
+        "s AS (SELECT source, n_tokens, distinct_tokens, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(cnts, c -> CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))), "
+        "(acc, x) -> acc + x * x) AS p2 FROM g) "
+        "SELECT source, n_tokens, distinct_tokens, "
+        "1.0 - p2 AS simpson_index, 1.0 / p2 AS effective_vocab FROM s"
+    ),
+    doc=(
+        "Per-source token diversity: Simpson index 1 - sum(p_i^2) and "
+        "effective vocabulary 1/sum(p_i^2) — the concentration "
+        "diagnostics for corpus-mix balancing. The p_i^2 fold is "
+        "ORDER-PINNED (counts sorted by token before a left-to-right "
+        "double fold), so the floats are bit-identical across engines "
+        "and partitionings; entropy's ln() is deliberately avoided — "
+        "log is not correctly-rounded IEEE, sqrt/division are."
+    ),
+)
+def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.expr(tokens_sql("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    g = c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("distinct_tokens"),
+        F.sort_array(F.collect_list(F.struct("token", "cnt"))).alias("pairs"),
+    )
+    p2 = F.expr(
+        "aggregate(transform(pairs, "
+        "p -> CAST(p.cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "distinct_tokens",
+        (F.lit(1.0) - p2).alias("simpson_index"),
+        (F.lit(1.0) / p2).alias("effective_vocab"),
+    )
