@@ -153,3 +153,50 @@ def test_stream_stream_left_outer_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and (201, None) in got, (got, want)
+
+
+def test_stream_interval_overlap_matches_batch(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    # map-only interval derivation: each click/purchase spans 10 minutes
+    clicks_b = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("l_key"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 minutes")).alias("l_end"),
+        )
+    )
+    purch_b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("r_key"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 minutes")).alias("r_end"),
+        )
+    )
+    expected = (
+        clicks_b.join(
+            purch_b,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end")),
+        )
+        .select("l_id", "r_id")
+        .collect()
+    )
+    expected_set = {(r["l_id"], r["r_id"]) for r in expected}
+    assert expected_set, "fixture produced no overlapping pairs"
+
+    from event_data_etl_gcs_spark.streaming.joins import stream_interval_overlap
+
+    ls = _stage_stream(spark, tmp_path, clicks_b, "iv_left")
+    rs = _stage_stream(spark, tmp_path, purch_b, "iv_right")
+    got = _drain(
+        spark,
+        stream_interval_overlap(ls, rs, max_len="30 minutes"),
+        "iv_pairs",
+    )
+    got_set = {(r["l_id"], r["r_id"]) for r in got.select("l_id", "r_id").collect()}
+    assert got_set == expected_set
