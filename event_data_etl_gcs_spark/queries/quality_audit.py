@@ -238,3 +238,57 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "median_c", "mad_c", "n_outliers", "n")
     )
+
+
+def _orders_canonical(engine: str) -> str:
+    from ..operators.validation import canonical_row_sql
+
+    s = "STRING" if engine == "spark" else "VARCHAR"
+    micros = "unix_micros(o_orderdate)" if engine == "spark" else "epoch_us(o_orderdate)"
+    return canonical_row_sql(
+        [
+            f"CAST(o_orderkey AS {s})",
+            f"CAST(o_custkey AS {s})",
+            "o_orderstatus",
+            # double->string is engine-dependent; 2-decimal render via DECIMAL
+            f"CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS {s})",
+            f"CAST({micros} AS {s})",
+            "o_orderpriority",
+        ]
+    )
+
+
+def _orders_checksum_oracle() -> str:
+    from ..operators.text import duck_char_hash
+    from ..operators.validation import duck_checksum_select
+
+    return (
+        "WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS part, "
+        f"{duck_char_hash(_orders_canonical('duck'))} AS rh FROM orders) "
+        f"SELECT part, {duck_checksum_select('rh')} FROM h GROUP BY part"
+    )
+
+
+@query(
+    "orders_partition_checksums",
+    oracle=_orders_checksum_oracle(),
+    doc=(
+        "Orderless per-month content checksum of the orders table — the "
+        "migration/replication validation primitive: both systems compute "
+        "map-only row hashes over a canonical rendering (NULL marker, "
+        "field separator, DECIMAL render for 2-decimal doubles, epoch "
+        "micros for timestamps) and compare per-partition digests. Two "
+        "channels (sum h, sum h^2 mod P) catch compensating edits; "
+        "mod-reduced exact-decimal sums stay in range at any row count "
+        "and merge across partitionings. See operators/validation.py."
+    ),
+)
+def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validation import partition_checksums
+
+    orders = load_table(spark, sf_dir, "orders")
+    return partition_checksums(
+        orders,
+        "date_format(o_orderdate, 'yyyy-MM')",
+        _orders_canonical("spark"),
+    )
