@@ -87,6 +87,12 @@ set_priority([
     "hashed_tf_vectors", "doc_similarity_hashed_tf", "sequence_pack_layout",
     "near_dup_rate_by_source", "code_switch_flags", "dedup_events_tumbling",
     "mad_outliers", "cluster_quality_stats",
+    # --- round-3 continuation (graph / vocab / KMV / validation) ---------
+    "knn_graph_edges", "graph_triangle_counts", "graph_bfs_hops",
+    "graph_pagerank", "bpe_merge_candidates", "vocab_coverage_topk",
+    "token_diversity_by_source", "kmv_distinct_users_by_type",
+    "kmv_set_relations", "orders_partition_checksums",
+    "duplicated_ngram_spans",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -523,3 +523,145 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("id").cast("bigint").alias("n_near_dup"),
         (F.count("id").cast("double") / F.count("*")).alias("near_dup_rate"),
     )
+
+
+from pyspark.sql import Window  # noqa: E402
+from ..operators.text import (  # noqa: E402
+    char_hash_sql,
+    duck_char_hash,
+    shingles_sql,
+    with_tokens,
+)
+
+K_SPAN = 10
+
+
+def _dup_span_oracle() -> str:
+    # the outer index must NOT be named `i`: duck_char_hash's inner
+    # list_transform lambda also binds `i`, and the slice expression is
+    # substituted inside that lambda where the inner binding shadows it.
+    sh_hash = duck_char_hash(
+        f"array_to_string(list_slice(t, si, si + {K_SPAN - 1}), ' ')"
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS t FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+        f"CAST(greatest(len(t) - {K_SPAN - 1}, 0) AS BIGINT) AS n_shingles "
+        "FROM toks), "
+        f"sh AS (SELECT doc_id, si - 1 AS p, {sh_hash} AS h "
+        f"FROM toks, unnest(range(1, greatest(len(t) - {K_SPAN - 1}, 0) + 1)) AS r(si)), "
+        "dupg AS (SELECT h FROM sh GROUP BY h "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "dup AS (SELECT doc_id, p FROM sh JOIN dupg USING (h)), "
+        f"m1 AS (SELECT doc_id, p, max(p + {K_SPAN - 1}) OVER "
+        "(PARTITION BY doc_id ORDER BY p "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM dup), "
+        "m2 AS (SELECT doc_id, p, CASE WHEN prev_end IS NULL "
+        "OR p > prev_end + 1 THEN 1 ELSE 0 END AS new_isl FROM m1), "
+        "m3 AS (SELECT doc_id, p, sum(new_isl) OVER "
+        "(PARTITION BY doc_id ORDER BY p "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m2), "
+        f"isle AS (SELECT doc_id, isl, max(p) - min(p) + {K_SPAN} AS cov, "
+        "count(*) AS cnt FROM m3 GROUP BY doc_id, isl), "
+        "perdoc AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered_tokens, "
+        "CAST(sum(cnt) AS BIGINT) AS n_dup_shingles FROM isle GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tokens, b.n_shingles, "
+        "CAST(COALESCE(p.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles, "
+        "CAST(COALESCE(p.covered_tokens, 0) AS BIGINT) AS covered_tokens, "
+        "CASE WHEN b.n_tokens = 0 THEN 0.0 ELSE "
+        "CAST(COALESCE(p.covered_tokens, 0) AS DOUBLE) / b.n_tokens END "
+        "AS dup_token_fraction "
+        "FROM base b LEFT JOIN perdoc p USING (doc_id)"
+    )
+
+
+@query(
+    "duplicated_ngram_spans",
+    oracle=_dup_span_oracle(),
+    doc=(
+        "Exact-substring duplication diagnostic (the span-level check "
+        "behind 'deduplicate exact 10-gram overlaps'): for every doc, "
+        "the fraction of its tokens covered by a 10-token shingle that "
+        "also appears in some OTHER document. Positions of corpus-"
+        "duplicated shingles merge into maximal islands via "
+        "gaps-and-islands windows (per-doc partitions, bounded by doc "
+        "length — no skew), so overlapping spans are union-counted "
+        "exactly once. The only corpus-scale shuffle is the shingle "
+        "doc-frequency groupBy; counts are exact integers and the "
+        "fraction a single portable division."
+    ),
+)
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = with_tokens(docs).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr(
+            f"transform({shingles_sql('toks', K_SPAN)}, "
+            f"s -> {char_hash_sql('s')})"
+        ).alias("hs"),
+    )
+    sh = base.select(
+        "doc_id", F.posexplode("hs").alias("p", "h")
+    )
+    dupg = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    dup = sh.join(dupg, "h").select("doc_id", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = (
+        dup.withColumn("prev_end", F.max(F.col("p") + (K_SPAN - 1)).over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+    )
+    isle = m.groupBy("doc_id", "isl").agg(
+        (F.max("p") - F.min("p") + K_SPAN).alias("cov"),
+        F.count("*").alias("cnt"),
+    )
+    perdoc = isle.groupBy("doc_id").agg(
+        F.sum("cov").cast("long").alias("covered_tokens"),
+        F.sum("cnt").cast("long").alias("n_dup_shingles"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("size(hs)").cast("long").alias("n_shingles"),
+        )
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_shingles",
+            F.coalesce("n_dup_shingles", F.lit(0).cast("long")).alias(
+                "n_dup_shingles"
+            ),
+            F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+                "covered_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("covered_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("dup_token_fraction"),
+        )
+    )
