@@ -36,6 +36,7 @@ from . import clustering  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import vocab  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
+from . import features  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -92,7 +93,8 @@ set_priority([
     "graph_pagerank", "bpe_merge_candidates", "vocab_coverage_topk",
     "token_diversity_by_source", "kmv_distinct_users_by_type",
     "kmv_set_relations", "orders_partition_checksums",
-    "duplicated_ngram_spans",
+    "duplicated_ngram_spans", "winsorized_stats", "equi_depth_buckets",
+    "rfm_features",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

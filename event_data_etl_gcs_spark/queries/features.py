@@ -1,0 +1,202 @@
+"""ML feature-preparation queries (round 3): robust clipping, equi-depth
+bucketing, and RFM user features — the standard tabular feature-prep
+pass before model training, expressed oracle-exact.
+
+Float discipline (see BUILDER_NOTES): percentile bounds come from exact
+integer RANK arithmetic (never interpolated doubles — a last-ulp
+difference at an integer boundary would flip a ceil()), money flows
+through the integer-cents grid, and every emitted double is a single
+division of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "winsorized_stats",
+    oracle=(
+        f"WITH c AS (SELECT event_type, {_CENTS} AS v, event_id FROM events), "
+        "r AS (SELECT event_type, v, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM c), "
+        "b AS (SELECT event_type, max(n) AS n, "
+        "min(CASE WHEN rn >= (n + 99) // 100 THEN v END) AS lo_cents, "
+        "min(CASE WHEN rn >= (99 * n + 99) // 100 THEN v END) AS hi_cents "
+        "FROM r GROUP BY event_type), "
+        "w AS (SELECT r.event_type, b.n, b.lo_cents, b.hi_cents, "
+        "greatest(least(r.v, b.hi_cents), b.lo_cents) AS cv, "
+        "CASE WHEN r.v < b.lo_cents THEN 1 ELSE 0 END AS cl, "
+        "CASE WHEN r.v > b.hi_cents THEN 1 ELSE 0 END AS ch "
+        "FROM r JOIN b ON r.event_type = b.event_type) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, lo_cents, hi_cents, "
+        "CAST(sum(cv) AS BIGINT) AS winsorized_sum_cents, "
+        "CAST(sum(cv) AS DOUBLE) / n AS winsorized_mean_cents, "
+        "CAST(sum(cl) AS BIGINT) AS n_clipped_low, "
+        "CAST(sum(ch) AS BIGINT) AS n_clipped_high "
+        "FROM w GROUP BY event_type, n, lo_cents, hi_cents"
+    ),
+    doc=(
+        "Per-type winsorized (1%/99%-clipped) value statistics. The clip "
+        "bounds are ORDER STATISTICS picked by exact integer rank "
+        "arithmetic (ceil(n/100) via (n+99)//100) — interpolated "
+        "percentiles are a double whose last ulp can flip a ceil() at an "
+        "integer grid point, so they never touch the bounds. Clipped "
+        "values stay integers (cents), so sums are exact; the mean is "
+        "one portable division. One rank window per type partition + one "
+        "broadcast-sized bounds join."
+    ),
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", F.expr(_CENTS).alias("v"), "event_id")
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "v",
+        F.row_number().over(wp.orderBy("v", "event_id")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    # integer // in Spark SQL spells `div`; build bounds via expr for parity
+    b = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.expr("CASE WHEN rn >= (n + 99) div 100 THEN v END")).alias(
+            "lo_cents"
+        ),
+        F.min(
+            F.expr("CASE WHEN rn >= (99 * n + 99) div 100 THEN v END")
+        ).alias("hi_cents"),
+    )
+    w = r.select("event_type", "v").join(
+        b.select("event_type", "n", "lo_cents", "hi_cents"), "event_type"
+    ).select(
+        "event_type",
+        F.col("n"),
+        "lo_cents",
+        "hi_cents",
+        F.greatest(F.least("v", "hi_cents"), F.col("lo_cents")).alias("cv"),
+        F.when(F.col("v") < F.col("lo_cents"), 1).otherwise(0).alias("cl"),
+        F.when(F.col("v") > F.col("hi_cents"), 1).otherwise(0).alias("ch"),
+    )
+    return (
+        w.groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum("cv").cast("long").alias("winsorized_sum_cents"),
+            F.sum("cl").cast("long").alias("n_clipped_low"),
+            F.sum("ch").cast("long").alias("n_clipped_high"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "lo_cents",
+            "hi_cents",
+            "winsorized_sum_cents",
+            (F.col("winsorized_sum_cents").cast("double") / F.col("n")).alias(
+                "winsorized_mean_cents"
+            ),
+            "n_clipped_low",
+            "n_clipped_high",
+        )
+    )
+
+
+@query(
+    "equi_depth_buckets",
+    oracle=(
+        f"WITH c AS (SELECT event_type, {_CENTS} AS v, event_id FROM events) "
+        "SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_rows, "
+        "min(v) AS lo_cents, max(v) AS hi_cents FROM ("
+        "SELECT event_type, v, CAST(ntile(10) OVER ("
+        "PARTITION BY event_type ORDER BY v, event_id) AS INT) AS bucket "
+        "FROM c) t GROUP BY event_type, bucket"
+    ),
+    doc=(
+        "Exact equi-depth (decile) histogram of value per event type: "
+        "ntile over a TOTAL order (value, event_id) so bucket assignment "
+        "is deterministic; all outputs integer-exact. The per-type "
+        "window sorts a whole type partition — exact form for bounded "
+        "group cardinalities; at unbounded scale cut points come from "
+        "approx_percentile (see approx_percentile_check) and bucketing "
+        "becomes a map-side range lookup."
+    ),
+)
+def equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", F.expr(_CENTS).alias("v"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    return (
+        c.withColumn("bucket", F.ntile(10).over(w).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "rfm_features",
+    oracle=(
+        f"WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, {_CENTS} AS v "
+        "FROM events), "
+        "pu AS (SELECT user_id, max(d) AS last_day, "
+        "CAST(count(*) AS BIGINT) AS frequency, "
+        "CAST(sum(v) AS BIGINT) AS monetary_cents FROM c GROUP BY user_id), "
+        "a AS (SELECT max(d) AS anchor FROM c) "
+        "SELECT user_id, CAST(datediff('day', last_day, anchor) AS INT) "
+        "AS recency_days, frequency, monetary_cents, "
+        "CAST(ntile(5) OVER (ORDER BY datediff('day', last_day, anchor) DESC, "
+        "user_id) AS INT) AS r_score, "
+        "CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score, "
+        "CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS INT) "
+        "AS m_score FROM pu CROSS JOIN a"
+    ),
+    doc=(
+        "RFM (recency / frequency / monetary) user features with 1-5 "
+        "quintile scores — deterministic via total tie-break orders and "
+        "the integer-cents grid. The events-scale work is one groupBy "
+        "per user; the score windows run over the USER DIMENSION "
+        "(cardinality ~ sqrt of events here, dimension-sized in "
+        "general), and the corpus max-date is a broadcast scalar."
+    ),
+)
+def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d"), F.expr(_CENTS).alias("v")
+    )
+    pu = c.groupBy("user_id").agg(
+        F.max("d").alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("v").cast("long").alias("monetary_cents"),
+    )
+    anchor = c.agg(F.max("d").alias("anchor"))
+    f = pu.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("anchor", "last_day").cast("int")
+    )
+    return f.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )

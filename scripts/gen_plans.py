@@ -132,6 +132,44 @@ SHOW = [
         "per-user cross product anywhere in the plan.",
     ),
     (
+        "graph_triangle_counts",
+        "Triangle listing on the kNN graph: the edge list is built once "
+        "(broadcast query side, per-query WindowGroupLimit top-k), then "
+        "two equi-joins on oriented edges enumerate each triangle once "
+        "— join fan-out bounded by kNN degree <= 2k; corner counting is "
+        "a two-phase hash aggregate.",
+    ),
+    (
+        "duplicated_ngram_spans",
+        "Exact-substring duplication: shingle hashing is a map-side "
+        "lambda chain, doc-frequency is ONE explode + two-phase count, "
+        "and the islands windows partition by doc_id — bounded by "
+        "document length, never corpus-wide; no pairwise doc join "
+        "anywhere.",
+    ),
+    (
+        "kmv_set_relations",
+        "KMV set relations: sketch build = distinct + per-group top-k "
+        "window (k rows survive per group); everything after — pair "
+        "tagging, merge, estimates — runs on k-row sketches, so the "
+        "pairwise stage is O(groups^2 * k) and the data is read once.",
+    ),
+    (
+        "orders_partition_checksums",
+        "Orderless digest: the canonical rendering + polynomial row "
+        "hash are one map-side projection; digests partial-aggregate "
+        "before the single exchange on the partition key — the table "
+        "is scanned once, nothing else moves.",
+    ),
+    (
+        "vocab_coverage_topk",
+        "Vocabulary coverage: corpus token counts two-phase aggregate; "
+        "top-V is TakeOrderedAndProject; the cumulative window runs "
+        "over the V surviving rows only and the scalar total arrives "
+        "by broadcast — no global sort, no single-partition window "
+        "over data.",
+    ),
+    (
         "hll_distinct_rollup",
         "Sketch rollup: day-level HLL sketches partial-aggregate before "
         "the exchange, week merges move one sketch blob per day, and "
