@@ -94,7 +94,8 @@ set_priority([
     "token_diversity_by_source", "kmv_distinct_users_by_type",
     "kmv_set_relations", "orders_partition_checksums",
     "duplicated_ngram_spans", "winsorized_stats", "equi_depth_buckets",
-    "rfm_features",
+    "rfm_features", "event_transition_matrix", "frequent_event_sequences",
+    "cusum_changepoint",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -198,3 +198,161 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        "c AS (SELECT prev, event_type AS next, count(*) AS n FROM o "
+        "WHERE prev IS NOT NULL GROUP BY prev, next), "
+        "t AS (SELECT prev, sum(n) AS row_total FROM c GROUP BY prev) "
+        "SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n, "
+        "CAST(t.row_total AS BIGINT) AS row_total, "
+        "CAST(c.n AS DOUBLE) / t.row_total AS p "
+        "FROM c JOIN t ON c.prev = t.prev"
+    ),
+    doc=(
+        "First-order Markov transition matrix of event types: lag over "
+        "the per-user total order (ts, event_id), pair counts, and "
+        "row-normalized probabilities (exact integers, one portable "
+        "division). One window partitioned by user (bounded per-user "
+        "history) + one pair-count shuffle; the matrix itself is "
+        "|types|^2-sized."
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = o.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.groupBy("prev").agg(F.sum("n").cast("long").alias("row_total"))
+    return c.join(t, "prev").select(
+        "prev",
+        "next",
+        "n",
+        "row_total",
+        (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+    )
+
+
+@query(
+    "frequent_event_sequences",
+    oracle=(
+        "WITH o AS (SELECT event_type, "
+        "lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2, "
+        "lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1 "
+        "FROM events) "
+        "SELECT p2 AS step1, p1 AS step2, event_type AS step3, "
+        "CAST(count(*) AS BIGINT) AS n FROM o WHERE p2 IS NOT NULL "
+        "GROUP BY step1, step2, step3 "
+        "ORDER BY n DESC, step1, step2, step3 LIMIT 25"
+    ),
+    doc=(
+        "Top-25 most frequent 3-step event-type sequences (sequential "
+        "pattern mining, contiguous variant): two lags over the per-user "
+        "total order, one count shuffle, distributed top-k with a total "
+        "tie-break order. Exact integers throughout."
+    ),
+)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).filter(F.col("step1").isNotNull())
+    return (
+        o.groupBy("step1", "step2", "step3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(25)
+    )
+
+
+_CUSUM_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "cusum_changepoint",
+    oracle=(
+        f"WITH c AS (SELECT event_type, {_CUSUM_CENTS} AS v, event_id, ts "
+        "FROM events), "
+        "r AS (SELECT event_type, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn, "
+        "CAST(sum(CAST(v AS DECIMAL(38,0))) OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum, "
+        "CAST(sum(CAST(v AS DECIMAL(38,0))) OVER (PARTITION BY event_type) "
+        "AS DECIMAL(38,0)) AS total, "
+        "count(*) OVER (PARTITION BY event_type) AS n FROM c), "
+        "s AS (SELECT event_type, rn, n, "
+        "abs(CAST(n AS DECIMAL(38,0)) * cum - CAST(rn AS DECIMAL(38,0)) * total) "
+        "AS stat FROM r) "
+        "SELECT event_type, CAST(n AS BIGINT) AS n, "
+        "CAST(rn AS BIGINT) AS cp_index, "
+        "CAST(stat AS DOUBLE) / n / n AS cusum_stat_norm FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY stat DESC, rn) = 1"
+    ),
+    doc=(
+        "CUSUM changepoint per event type, INTEGER-EXACT: the classic "
+        "statistic max_i |S_i - (i/n) * S_n| is scaled by n so every "
+        "compare runs on exact decimals (n*cum_i - i*total, cents "
+        "grid) — no float accumulation anywhere; only the reported "
+        "normalized statistic divides at the end (deterministic: "
+        "bigint->double casts are correctly rounded). One running-sum "
+        "window per type partition, argmax by (stat, index) total order."
+    ),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr(_CUSUM_CENTS).alias("v"), "event_id", "ts"
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    big = "decimal(38,0)"
+    r = c.select(
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.sum(F.col("v").cast(big))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast(big)
+        .alias("cum"),
+        F.sum(F.col("v").cast(big)).over(wp).cast(big).alias("total"),
+        F.count("*").over(wp).alias("n"),
+    )
+    s = r.select(
+        "event_type",
+        "rn",
+        "n",
+        F.abs(
+            F.col("n").cast(big) * F.col("cum")
+            - F.col("rn").cast(big) * F.col("total")
+        ).alias("stat"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("stat").desc(), "rn")
+    return (
+        s.withColumn("pick", F.row_number().over(wr))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rn").cast("long").alias("cp_index"),
+            (F.col("stat").cast("double") / F.col("n") / F.col("n")).alias(
+                "cusum_stat_norm"
+            ),
+        )
+    )
