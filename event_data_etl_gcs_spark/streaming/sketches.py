@@ -91,3 +91,74 @@ def range_distinct_estimate(
         )
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV maintenance — same posture for the k-minimum-values distinct sketch
+# (operators/kmv.py): state is k rows per group, merge = set-union + re-rank.
+# Union + min-k is idempotent for replayed identical input, so foreachBatch
+# at-least-once redelivery cannot perturb the sketch — same safety argument
+# as the HLL register max above.
+# ---------------------------------------------------------------------------
+
+KMV_STATE_SCHEMA = "grp STRING, h BIGINT"
+
+
+def batch_kmv_rows(
+    df: DataFrame, group_col: str = "event_type", value_col: str = "user_id"
+) -> DataFrame:
+    """(grp, h): this batch's per-group candidate minima (already top-k)."""
+    from ..operators.kmv import kmv_sketch
+
+    return kmv_sketch(df, group_col, value_col).select(
+        F.col(group_col).alias("grp"), "h"
+    )
+
+
+def merge_kmv_rows(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Set-union the hash rows, keep the k smallest per group."""
+    from pyspark.sql import Window
+
+    from ..operators.kmv import KMV_K
+
+    u = state.unionByName(delta).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("grp", "h")
+    )
+
+
+def run_streaming_kmv_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+) -> None:
+    """Drain a stream (Available-Now) maintaining the per-group KMV
+    sketch table at state_dir — k rows per group, never the raw keys."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_kmv_rows(batch_df, group_col, value_col)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = spark.read.schema(KMV_STATE_SCHEMA).parquet(state_dir)
+            merged = merge_kmv_rows(state, delta)
+        else:
+            merged = merge_kmv_rows(delta.limit(0), delta)
+        out = merged.cache()
+        out.count()
+        out.write.mode("overwrite").parquet(state_dir + "_tmp")
+        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
+            state_dir
+        )
+        out.unpersist()
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .option("checkpointLocation", state_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

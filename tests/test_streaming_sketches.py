@@ -61,3 +61,31 @@ def test_streamed_sketches_match_batch(spark, tmp_path):
         .count()
     )
     assert abs(wk - exact_wk) <= 0.05 * max(exact_wk, 1)
+
+
+def test_streamed_kmv_matches_batch(spark, tmp_path):
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+    from event_data_etl_gcs_spark.streaming.sketches import (
+        batch_kmv_rows,
+        run_streaming_kmv_maintenance,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "kmv_src")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "kmv_state")
+    run_streaming_kmv_maintenance(spark, stream, state)
+
+    got = {
+        (r["grp"], r["h"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {(r["grp"], r["h"]) for r in batch_kmv_rows(ev).collect()}
+    assert got == want and len(want) > 0
