@@ -1,0 +1,129 @@
+"""Versioned snapshot tables: copy-on-write time travel + keyed diffs.
+
+A minimal lakehouse version layer over plain parquet, built the way the
+table formats do it (Delta/Iceberg-shaped, from public semantics only):
+each commit writes a NEW immutable version directory `v=N/` and then
+atomically advances a tiny manifest pointer — readers either see the
+old manifest or the new one, never a half-written directory, because
+data files are fully written (and `_SUCCESS`-gated) before the pointer
+moves. Old versions stay readable (time travel) until vacuumed.
+
+Scale notes: the manifest holds version metadata only (O(versions), not
+O(files)); reads are ordinary `spark.read.parquet` on one version
+directory, so pushdown/pruning are unchanged. `snapshot_diff` joins two
+versions on the primary key and compares a per-row content hash
+(operators/validation.py's portable canonical hash — the same digest
+the cross-system checksum uses), emitting added/removed/changed rows —
+the incremental feed for downstream view maintenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_version_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return {"current": 0, "versions": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_snapshot(df: DataFrame, table_dir: str, note: str = "") -> int:
+    """Commit a new version; returns its number. Data first, pointer last."""
+    m = read_manifest(table_dir)
+    v = m["current"] + 1
+    vdir = os.path.join(table_dir, f"v={v}")
+    df.write.mode("errorifexists").parquet(vdir)
+    m["current"] = v
+    m["versions"].append({"version": v, "note": note})
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic pointer swap
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Latest version by default; any retained version for time travel."""
+    m = read_manifest(table_dir)
+    v = m["current"] if version is None else version
+    known = [e["version"] for e in m["versions"]]
+    if v not in known:
+        raise ValueError(f"version {v} not in manifest (have {known})")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+    canonical_sql: str,
+) -> DataFrame:
+    """(change, keys...) rows between two versions: 'added' / 'removed' /
+    'changed'. Unchanged rows (same key, same content hash) are dropped
+    before anything wide moves — the diff shuffles keys+hashes only."""
+    from ..operators.text import char_hash_sql
+
+    def hashed(v: int) -> DataFrame:
+        df = read_snapshot(spark, table_dir, v)
+        return df.select(
+            *keys, F.expr(char_hash_sql(canonical_sql)).alias("__rh")
+        )
+
+    old = hashed(v_old).alias("o")
+    new = hashed(v_new).alias("n")
+    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    j = old.join(new, cond, "full_outer")
+    first_new_key = F.col(f"n.{keys[0]}")
+    first_old_key = F.col(f"o.{keys[0]}")
+    change = (
+        F.when(first_old_key.isNull(), F.lit("added"))
+        .when(first_new_key.isNull(), F.lit("removed"))
+        .when(F.col("o.__rh") != F.col("n.__rh"), F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.select(change.alias("change"), *out_keys)
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop data directories of all but the newest keep_last versions
+    (manifest entries are retained with a vacuumed flag so history stays
+    auditable). Returns the vacuumed version numbers."""
+    import shutil
+
+    m = read_manifest(table_dir)
+    live = [e for e in m["versions"] if not e.get("vacuumed")]
+    to_drop = live[:-keep_last] if keep_last > 0 else live
+    dropped = []
+    for e in to_drop:
+        vdir = os.path.join(table_dir, f"v={e['version']}")
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
+        e["vacuumed"] = True
+        dropped.append(e["version"])
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    return dropped

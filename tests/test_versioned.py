@@ -1,0 +1,63 @@
+"""Versioned snapshot tables: time travel, keyed diff, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.sources.catalog import load_table
+from event_data_etl_gcs_spark.sources.versioned import (
+    read_manifest,
+    read_snapshot,
+    snapshot_diff,
+    vacuum_versions,
+    write_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+CANON = "concat_ws(chr(31), CAST(o_orderkey AS STRING), o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING))"
+
+
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    table = str(tmp_path / "orders_versioned")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = write_snapshot(orders, table, note="initial")
+
+    # v2: change one row, delete one, add one
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).filter(F.col("o_orderkey") != 2)
+    new_row = spark.createDataFrame(
+        [(999_999_999, "N", 1.23)], "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    v2 = write_snapshot(changed.unionByName(new_row), table, note="edit")
+    assert (v1, v2) == (1, 2)
+
+    # time travel: v1 still intact
+    assert read_snapshot(spark, table, 1).count() == orders.count()
+    assert read_snapshot(spark, table).count() == orders.count()  # -1 +1
+
+    d = {
+        (r["change"], r["o_orderkey"])
+        for r in snapshot_diff(spark, table, 1, 2, ["o_orderkey"], CANON).collect()
+    }
+    assert d == {("changed", 1), ("removed", 2), ("added", 999_999_999)}
+
+
+def test_vacuum_drops_old_data_keeps_history(spark, tmp_path):
+    table = str(tmp_path / "vac")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for i in range(3):
+        write_snapshot(df.withColumn("ver", F.lit(i)), table)
+    dropped = vacuum_versions(table, keep_last=1)
+    assert dropped == [1, 2]
+    assert read_snapshot(spark, table, 3).count() == 10
+    with pytest.raises(Exception):
+        read_snapshot(spark, table, 1).count()
+    m = read_manifest(table)
+    assert [e["version"] for e in m["versions"]] == [1, 2, 3]
