@@ -748,3 +748,21 @@ def code_switch_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang_second") != "und")
         ).alias("is_code_switched"),
     )
+
+
+@query(
+    "compression_ratio_quality",
+    oracle=None,  # DEFLATE has no SQL form; verified against direct
+    # zlib calls in tests/test_training_ops.py.
+    doc=(
+        "zlib compression ratio per document (Gopher/FineWeb quality "
+        "signal): Arrow-batched mapInPandas, map-only — one of the few "
+        "justified Python paths (no Catalyst compressor exists). "
+        "Deterministic for a fixed level."
+    ),
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs)

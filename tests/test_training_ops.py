@@ -275,3 +275,23 @@ def test_count_min_never_underestimates(spark):
     docs = load_table(spark, SF, "documents")
     out = count_min_token_estimates(docs)
     assert out.filter(F.col("cms_est") < F.col("exact_n")).count() == 0
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from event_data_etl_gcs_spark.operators.text import compression_ratio
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        raw = row["text"].encode("utf-8")
+        want = len(zlib.compress(raw, 6))
+        g = got[row["doc_id"]]
+        assert g["n_bytes"] == len(raw)
+        assert g["n_compressed"] == want
+        assert g["compression_ratio"] == want / len(raw)
+    # repetitive text compresses better than the corpus median
+    ratios = sorted(v["compression_ratio"] for v in got.values())
+    assert ratios[0] < ratios[len(ratios) // 2]
