@@ -292,3 +292,48 @@ def orders_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_format(o_orderdate, 'yyyy-MM')",
         _orders_canonical("spark"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=(
+        "WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type, day) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(min(n_users) AS BIGINT) AS min_users, "
+        "CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_below_k5, "
+        "CAST(sum(CASE WHEN n_users < 20 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_below_k20, "
+        "CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) AS frac_below_k5 "
+        "FROM g GROUP BY event_type"
+    ),
+    doc=(
+        "k-anonymity audit over the (event_type, day) quasi-identifier: "
+        "per event type, how many daily groups fall under k=5 / k=20 "
+        "distinct-user support — the suppression summary a governance "
+        "layer consults before releasing aggregates. Two stacked "
+        "two-phase aggregates; exact integers, one portable division."
+    ),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n_users").cast("long").alias("min_users"),
+        F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_k5"),
+        F.sum(F.when(F.col("n_users") < 20, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_k20"),
+        (
+            F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("frac_below_k5"),
+    )
