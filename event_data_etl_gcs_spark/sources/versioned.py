@@ -127,3 +127,82 @@ def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
         json.dump(m, f)
     os.replace(tmp, _manifest_path(table_dir))
     return dropped
+
+
+def snapshot_diff_values(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Keyed diff carrying values: (change, keys..., old_<c>, new_<c>)
+    for each value column — the delta feed incremental view maintenance
+    consumes. Rows identical in every value column are dropped."""
+    old = read_snapshot(spark, table_dir, v_old).alias("o")
+    new = read_snapshot(spark, table_dir, v_new).alias("n")
+    cond = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    j = old.join(new, cond, "full_outer")
+    first_old = F.col(f"o.{keys[0]}")
+    first_new = F.col(f"n.{keys[0]}")
+    changed_any = None
+    for c in value_cols:
+        ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        changed_any = ne if changed_any is None else (changed_any | ne)
+    change = (
+        F.when(first_old.isNull(), F.lit("added"))
+        .when(first_new.isNull(), F.lit("removed"))
+        .when(changed_any, F.lit("changed"))
+    )
+    cols = [change.alias("change")]
+    cols += [F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys]
+    for c in value_cols:
+        cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*cols).filter(F.col("change").isNotNull())
+
+
+def maintain_sum_count(
+    prev_agg: DataFrame,
+    diff: DataFrame,
+    group_col: str,
+    old_val: str,
+    new_val: str,
+) -> DataFrame:
+    """Incremental maintenance of a (group, sum_v, n_rows) view from a
+    value-carrying snapshot diff — the view is updated from DELTAS
+    (O(changed rows)), history is never rescanned. Works exactly on
+    integer/decimal value columns; for float measures use the decimal
+    pattern upstream (functions/numeric.py).
+
+    delta_sum per group = sum(new - old) with nulls as 0 (an added row
+    contributes +new, a removed row -old, a changed row the difference);
+    delta_n = +added - removed.
+
+    Contract: group_col must be stable per key across versions (a
+    changed row is applied to one group). If the grouping attribute
+    itself can change, split such rows into a removed(old group) +
+    added(new group) pair before calling.
+    """
+    d = diff.groupBy(F.col(group_col)).agg(
+        F.sum(
+            F.coalesce(F.col(new_val), F.lit(0))
+            - F.coalesce(F.col(old_val), F.lit(0))
+        ).alias("__dsum"),
+        F.sum(
+            F.when(F.col("change") == "added", 1)
+            .when(F.col("change") == "removed", -1)
+            .otherwise(0)
+        ).alias("__dn"),
+    )
+    merged = prev_agg.join(d, group_col, "full_outer").select(
+        group_col,
+        (
+            F.coalesce("sum_v", F.lit(0)) + F.coalesce("__dsum", F.lit(0))
+        ).alias("sum_v"),
+        (
+            F.coalesce("n_rows", F.lit(0)) + F.coalesce("__dn", F.lit(0))
+        ).alias("n_rows"),
+    )
+    return merged.filter(F.col("n_rows") > 0)

@@ -61,3 +61,53 @@ def test_vacuum_drops_old_data_keeps_history(spark, tmp_path):
         read_snapshot(spark, table, 1).count()
     m = read_manifest(table)
     assert [e["version"] for e in m["versions"]] == [1, 2, 3]
+
+
+def test_incremental_view_maintenance_from_diff(spark, tmp_path):
+    from event_data_etl_gcs_spark.sources.versioned import (
+        maintain_sum_count,
+        snapshot_diff_values,
+    )
+
+    table = str(tmp_path / "ivm")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderstatus", F.expr(cents).alias("v"))
+    )
+    write_snapshot(orders, table)
+
+    v2_rows = (
+        orders.withColumn(
+            "v",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("v") + 100).otherwise(
+                F.col("v")
+            ),
+        )
+        .filter(F.col("o_orderkey") % 13 != 0)  # deletions
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, "N", 555), (10_000_002, "N", 444)],
+                "o_orderkey long, o_orderstatus string, v long",
+            )
+        )
+    )
+    write_snapshot(v2_rows, table)
+
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.sum("v").alias("sum_v"), F.count("*").alias("n_rows")
+        )
+
+    diff = snapshot_diff_values(
+        spark, table, 1, 2, ["o_orderkey"], ["o_orderstatus", "v"]
+    )
+    # group col for deltas: status of whichever side exists
+    diff = diff.withColumn(
+        "o_orderstatus", F.coalesce("new_o_orderstatus", "old_o_orderstatus")
+    )
+    got = maintain_sum_count(agg(orders), diff, "o_orderstatus", "old_v", "new_v")
+    want = agg(v2_rows)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) > 0
