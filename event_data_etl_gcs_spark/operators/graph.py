@@ -16,7 +16,7 @@ convergence is checked with a cheap anti-join count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -291,3 +291,117 @@ def pagerank(
         ranks = new_ranks
     adj.unpersist()
     return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def knn_edges_ann(
+    vectors: DataFrame,
+    k: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """The SCALE path for the kNN graph build: banded random-hyperplane
+    LSH candidate generation instead of the brute-force cross product.
+
+    Each vector hashes to ``n_bands`` band buckets (``band_bits``
+    deterministic hyperplane signs per band — same integer sign pattern
+    as operators/similarity.py); candidate pairs share at least one
+    band. Candidates self-join as an EQUI-join on (band, bucket) —
+    shuffle-partitioned, quadratic only within a bucket, NO broadcast of
+    the corpus — then embeddings join back BY ID (arrays never ride the
+    band shuffle; the minhash lesson), exact cosines rank per node, and
+    the per-node top-k symmetrizes to u<v edges exactly like
+    :func:`knn_edges`. Recall < 1 by construction (a true neighbor in
+    no shared band is missed); tests/test_graph.py measures it against
+    the exact builder.
+    """
+    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD, dot_sql, norm_sql
+
+    def band_bucket_sql(band: int) -> str:
+        bits = []
+        for b in range(band_bits):
+            j = band * band_bits + b
+            # constants as LONG literals: ANSI mode errors on the int32
+            # overflow of (j+1)*C1 + (i-1)*C2 otherwise (BUILDER_NOTES)
+            sign = (
+                f"(CASE WHEN (({j + 1}L * {LSH_C1}L + (i - 1) * {LSH_C2}L) % {LSH_MOD}L)"
+                f" < {LSH_HALF}L THEN 1 ELSE -1 END)"
+            )
+            dot = (
+                "aggregate(transform(sequence(1, size(embedding)), "
+                f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(bits)
+
+    base = vectors.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.expr(norm_sql("embedding")).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.expr(band_bucket_sql(band)).cast("int").alias("bkt"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bkt")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("id").alias("ida"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = base.select(
+        F.col("id").alias("idb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        cand.join(va, "ida")
+        .join(vb, "idb")
+        .select(
+            "ida",
+            "idb",
+            (
+                F.expr(dot_sql("ea", "eb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    both = scored.select(
+        F.col("ida").alias("query_id"), F.col("idb").alias("neighbor_id"), "cos_sim"
+    ).union(
+        scored.select(
+            F.col("idb").alias("query_id"), F.col("ida").alias("neighbor_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = both.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    return (
+        topk.select(
+            F.least("query_id", "neighbor_id").alias("u"),
+            F.greatest("query_id", "neighbor_id").alias("v"),
+            "cos_sim",
+        )
+        .distinct()
+    )

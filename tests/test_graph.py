@@ -76,3 +76,85 @@ def test_knn_edges_degree_bounded(spark):
     # theory but tiny in practice — sanity-bound it generously.
     assert deg[0][0] >= K_NN
     assert edges.count() >= emb.count() * K_NN / 2
+
+
+def test_knn_edges_ann_recall(spark):
+    from event_data_etl_gcs_spark.operators.graph import knn_edges_ann
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r["u"], r["v"]) for r in knn_edges(emb, k=K_NN).collect()}
+    approx = {(r["u"], r["v"]) for r in knn_edges_ann(emb, k=K_NN).collect()}
+    recall = len(exact & approx) / len(exact)
+    # banded SRP candidates miss some true neighbors by construction,
+    # but must recover a solid majority and produce no malformed edges
+    assert recall >= 0.5, recall
+    assert all(u < v for u, v in approx)
+
+
+def test_triangle_counts_vs_python_model(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    tuple(sorted(rng.sample(range(1, n + 1), 2)))
+                    for _ in range(20)
+                )
+            }
+        )
+        adj = {i: set() for i in range(1, n + 1)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for v in adj:
+            if not adj[v]:
+                continue
+            t = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[v]), 2)
+                if y in adj[x]
+            )
+            want[v] = (len(adj[v]), t)
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"])
+            for r in triangle_counts(_edge_df(spark, edges)).collect()
+        }
+        assert got == want
+
+
+def test_bfs_hops_vs_python_model(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(13)
+    n = 15
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(1, n + 1), 2)))
+            for _ in range(18)
+        }
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(adj)
+    want = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        cur = dq.popleft()
+        if want[cur] >= 4:
+            continue
+        for nb in adj[cur]:
+            if nb not in want:
+                want[nb] = want[cur] + 1
+                dq.append(nb)
+    got = {r["node"]: r["hops"] for r in bfs_hops(_edge_df(spark, edges)).collect()}
+    assert got == want
