@@ -136,3 +136,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges(spark, sf_dir).select("u", "v"))
+
+
+@query(
+    "knn_graph_edges_ann",
+    oracle=None,  # deterministic but the banded-LSH candidate SQL has no
+    # compact oracle form; recall vs the exact builder is pinned in
+    # tests/test_graph.py (0.75 measured, >= 0.5 asserted) and the
+    # determinism audit hashes it across partitionings.
+    doc=(
+        "Scale-path kNN graph build: banded SRP candidates equi-join on "
+        "(band, bucket) with no corpus broadcast, embeddings join back "
+        "by id, exact cosines rank per node — same u<v edge contract as "
+        "knn_graph_edges with sub-quadratic candidate generation."
+    ),
+)
+def knn_graph_edges_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import knn_edges_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_edges_ann(emb, k=K_NN)
