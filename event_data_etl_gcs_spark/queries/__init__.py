@@ -95,7 +95,8 @@ set_priority([
     "kmv_set_relations", "orders_partition_checksums",
     "duplicated_ngram_spans", "winsorized_stats", "equi_depth_buckets",
     "rfm_features", "event_transition_matrix", "frequent_event_sequences",
-    "cusum_changepoint",
+    "cusum_changepoint", "k_anonymity_audit", "grouped_split_events",
+    "cluster_aware_split",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -227,3 +227,91 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+SPLIT_A = 73_856_093
+SPLIT_B = 19_349_663
+
+
+def _split_of(expr: str) -> str:
+    """Deterministic 80/10/10 split from an integer id — affine hash mod
+    a prime then a decile cut; identical spelling in both engines."""
+    h = f"((({expr} % {HASH_P}) * {SPLIT_A} + {SPLIT_B}) % {HASH_P})"
+    return (
+        f"CASE WHEN {h} % 10 < 8 THEN 'train' "
+        f"WHEN {h} % 10 < 9 THEN 'valid' ELSE 'test' END"
+    )
+
+
+@query(
+    "grouped_split_events",
+    oracle=(
+        f"WITH s AS (SELECT user_id, {_split_of('user_id')} AS split, "
+        "event_id FROM events) "
+        "SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY split"
+    ),
+    doc=(
+        "Leakage-aware train/valid/test split of the EVENT log: the split "
+        "is a function of user_id, so every event of a user lands on one "
+        "side — the group-level split that keeps a user's behavior out "
+        "of both train and test (row-level splits leak). Map-only split "
+        "assignment + one two-phase aggregate."
+    ),
+)
+def grouped_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id", F.expr(_split_of("user_id")).alias("split"), "event_id"
+    )
+    return s.groupBy("split").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+from ..operators.dedup import duck_minhash_lsh_ctes as _duck_mh_ctes  # noqa: E402
+
+
+@query(
+    "cluster_aware_split",
+    oracle=(
+        f"WITH RECURSIVE {_duck_mh_ctes(threshold=0.5)}, "
+        "edges AS ("
+        "  SELECT id_a AS u, id_b AS v FROM mh_pairs "
+        "  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs"
+        "), reach AS ("
+        "  SELECT u AS node, u AS component FROM edges "
+        "  UNION SELECT v AS node, v AS component FROM edges "
+        "  UNION SELECT e.u AS node, r.component FROM edges e "
+        "  JOIN reach r ON e.v = r.node"
+        "), reps AS (SELECT node AS doc_id, MIN(component) AS rep "
+        "FROM reach GROUP BY node) "
+        "SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS cluster_rep, "
+        f"{_split_of('COALESCE(r.rep, d.doc_id)')} AS split "
+        "FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id"
+    ),
+    doc=(
+        "Dedup-cluster-aware split: near-duplicate documents (MinHash "
+        "pairs -> connected components) share a cluster representative, "
+        "and the split is a function of the REP — so no near-dup pair "
+        "can straddle train and test (the contamination a row-level "
+        "split allows). Singletons split by their own id. The oracle "
+        "recomputes components with a recursive reachability CTE."
+    ),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    joined = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", "doc_id"))
+    )
+    return joined.select(
+        "doc_id", "cluster_rep", F.expr(_split_of("cluster_rep")).alias("split")
+    )
