@@ -162,3 +162,68 @@ def run_streaming_kmv_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Partition-checksum maintenance — the digests of operators/validation.py
+# are mergeable (sums mod P), so a stream keeps per-partition table
+# checksums current without rescanning history. NOTE the replay caveat:
+# unlike HLL/KMV (idempotent set algebra), checksum addition is NOT
+# idempotent — so the state table keeps the last applied batch_id per
+# partition and skips batches it has already folded in (the standard
+# foreachBatch exactly-once recipe: idempotent-by-transaction-id).
+# ---------------------------------------------------------------------------
+
+CKSUM_STATE_SCHEMA = (
+    "part STRING, n_rows BIGINT, checksum BIGINT, checksum2 BIGINT, "
+    "last_batch BIGINT"
+)
+
+
+def run_streaming_checksum_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    part_expr: str,
+    canonical_sql: str,
+) -> None:
+    from ..operators.text import HASH_P
+    from ..operators.validation import partition_checksums
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = partition_checksums(batch_df, part_expr, canonical_sql)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            state = spark.read.schema(CKSUM_STATE_SCHEMA).parquet(state_dir)
+            if (
+                state.filter(F.col("last_batch") >= batch_id).count() > 0
+            ):  # replayed batch: already folded in, skip (non-idempotent add)
+                return
+            merged = (
+                state.select("part", "n_rows", "checksum", "checksum2")
+                .unionByName(delta)
+                .groupBy("part")
+                .agg(
+                    F.sum("n_rows").cast("long").alias("n_rows"),
+                    (F.sum("checksum") % HASH_P).cast("long").alias("checksum"),
+                    (F.sum("checksum2") % HASH_P).cast("long").alias("checksum2"),
+                )
+            )
+        else:
+            merged = delta
+        out = merged.withColumn(
+            "last_batch", F.lit(batch_id).cast("long")
+        ).cache()
+        out.count()
+        out.write.mode("overwrite").parquet(state_dir + "_tmp")
+        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
+            state_dir
+        )
+        out.unpersist()
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .option("checkpointLocation", state_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

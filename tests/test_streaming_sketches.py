@@ -89,3 +89,38 @@ def test_streamed_kmv_matches_batch(spark, tmp_path):
     }
     want = {(r["grp"], r["h"]) for r in batch_kmv_rows(ev).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streamed_checksums_match_batch(spark, tmp_path):
+    from event_data_etl_gcs_spark.operators.validation import partition_checksums
+    from event_data_etl_gcs_spark.queries.quality_audit import _orders_canonical
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+    from event_data_etl_gcs_spark.streaming.sketches import (
+        run_streaming_checksum_maintenance,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    src = str(tmp_path / "ck_src")
+    orders.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "ck_state")
+    part = "date_format(o_orderdate, 'yyyy-MM')"
+    run_streaming_checksum_maintenance(
+        spark, stream, state, part, _orders_canonical("spark")
+    )
+    got = {
+        r["part"]: (r["n_rows"], r["checksum"], r["checksum2"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["part"]: (r["n_rows"], r["checksum"], r["checksum2"])
+        for r in partition_checksums(
+            orders, part, _orders_canonical("spark")
+        ).collect()
+    }
+    assert got == want and len(want) > 1
