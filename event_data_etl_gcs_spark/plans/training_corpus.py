@@ -143,3 +143,41 @@ def build_training_export(
     )
     export_jsonl(chunks, output_path, target_partitions=4)
     return chunks
+
+
+def build_training_corpus_v2(
+    docs: DataFrame, benchmark: DataFrame
+) -> DataFrame:
+    """Pipeline v2 — the round-3 composition: quality gate -> exact
+    dedup -> near-dedup (keep-min) -> benchmark decontamination ->
+    CLUSTER-AWARE train/valid/test split.
+
+    The split is assigned per near-dup CLUSTER REPRESENTATIVE (computed
+    on the pre-dedup corpus), not per row: even though keep-min leaves
+    one doc per cluster here, routing the split through the rep makes
+    the assignment STABLE under pipeline changes — if the near-dedup
+    threshold loosens later, a cluster's survivors still land in the
+    same split instead of scattering contamination across train/test.
+    Every stage is a deterministic DataFrame op (see each stage's own
+    oracle query); invariants are pinned by
+    tests/test_training_ops.py::test_corpus_v2_invariants.
+    """
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_clusters
+    from ..queries.sampling import _split_of
+
+    gated = quality_gate(docs)
+    unique = exact_dedup_keep_min(gated)
+    survivors = near_dedup_keep_min(unique)
+    clean = decontaminate(survivors, benchmark)
+
+    pairs = minhash_lsh_pairs(docs, threshold=NEAR_DUP_THRESHOLD)
+    clusters = dedup_clusters(pairs)
+    out = (
+        clean.join(clusters, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col("doc_id")))
+        .withColumn("split", F.expr(_split_of("cluster_rep")))
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_tokens", "cluster_rep", "split"
+    )

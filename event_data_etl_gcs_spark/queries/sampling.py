@@ -315,3 +315,29 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", "cluster_rep", F.expr(_split_of("cluster_rep")).alias("split")
     )
+
+
+@query(
+    "training_corpus_v2_stats",
+    oracle=None,  # the composed pipeline's stage oracles each exist
+    # individually (gopher_quality_gate, dedup_exact_keep,
+    # near_dedup_keep_best, decontaminate_against_benchmark,
+    # cluster_aware_split); the composition's invariants are pinned by
+    # test_corpus_v2_invariants instead of one monolithic SQL string.
+    doc=(
+        "Per-(split, lang) corpus composition after the full v2 "
+        "pipeline: quality gate -> exact dedup -> near-dedup -> "
+        "decontamination -> cluster-aware split. The mix table a "
+        "training run starts from."
+    ),
+)
+def training_corpus_v2_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.training_corpus import build_training_corpus_v2
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = build_training_corpus_v2(docs, bench)
+    return out.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -295,3 +295,45 @@ def test_compression_ratio_matches_zlib(spark):
     # repetitive text compresses better than the corpus median
     ratios = sorted(v["compression_ratio"] for v in got.values())
     assert ratios[0] < ratios[len(ratios) // 2]
+
+
+def test_corpus_v2_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.dedup import minhash_lsh_pairs
+    from event_data_etl_gcs_spark.plans.training_corpus import (
+        NEAR_DUP_THRESHOLD,
+        build_training_corpus_v2,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = build_training_corpus_v2(docs, bench).cache()
+    n = out.count()
+    assert 0 < n < docs.count()
+
+    # 1. split assignment total and exclusive
+    assert out.filter(~F.col("split").isin("train", "valid", "test")).count() == 0
+
+    # 2. no surviving near-dup pair (the dedup invariant)
+    kept_texts = docs.join(out.select("doc_id"), "doc_id")
+    surviving_pairs = minhash_lsh_pairs(
+        kept_texts, threshold=NEAR_DUP_THRESHOLD
+    ).count()
+    assert surviving_pairs == 0
+
+    # 3. no exact duplicate texts survive
+    assert (
+        kept_texts.groupBy("text").count().filter(F.col("count") > 1).count() == 0
+    )
+
+    # 4. split is a pure function of cluster_rep (no cluster straddles)
+    assert (
+        out.groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    out.unpersist()
