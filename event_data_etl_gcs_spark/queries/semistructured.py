@@ -153,3 +153,34 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_values"),
         F.size("mf").cast("long").alias("n_kept"),
     )
+
+
+@query(
+    "variant_extract",
+    oracle=(
+        "WITH v AS (SELECT event_type, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k, "
+        "CAST(sum(k) AS BIGINT) AS sum_k FROM v GROUP BY event_type"
+    ),
+    doc=(
+        "Semi-structured VARIANT path (Spark 4): parse_json once into a "
+        "binary variant, variant_get typed extraction — the "
+        "shred-on-read pattern that replaces per-query JSON string "
+        "parsing; aggregates are exact integers. DuckDB oracle uses its "
+        "native JSON extraction over the same column."
+    ),
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
