@@ -461,3 +461,85 @@ def decode_real(media: DataFrame, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, schema=DECODED_SCHEMA)
+
+
+# --- Perceptual image hashing (dHash) for image near-dedup ------------------
+#
+# The image-side analogue of text SimHash: a 64-bit difference hash over a
+# 9x8 grayscale downsample — byte-identical re-encodes AND small pixel
+# perturbations map to nearby hashes, so image near-dups group by hash (or
+# by Hamming-banded buckets, exactly like operators/dedup.py simhash). Pure
+# integer arithmetic over the raw PPM bytes: deterministic, library-free.
+
+def dhash_images(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) — 64-bit perceptual difference hash per image.
+
+    Arrow-batched mapInPandas (map-only, pipelines with the scan): parse
+    the P6 header, average-pool RGB to a 9x8 grayscale grid using exact
+    integer sums (area interpolation: each target cell averages its
+    source-pixel block), then emit bit (r, c) = 1 iff cell[r][c+1] >
+    cell[r][c]. At 100 TB the hash is 8 bytes per image; grouping or
+    Hamming-banding the hashes is ordinary relational work downstream.
+    """
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, dims, maxval, body = b.split(b"\n", 3)
+                assert magic == b"P6" and maxval == b"255"
+                w, h = (int(x) for x in dims.split())
+                # integer grayscale per source pixel: (r + g + b)
+                gray = [
+                    sum(body[3 * i : 3 * i + 3]) for i in range(w * h)
+                ]
+                # 9x8 average pool with exact integer block sums
+                cells = []
+                for r in range(8):
+                    row = []
+                    y0, y1 = r * h // 8, max((r + 1) * h // 8, r * h // 8 + 1)
+                    for c in range(9):
+                        x0, x1 = c * w // 9, max((c + 1) * w // 9, c * w // 9 + 1)
+                        tot = n = 0
+                        for y in range(y0, min(y1, h)):
+                            for x in range(x0, min(x1, w)):
+                                tot += gray[y * w + x]
+                                n += 1
+                        row.append((tot, max(n, 1)))
+                    cells.append(row)
+                bits = 0
+                k = 0
+                for r in range(8):
+                    for c in range(8):
+                        t1, n1 = cells[r][c + 1]
+                        t0, n0 = cells[r][c]
+                        # compare averages without division: t1/n1 > t0/n0
+                        if t1 * n0 > t0 * n1:
+                            bits |= 1 << k
+                        k += 1
+                ids.append(mid)
+                # store as signed int64 (Spark LongType)
+                hashes.append(bits - (1 << 64) if bits >= (1 << 63) else bits)
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(hash_batch, schema="media_id long, dhash long")
+
+
+def dhash_dedup_groups(media: DataFrame) -> DataFrame:
+    """Image dedup groups: identical dHash -> one group (group rep = min
+    media id; singletons excluded). One hash groupBy — the exact-dedup
+    tier; Hamming-banded near-dup buckets compose with
+    operators/dedup.py's simhash banding if needed."""
+    hashed = dhash_images(media)
+    groups = (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("group_rep"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+    return hashed.join(groups, "dhash").select(
+        "media_id", "dhash", "group_rep", "n_images"
+    )

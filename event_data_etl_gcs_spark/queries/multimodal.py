@@ -133,3 +133,23 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav(synthesize_wav_audio(docs))
+
+
+@query(
+    "multimodal_image_dhash_dedup",
+    oracle=None,  # the 9x8 area-pooled bit pattern has no tractable SQL
+    # form; determinism + duplicate grouping are pinned in
+    # tests/test_multimodal_codecs.py.
+    doc=(
+        "Perceptual image dedup: 64-bit dHash per image (integer area "
+        "pooling over raw PPM bytes, Arrow-batched mapInPandas, 8 bytes "
+        "of state per image at 100 TB) grouped on hash equality — the "
+        "image-side SimHash; Hamming-banded buckets compose for the "
+        "near-dup tier."
+    ),
+)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import dhash_dedup_groups, synthesize_ppm_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dhash_dedup_groups(synthesize_ppm_images(docs))

@@ -47,3 +47,34 @@ def test_decode_real_strict_raises_without_codecs(spark, media):
         pytest.skip("real codecs active in this environment")
     with pytest.raises(NotImplementedError):
         decode_real(media, strict=True)
+
+
+def test_dhash_deterministic_and_perturbation_tolerant(spark):
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.multimodal import (
+        dhash_dedup_groups,
+        dhash_images,
+        synthesize_ppm_images,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    media = synthesize_ppm_images(docs)
+    a = {r["media_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    b = {
+        r["media_id"]: r["dhash"]
+        for r in dhash_images(media.repartition(7)).collect()
+    }
+    assert a == b and len(a) == 100  # partitioning-invariant
+
+    # identical payloads -> identical hashes -> grouped
+    dup = media.union(media.limit(5).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    ))
+    groups = dhash_dedup_groups(dup).collect()
+    grouped_ids = {r["media_id"] for r in groups}
+    for r in groups:
+        assert r["n_images"] >= 2
+    # the 5 duplicated payload pairs must be grouped together
+    assert {1_000_000 + i for i in range(5)} & grouped_ids
