@@ -200,3 +200,39 @@ def rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@query(
+    "churn_labels",
+    oracle=(
+        "WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day, "
+        "count(*) AS n_events FROM events GROUP BY user_id), "
+        "a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events) "
+        "SELECT user_id, last_day, "
+        "CAST(datediff('day', last_day, anchor) AS INT) AS days_inactive, "
+        "CAST(n_events AS BIGINT) AS n_events, "
+        "CAST(datediff('day', last_day, anchor) >= 7 AS BOOLEAN) AS churned "
+        "FROM u CROSS JOIN a"
+    ),
+    doc=(
+        "Churn label generation: a user is labeled churned when inactive "
+        "for >= 7 days relative to the corpus anchor date — the label "
+        "side of the RFM feature set. One per-user aggregate + a "
+        "broadcast scalar anchor; integer/date exact."
+    ),
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
+    j = u.crossJoin(F.broadcast(anchor))
+    return j.select(
+        "user_id",
+        "last_day",
+        F.datediff("anchor", "last_day").cast("int").alias("days_inactive"),
+        "n_events",
+        (F.datediff("anchor", "last_day") >= 7).alias("churned"),
+    )
