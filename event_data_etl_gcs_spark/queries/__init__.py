@@ -96,7 +96,8 @@ set_priority([
     "duplicated_ngram_spans", "winsorized_stats", "equi_depth_buckets",
     "rfm_features", "event_transition_matrix", "frequent_event_sequences",
     "cusum_changepoint", "k_anonymity_audit", "grouped_split_events",
-    "cluster_aware_split",
+    "cluster_aware_split", "variant_extract", "sql_recursive_date_spine",
+    "churn_labels",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
