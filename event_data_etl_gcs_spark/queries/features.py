@@ -236,3 +236,44 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.datediff("anchor", "last_day") >= 7).alias("churned"),
     )
+
+
+@query(
+    "pareto_front_users",
+    oracle=(
+        f"WITH c AS (SELECT user_id, {_CENTS} AS v FROM events), "
+        "pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS frequency, "
+        "CAST(sum(v) AS BIGINT) AS monetary_cents FROM c GROUP BY user_id), "
+        "r AS (SELECT user_id, frequency, monetary_cents, "
+        "max(monetary_cents) OVER (ORDER BY frequency DESC, user_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_m "
+        "FROM pu) "
+        "SELECT user_id, frequency, monetary_cents FROM r "
+        "WHERE best_m IS NULL OR monetary_cents > best_m"
+    ),
+    doc=(
+        "Pareto front (dominance filter) over the user dimension: keep "
+        "users no other user beats on BOTH frequency and monetary value "
+        "— the classic skyline query, as a single running-max window "
+        "over the frequency-sorted user table instead of a quadratic "
+        "self-join. Runs on the user DIMENSION (the events-scale work "
+        "is the upstream groupBy); all compares are exact integers. "
+        "Ties on frequency resolve by user_id order, so equal-frequency "
+        "users survive only if strictly better on monetary — "
+        "deterministic in both engines."
+    ),
+)
+def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.select("user_id", F.expr(_CENTS).alias("v")).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("v").cast("long").alias("monetary_cents"),
+    )
+    w = (
+        Window.orderBy(F.col("frequency").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = pu.withColumn("best_m", F.max("monetary_cents").over(w))
+    return r.filter(
+        F.col("best_m").isNull() | (F.col("monetary_cents") > F.col("best_m"))
+    ).select("user_id", "frequency", "monetary_cents")

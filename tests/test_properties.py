@@ -244,3 +244,86 @@ def test_update_where_matches_map_model(spark, tmp_path_factory, data, target_da
     assert updated == sum(1 for (dy, c, _) in data if dy == target_day and c == 1)
     got = sorted((r.day, r.cat, r.v) for r in spark.read.parquet(d).collect())
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.integers(min_value=-500, max_value=500),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_winsorized_bounds_are_order_statistics(spark, data):
+    """The 1%/99% clip bounds must equal the exact order statistics the
+    integer-rank formula picks on a python model."""
+    import math
+
+    from event_data_etl_gcs_spark.queries.features import winsorized_stats
+
+    # route through a temp view shaped like events (value = cents/100)
+    rows = [(i, g, v / 100.0) for i, (g, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df = df.withColumn("event_type", F.concat(F.lit("t"), F.col("event_type")))
+    import event_data_etl_gcs_spark.queries.features as feats
+    import event_data_etl_gcs_spark.sources.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark_, sf_, name_: df
+        feats.load_table = cat.load_table
+        got = {r["event_type"]: r for r in winsorized_stats(spark, "x").collect()}
+    finally:
+        cat.load_table = orig
+        feats.load_table = orig
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, (g, v) in enumerate(data):
+        groups[f"t{g}"].append(v)
+    for gname, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[math.ceil(n / 100) - 1] if n else None
+        hi = vals[math.ceil(99 * n / 100) - 1]
+        r = got[gname]
+        assert r["lo_cents"] == lo and r["hi_cents"] == hi
+        clipped = [min(max(v, lo), hi) for v in vals]
+        assert r["winsorized_sum_cents"] == sum(clipped)
+
+
+@given(
+    seq=st.lists(st.integers(min_value=-100, max_value=100), min_size=2, max_size=30)
+)
+@SETTINGS
+def test_cusum_changepoint_matches_numpy(spark, seq):
+    import numpy as np
+
+    from event_data_etl_gcs_spark.queries.behavior import cusum_changepoint
+    import event_data_etl_gcs_spark.queries.behavior as beh
+
+    rows = [
+        (i, "t", v / 100.0, i * 1000) for i, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, off long"
+    ).withColumn("ts", F.timestamp_micros(F.col("off"))).drop("off")
+
+    orig = beh.load_table
+    try:
+        beh.load_table = lambda spark_, sf_, name_: df
+        r = cusum_changepoint(spark, "x").collect()[0]
+    finally:
+        beh.load_table = orig
+
+    v = np.array(seq, dtype=np.int64)
+    n = len(v)
+    cum = np.cumsum(v)
+    stat = np.abs(n * cum - (np.arange(1, n + 1)) * cum[-1])
+    best = int(np.argmax(stat))  # first index of the max (ties -> smallest rn)
+    assert r["cp_index"] == best + 1
+    assert r["n"] == n
