@@ -235,3 +235,85 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, z).alias("z"),
         F.coalesce(F.when(ok, F.abs(z) > 2.0), F.lit(False)).alias("is_anomaly"),
     )
+
+
+_ALLOC_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@query(
+    "interval_day_allocation",
+    oracle=(
+        "WITH iv AS (SELECT event_id, CAST(ts AS DATE) AS d0, "
+        "epoch_us(ts) AS s, epoch_us(ts + INTERVAL 90 MINUTE) AS e, "
+        f"{_ALLOC_CENTS} AS v FROM events), "
+        "days AS (SELECT event_id, s, e, v, unnest(range(0, "
+        "date_diff('day', d0, CAST(make_timestamp(e) AS DATE)) + 1)) AS k, "
+        "d0 FROM iv), "
+        "w AS (SELECT event_id, d0 + CAST(k AS INTEGER) AS day, v, e - s AS total_us, "
+        "least(e, epoch_us(CAST(d0 + CAST(k AS INTEGER) + 1 AS TIMESTAMP))) - "
+        "greatest(s, epoch_us(CAST(d0 + CAST(k AS INTEGER) AS TIMESTAMP))) AS part_us "
+        "FROM days) "
+        "SELECT day, CAST(count(*) AS BIGINT) AS n_intervals, "
+        "CAST(CAST(sum(CAST(v AS DECIMAL(38,0)) * part_us) AS DECIMAL(38,0)) "
+        "% 1000000007 AS BIGINT) AS weighted_check, "
+        "CAST(sum(part_us) AS BIGINT) AS covered_us "
+        "FROM w WHERE part_us > 0 GROUP BY day"
+    ),
+    doc=(
+        "Metering/billing allocation: each event's 90-minute usage "
+        "interval splits across the calendar days it covers, "
+        "proportionally by overlap. To keep the oracle EXACT the "
+        "per-day weight is kept as the integer product value_cents * "
+        "overlap_micros (mod-reduced exact decimal sum) rather than a "
+        "float proration — the downstream rate multiply is where the "
+        "single division belongs. Map-side day explosion (bounded by "
+        "interval length), one groupBy."
+    ),
+)
+def interval_day_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("d0"),
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("e"),
+        F.expr(_ALLOC_CENTS).alias("v"),
+    )
+    days = iv.select(
+        "event_id",
+        "s",
+        "e",
+        "v",
+        "d0",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.datediff(F.timestamp_micros("e").cast("date"), F.col("d0")),
+            )
+        ).alias("k"),
+    )
+    day = F.date_add(F.col("d0"), F.col("k"))
+    day_start = F.unix_micros(day.cast("timestamp"))
+    day_end = F.unix_micros(F.date_add(F.col("d0"), F.col("k") + 1).cast("timestamp"))
+    w = days.select(
+        "event_id",
+        day.alias("day"),
+        "v",
+        (F.col("e") - F.col("s")).alias("total_us"),
+        (
+            F.least(F.col("e"), day_end) - F.greatest(F.col("s"), day_start)
+        ).alias("part_us"),
+    )
+    big = "decimal(38,0)"
+    return (
+        w.filter(F.col("part_us") > 0)
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            (
+                F.sum(F.col("v").cast(big) * F.col("part_us")).cast(big)
+                % F.lit(1000000007).cast(big)
+            ).cast("long").alias("weighted_check"),
+            F.sum("part_us").cast("long").alias("covered_us"),
+        )
+    )
