@@ -64,6 +64,19 @@ PROBES = [
     "kmv_distinct_users_by_type",
     "kmv_set_relations",
     "orders_partition_checksums",
+    "event_transition_matrix",
+    "frequent_event_sequences",
+    "cusum_changepoint",
+    "winsorized_stats",
+    "equi_depth_buckets",
+    "rfm_features",
+    "churn_labels",
+    "pareto_front_users",
+    "interval_day_allocation",
+    "grouped_split_events",
+    "cluster_aware_split",
+    "k_anonymity_audit",
+    "variant_extract",
 ]
 
 
