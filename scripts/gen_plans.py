@@ -170,6 +170,21 @@ SHOW = [
         "over data.",
     ),
     (
+        "cusum_changepoint",
+        "CUSUM without the serial window: rank and cumsum run within "
+        "(type, day-bucket) partitions, bucket offsets add back via a "
+        "one-row-per-bucket window, and the changepoint argmax is a "
+        "two-phase max-of-struct HashAggregate — no full-history sort "
+        "task anywhere (22.3s -> 2.9s at the 100x probe).",
+    ),
+    (
+        "winsorized_stats",
+        "Winsorization in value-distribution form: rank arithmetic runs "
+        "on the (type, value, count) table — sized by the value domain, "
+        "not rows — so the only row-scale operators are two hash "
+        "aggregates; no row-level window (13.5s -> 2.2s at 100x).",
+    ),
+    (
         "hll_distinct_rollup",
         "Sketch rollup: day-level HLL sketches partial-aggregate before "
         "the exchange, week merges move one sketch blob per day, and "
