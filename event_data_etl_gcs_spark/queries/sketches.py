@@ -149,3 +149,42 @@ def kmv_set_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard.alias("jaccard_est"),
         (jaccard * union_est).alias("intersection_est"),
     )
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS bitmap_distinct, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct "
+        "FROM events GROUP BY event_type"
+    ),
+    doc=(
+        "Spark bitmap aggregate family: distinct users per type via "
+        "bitmap_count(bitmap_construct_agg(bitmap_bit_position(...))) — "
+        "the roaring-bitmap-style exact-distinct representation whose "
+        "per-group state is a fixed bitmap instead of a value set; "
+        "checked against count(DISTINCT) on both engines (the DuckDB "
+        "oracle computes the same exact integer both ways)."
+    ),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # full recipe: ids shard into 32768-bit buckets (bitmap_bucket_number)
+    # and per-bucket bitmaps sum — unbounded id domains supported. The
+    # +1 shift keeps id 0 in-range (bit_position(x) = (x-1) mod 32768;
+    # 0 would map to a negative bit and silently drop).
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id + 1)").alias("__bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(user_id + 1)))"
+        ).alias("cnt"),
+        F.expr("count(DISTINCT user_id)").alias("ex"),
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("bitmap_distinct"),
+        F.sum("ex").cast("long").alias("exact_distinct"),
+    )
