@@ -97,7 +97,8 @@ set_priority([
     "rfm_features", "event_transition_matrix", "frequent_event_sequences",
     "cusum_changepoint", "k_anonymity_audit", "grouped_split_events",
     "cluster_aware_split", "variant_extract", "sql_recursive_date_spine",
-    "churn_labels", "pareto_front_users",
+    "churn_labels", "pareto_front_users", "interval_day_allocation",
+    "bitmap_distinct_users",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
