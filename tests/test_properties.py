@@ -327,3 +327,43 @@ def test_cusum_changepoint_matches_numpy(spark, seq):
     best = int(np.argmax(stat))  # first index of the max (ties -> smallest rn)
     assert r["cp_index"] == best + 1
     assert r["n"] == n
+
+
+@given(
+    data=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=35
+    )
+)
+@SETTINGS
+def test_equi_depth_matches_ntile_model(spark, data):
+    """The distribution-form decile histogram must equal a python ntile
+    model (same first-buckets-larger sizing) on random small inputs —
+    including n < 10 and heavy ties."""
+    import event_data_etl_gcs_spark.queries.features as feats
+    from event_data_etl_gcs_spark.queries.features import equi_depth_buckets
+
+    rows = [(i, "t", v / 100.0) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    orig = feats.load_table
+    try:
+        feats.load_table = lambda s_, d_, n_: df
+        got = {
+            r["bucket"]: (r["n_rows"], r["lo_cents"], r["hi_cents"])
+            for r in equi_depth_buckets(spark, "x").collect()
+        }
+    finally:
+        feats.load_table = orig
+
+    vals = sorted(data)
+    n = len(vals)
+    want = {}
+    sizes = [n // 10 + (1 if i <= n % 10 else 0) for i in range(1, 11)]
+    pos = 0
+    for i, size in enumerate(sizes, start=1):
+        if size == 0:
+            continue
+        chunk = vals[pos : pos + size]
+        want[i] = (size, chunk[0], chunk[-1])
+        pos += size
+    assert got == want
