@@ -206,3 +206,52 @@ def maintain_sum_count(
         ).alias("n_rows"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+def stage_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write-audit-publish, step 1: write the data files of the NEXT
+    version WITHOUT advancing the manifest pointer. Readers still see
+    the current version; the staged directory is invisible to them.
+    Returns the staged version number for audit + publish."""
+    m = read_manifest(table_dir)
+    v = m["current"] + 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(table_dir, f"v={v}")
+    )
+    return v
+
+
+def read_staged(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Read a staged (unpublished) version for auditing."""
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def publish_snapshot(table_dir: str, version: int, note: str = "") -> None:
+    """Write-audit-publish, step 3: atomically advance the pointer to an
+    audited staged version. Refuses non-sequential publishes."""
+    m = read_manifest(table_dir)
+    if version != m["current"] + 1:
+        raise ValueError(
+            f"cannot publish v{version}: current is v{m['current']}"
+        )
+    if not os.path.exists(os.path.join(table_dir, f"v={version}", "_SUCCESS")):
+        raise ValueError(f"staged v{version} has no _SUCCESS marker")
+    m["current"] = version
+    m["versions"].append({"version": version, "note": note})
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f)
+    os.replace(tmp, _manifest_path(table_dir))
+
+
+def abort_staged(table_dir: str, version: int) -> None:
+    """Drop a staged version that failed its audit. Refuses to touch
+    published versions."""
+    import shutil
+
+    m = read_manifest(table_dir)
+    if any(e["version"] == version for e in m["versions"]):
+        raise ValueError(f"v{version} is published; use vacuum_versions")
+    vdir = os.path.join(table_dir, f"v={version}")
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)

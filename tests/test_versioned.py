@@ -111,3 +111,50 @@ def test_incremental_view_maintenance_from_diff(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(w) > 0
+
+
+def test_write_audit_publish(spark, tmp_path):
+    from event_data_etl_gcs_spark.plans.quality_hooks import (
+        assert_quality,
+        with_quality_observation,
+    )
+    from event_data_etl_gcs_spark.sources.versioned import (
+        abort_staged,
+        publish_snapshot,
+        read_staged,
+        stage_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "wap")
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit("a").alias("s"))
+    write_snapshot(base, table)
+
+    # good batch: stage -> audit (observe rides the audit count) -> publish
+    good = base.withColumn("s", F.lit("b"))
+    v = stage_snapshot(good, table)
+    audited, obs = with_quality_observation(
+        read_staged(spark, table, v), null_cols=("s",)
+    )
+    audited.count()
+    assert_quality(obs, min_rows=100)
+    publish_snapshot(table, v, note="audited")
+    assert read_snapshot(spark, table).filter(F.col("s") == "b").count() == 100
+
+    # bad batch: stage -> audit fails -> abort; readers never saw it
+    bad = base.withColumn("s", F.when(F.col("k") < 50, None).otherwise("c"))
+    v2 = stage_snapshot(bad, table)
+    audited2, obs2 = with_quality_observation(
+        read_staged(spark, table, v2), null_cols=("s",)
+    )
+    audited2.count()
+    try:
+        assert_quality(obs2, max_null_frac=0.1)
+        raise RuntimeError("audit should have failed")
+    except AssertionError:
+        abort_staged(table, v2)
+    assert read_snapshot(spark, table).filter(F.col("s") == "b").count() == 100
+
+    # publishing a never-staged or out-of-order version refuses
+    with pytest.raises(ValueError):
+        publish_snapshot(table, v2 + 5)
