@@ -58,6 +58,18 @@ NON_QUERY = """
 | Bucketed tables (shuffle-free repeated joins) | `sources/bucketed.py` | `test_scale_techniques.py` (no-Exchange plan) |
 | Corrupt-record dead-letter JSON ingest | `sources/json_source.py` | `test_sparkify_pipeline.py` |
 | Pipeline runner: stage DAG, quarantine, `_SUCCESS`-gated warehouse load | `plans/runner.py` | `test_runner.py` |
+| Versioned snapshot tables: copy-on-write time travel, keyed content-hash diff, vacuum | `sources/versioned.py` | `test_versioned.py` |
+| Write-audit-publish: stage -> observe-audited -> atomic pointer publish / abort | `sources/versioned.py` + `plans/quality_hooks.py` | `test_versioned.py::test_write_audit_publish` |
+| Diff-driven incremental view maintenance (O(changed rows), exact) | `sources/versioned.py` `maintain_sum_count` | `test_versioned.py` |
+| Cross-system orderless partition checksums (migration validation) | `operators/validation.py` | `test_validation.py` + oracle row `orders_partition_checksums` |
+| In-flight quality metrics riding the action (`DataFrame.observe`) | `plans/quality_hooks.py` | `test_observability.py` |
+| Dynamic partition pruning (runtime subquery on the partitioned scan) | Spark DPP, exercised end-to-end | `test_scale_techniques2.py` |
+| Stream-stream INTERVAL overlap join (bounded-length state eviction) | `streaming/joins.py` | `test_streaming_joins.py` (== batch) |
+| Streaming KMV + partition-checksum maintenance (replay-safe) | `streaming/sketches.py` | `test_streaming_sketches.py` (bit-exact vs batch) |
+| ANN-backed kNN graph build (banded SRP candidates, recall-measured) | `operators/graph.py` `knn_edges_ann` | `test_graph.py` (recall vs exact) |
+| Perceptual image dHash dedup (map-only, 8 bytes/image state) | `operators/multimodal.py` | `test_multimodal_codecs.py` |
+| zlib compression-ratio quality scoring (Arrow-batched mapInPandas) | `operators/text.py` `compression_ratio` | `test_training_ops.py` (byte-exact vs zlib) |
+| Corpus pipeline v2: dedup + decontamination + cluster-aware split | `plans/training_corpus.py` | `test_training_ops.py::test_corpus_v2_invariants` |
 """
 
 
