@@ -302,7 +302,8 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS frequency, "
         "CAST(sum(v) AS BIGINT) AS monetary_cents FROM c GROUP BY user_id), "
         "r AS (SELECT user_id, frequency, monetary_cents, "
-        "max(monetary_cents) OVER (ORDER BY frequency DESC, user_id "
+        "max(monetary_cents) OVER (ORDER BY frequency DESC, "
+        "monetary_cents DESC, user_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_m "
         "FROM pu) "
         "SELECT user_id, frequency, monetary_cents FROM r "
@@ -312,12 +313,12 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Pareto front (dominance filter) over the user dimension: keep "
         "users no other user beats on BOTH frequency and monetary value "
         "— the classic skyline query, as a single running-max window "
-        "over the frequency-sorted user table instead of a quadratic "
-        "self-join. Runs on the user DIMENSION (the events-scale work "
-        "is the upstream groupBy); all compares are exact integers. "
-        "Ties on frequency resolve by user_id order, so equal-frequency "
-        "users survive only if strictly better on monetary — "
-        "deterministic in both engines."
+        "over the (frequency desc, monetary desc) order instead of a "
+        "quadratic self-join: every prior row is a potential dominator, "
+        "so 'monetary > prior max' is exactly non-dominance. Duplicate "
+        "(f, m) points collapse to their min-user_id representative "
+        "(deterministic in both engines); all compares exact integers; "
+        "runs on the user DIMENSION."
     ),
 )
 def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +328,9 @@ def pareto_front_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("long").alias("monetary_cents"),
     )
     w = (
-        Window.orderBy(F.col("frequency").desc(), "user_id")
+        Window.orderBy(
+            F.col("frequency").desc(), F.col("monetary_cents").desc(), "user_id"
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     r = pu.withColumn("best_m", F.max("monetary_cents").over(w))

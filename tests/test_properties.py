@@ -367,3 +367,49 @@ def test_equi_depth_matches_ntile_model(spark, data):
         want[i] = (size, chunk[0], chunk[-1])
         pos += size
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # frequency
+            st.integers(min_value=0, max_value=50),  # monetary
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_pareto_front_matches_dominance_model(spark, data):
+    """The running-max skyline must equal the quadratic true-dominance
+    model (duplicate points collapse to their min-id representative)."""
+    from pyspark.sql import Window
+
+    rows = [(uid, f, m) for uid, (f, m) in enumerate(data)]
+    pu = spark.createDataFrame(rows, "user_id long, frequency long, monetary_cents long")
+    w = (
+        Window.orderBy(
+            F.col("frequency").desc(), F.col("monetary_cents").desc(), "user_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r["user_id"]
+        for r in pu.withColumn("best_m", F.max("monetary_cents").over(w))
+        .filter(F.col("best_m").isNull() | (F.col("monetary_cents") > F.col("best_m")))
+        .collect()
+    }
+    want = set()
+    for uid, (f, m) in enumerate(data):
+        dominated = any(
+            # true Pareto dominance ...
+            (f2 >= f and m2 >= m and (f2 > f or m2 > m))
+            # ... or an identical point with a smaller id (duplicate
+            # points collapse to their representative)
+            or (f2 == f and m2 == m and uid2 < uid)
+            for uid2, (f2, m2) in enumerate(data)
+            if uid2 != uid
+        )
+        if not dominated:
+            want.add(uid)
+    assert got == want
