@@ -403,3 +403,61 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_stat_norm"
         ),
     )
+
+
+@query(
+    "linear_attribution",
+    oracle=(
+        "WITH clicks AS (SELECT user_id, event_id AS click_id, ts AS c_ts "
+        "FROM events WHERE event_type = 'click'), "
+        "purch AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts, "
+        f"{_CUSUM_CENTS} AS v FROM events WHERE event_type = 'purchase'), "
+        "touch AS (SELECT p.purchase_id, p.v, c.click_id "
+        "FROM purch p JOIN clicks c ON p.user_id = c.user_id "
+        "AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR), "
+        "n AS (SELECT purchase_id, count(*) AS n_touches FROM touch "
+        "GROUP BY purchase_id) "
+        "SELECT t.purchase_id, t.click_id, "
+        "CAST(n.n_touches AS BIGINT) AS n_touches, "
+        "t.v AS purchase_cents, "
+        "CAST(t.v AS DOUBLE) / n.n_touches AS credit_cents "
+        "FROM touch t JOIN n ON t.purchase_id = n.purchase_id"
+    ),
+    doc=(
+        "Multi-touch LINEAR attribution: each purchase's value splits "
+        "equally across the user's clicks in the preceding hour. Credit "
+        "stays a ROW-LEVEL single division of exact integers (emitting "
+        "per-touch rows, never a cross-row float sum), so the full "
+        "credit ledger is oracle-exact; downstream rollups should sum "
+        "the integer numerators and divide once. Time-bounded equi-join "
+        "on user_id — the watermarked stream-stream attribution's batch "
+        "twin (streaming/joins.py)."
+    ),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr(_CUSUM_CENTS).alias("v"),
+    )
+    touch = purch.join(
+        clicks,
+        (purch["user_id"] == clicks["user_id"])
+        & (clicks["c_ts"] <= purch["p_ts"])
+        & (clicks["c_ts"] >= purch["p_ts"] - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "v", "click_id")
+    n = touch.groupBy("purchase_id").agg(
+        F.count("*").cast("long").alias("n_touches")
+    )
+    return touch.join(n, "purchase_id").select(
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        F.col("v").alias("purchase_cents"),
+        (F.col("v").cast("double") / F.col("n_touches")).alias("credit_cents"),
+    )
