@@ -337,3 +337,63 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("frac_below_k5"),
     )
+
+
+@query(
+    "key_skew_report",
+    oracle=(
+        "WITH kc AS (SELECT user_id AS k, count(*) AS c FROM events "
+        "GROUP BY user_id), "
+        "r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i, "
+        "count(*) OVER () AS nk, sum(c) OVER () AS total FROM kc) "
+        "SELECT CAST(max(nk) AS BIGINT) AS n_keys, "
+        "CAST(max(total) AS BIGINT) AS n_rows, "
+        "CAST(max(c) AS BIGINT) AS max_key_rows, "
+        "CAST(max(c) AS DOUBLE) * max(nk) / max(total) AS hot_key_factor, "
+        "CAST(sum((2 * i - nk - 1) * c) AS DOUBLE) "
+        "/ (CAST(max(nk) AS DOUBLE) * max(total)) AS gini "
+        "FROM r"
+    ),
+    doc=(
+        "Shuffle-key skew diagnostic over user_id: per-key counts "
+        "(keys-dimension sized), Gini concentration via the exact "
+        "integer form sum((2i - n - 1) * c_i) over counts sorted by "
+        "(count, key) — the numerator is an exact integer sum, the only "
+        "floats are final divisions — plus the hot-key factor "
+        "(max / mean) that decides when the salted operators "
+        "(operators/skew.py) are worth their overhead."
+    ),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("c", "k")
+    wall = Window.partitionBy()
+    r = kc.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("nk"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    return r.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        (
+            F.max("c").cast("double") * F.max("nk") / F.max("total")
+        ).alias("hot_key_factor"),
+        (
+            # decimal accumulator: with 1e9 keys the long sum of
+            # ~(2*n_keys*c) terms overflows; DuckDB's hugeint does not.
+            F.sum(
+                ((2 * F.col("i") - F.col("nk") - 1) * F.col("c")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (F.max("nk").cast("double") * F.max("total"))
+        ).alias("gini"),
+    )
