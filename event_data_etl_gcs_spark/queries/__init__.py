@@ -98,7 +98,8 @@ set_priority([
     "cusum_changepoint", "k_anonymity_audit", "grouped_split_events",
     "cluster_aware_split", "variant_extract", "sql_recursive_date_spine",
     "churn_labels", "pareto_front_users", "interval_day_allocation",
-    "bitmap_distinct_users",
+    "bitmap_distinct_users", "linear_attribution", "key_skew_report",
+    "scd2_point_in_time_join",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -315,3 +315,60 @@ def dedup_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("kept_event_id"),
         (F.count("*") - 1).cast("bigint").alias("n_suppressed"),
     )
+
+
+def _scd2_pit_oracle() -> str:
+    from .registry import get_query
+
+    scd = get_query("scd2_event_type_history").oracle
+    return (
+        f"WITH scd AS ({scd}), "
+        "probes AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        "min(ts) AS probe_ts FROM events GROUP BY user_id, CAST(ts AS DATE)) "
+        "SELECT p.user_id, p.probe_ts, s.event_type AS state_at_probe, "
+        "s.valid_from, CAST(s.n_events AS BIGINT) AS version_n_events "
+        "FROM probes p JOIN scd s ON p.user_id = s.user_id "
+        "AND s.valid_from <= p.probe_ts "
+        "AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)"
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=_scd2_pit_oracle(),
+    doc=(
+        "Point-in-time (temporal) join against the SCD2 history: each "
+        "probe timestamp (first event per user-day) picks up the "
+        "dimension version whose [valid_from, valid_to) range covers it "
+        "— the AS OF lookup every warehouse needs against versioned "
+        "dims. Range predicate rides a user_id equi-join (per-user "
+        "version counts are bounded), so no interval machinery is "
+        "needed; at dimension scale the slab-bucketed interval join "
+        "(operators/temporal_joins.py) is the drop-in upgrade."
+    ),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scd = scd2_event_type_history(spark, sf_dir)
+    probes = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("probe_ts"))
+    p, s = probes.alias("p"), scd.alias("s")
+    return (
+        p.join(
+            s,
+            (F.col("p.user_id") == F.col("s.user_id"))
+            & (F.col("s.valid_from") <= F.col("p.probe_ts"))
+            & (
+                F.col("s.valid_to").isNull()
+                | (F.col("p.probe_ts") < F.col("s.valid_to"))
+            ),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.probe_ts").alias("probe_ts"),
+            F.col("s.event_type").alias("state_at_probe"),
+            F.col("s.valid_from").alias("valid_from"),
+            F.col("s.n_events").cast("long").alias("version_n_events"),
+        )
+    )
