@@ -153,3 +153,30 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dhash_dedup_groups(synthesize_ppm_images(docs))
+
+
+@query(
+    "multimodal_video_frame_stats",
+    oracle=None,  # frame extraction over framed binary payloads has no
+    # SQL form; tests/test_multimodal_video.py pins the sampler against
+    # python byte arithmetic and the resize stage's shapes.
+    doc=(
+        "Video preprocessing plumbing: synthesize framed binary "
+        "payloads, sample every 4th frame (mapInPandas flatMap shape — "
+        "one output row per kept frame with a deterministic byte "
+        "checksum), and aggregate per-video frame stats. Map-only "
+        "until the final count; a real decoder (ffmpeg) slots into the "
+        "per-frame loop unchanged."
+    ),
+)
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample, synthesize_videos
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(synthesize_videos(docs))
+    return frames.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_sampled_frames"),
+        F.min("frame_sum").alias("min_frame_sum"),
+        F.max("frame_sum").alias("max_frame_sum"),
+        F.sum("frame_sum").cast("long").alias("total_bytes_sum"),
+    )
