@@ -176,3 +176,53 @@ def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - p2).alias("simpson_index"),
         (F.lit(1.0) / p2).alias("effective_vocab"),
     )
+
+
+@query(
+    "distinctive_terms_per_doc",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, unnest({duck_tokens('text')}) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks "
+        "GROUP BY doc_id, token), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks "
+        "GROUP BY token) "
+        "SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df AS BIGINT) AS df, CAST(rnk AS INT) AS rank FROM ("
+        "SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, df.df, tf.token) AS rnk "
+        "FROM tf JOIN df ON tf.token = df.token) t WHERE rnk <= 3"
+    ),
+    doc=(
+        "Top-3 distinctive terms per document: rank by (term frequency "
+        "desc, document frequency asc, term) — the integer-exact "
+        "keyword-extraction ordering (log-free TF-IDF stands in for "
+        "the libm-unportable tf*ln(N/df) score; the RANKING is what "
+        "downstream consumes). Corpus df is one two-phase aggregate "
+        "joined back on token; the rank window partitions per doc, "
+        "bounded by document vocabulary."
+    ),
+)
+def distinctive_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), "df", "token"
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )
