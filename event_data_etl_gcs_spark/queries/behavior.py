@@ -461,3 +461,98 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("purchase_cents"),
         (F.col("v").cast("double") / F.col("n_touches")).alias("credit_cents"),
     )
+
+
+@query(
+    "new_vs_returning_users",
+    oracle=(
+        "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day "
+        "FROM events GROUP BY user_id), "
+        "d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) "
+        "SELECT d.day, "
+        "CAST(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_new, "
+        "CAST(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_returning "
+        "FROM d JOIN f ON d.user_id = f.user_id GROUP BY d.day"
+    ),
+    doc=(
+        "Daily new-vs-returning active users: first-seen date per user "
+        "(user-dimension aggregate, broadcastable) classifies each "
+        "active (user, day). Two two-phase aggregates + one dimension "
+        "join; exact integers."
+    ),
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        d.join(F.broadcast(f), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
+
+
+@query(
+    "revenue_concentration",
+    oracle=(
+        f"WITH pu AS (SELECT user_id, sum({_CUSUM_CENTS}) AS v FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id), "
+        "r AS (SELECT v, row_number() OVER (ORDER BY v DESC, user_id) AS i, "
+        "count(*) OVER () AS nu, sum(v) OVER () AS total FROM pu) "
+        "SELECT CAST(max(nu) AS BIGINT) AS n_buyers, "
+        "CAST(max(total) AS BIGINT) AS total_cents, "
+        "CAST(sum(CASE WHEN i <= (nu + 9) // 10 THEN v ELSE 0 END) AS BIGINT) "
+        "AS top_decile_cents, "
+        "CAST(sum(CASE WHEN i <= (nu + 9) // 10 THEN v ELSE 0 END) AS DOUBLE) "
+        "/ max(total) AS top_decile_share "
+        "FROM r"
+    ),
+    doc=(
+        "Revenue concentration: the top-10%-of-buyers share of purchase "
+        "value — ceil(n/10) by integer rank over the buyer DIMENSION "
+        "(ties broken by user_id), exact integer sums, one final "
+        "division. The KPI behind whale-risk and the pareto/gini "
+        "diagnostics."
+    ),
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr(_CUSUM_CENTS)).alias("v"))
+    )
+    w = Window.orderBy(F.col("v").desc(), "user_id")
+    wall = Window.partitionBy()
+    r = pu.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("nu"),
+        F.sum("v").over(wall).alias("total"),
+    )
+    top = F.sum(
+        F.expr("CASE WHEN i <= (nu + 9) div 10 THEN v ELSE 0 END")
+    )
+    return r.agg(
+        F.max("nu").cast("long").alias("n_buyers"),
+        F.max("total").cast("long").alias("total_cents"),
+        top.cast("long").alias("top_decile_cents"),
+        (top.cast("double") / F.max("total")).alias("top_decile_share"),
+    )
