@@ -99,7 +99,8 @@ set_priority([
     "cluster_aware_split", "variant_extract", "sql_recursive_date_spine",
     "churn_labels", "pareto_front_users", "interval_day_allocation",
     "bitmap_distinct_users", "linear_attribution", "key_skew_report",
-    "scd2_point_in_time_join",
+    "scd2_point_in_time_join", "distinctive_terms_per_doc",
+    "new_vs_returning_users", "revenue_concentration",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
