@@ -186,3 +186,34 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum_disc_price("l_extendedprice", "l_discount").alias("revenue"),
     )
+
+
+@query(
+    "lateral_top_orders_per_customer",
+    oracle=(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+        "FROM customer c, LATERAL ("
+        "SELECT o_orderkey, o_totalprice FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"
+    ),
+    doc=(
+        "Correlated LATERAL subquery (identical SQL on both engines): "
+        "top-2 orders per customer. Catalyst decorrelates this into the "
+        "same ranked-window join a hand-written top-n-per-key produces "
+        "— the modern SQL surface riding the existing physical "
+        "strategy. Deterministic via the total (price desc, orderkey) "
+        "order; o_totalprice compares EXACTLY because equal doubles are "
+        "equal, and ties break on the integer key."
+    ),
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice "
+        "FROM customer_lv c, LATERAL ("
+        "SELECT o_orderkey, o_totalprice FROM orders_lv o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"
+    )
