@@ -766,3 +766,42 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs)
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=(
+        "WITH base AS (SELECT doc_id, lang, "
+        f"{duck_tokens('text')} AS toks FROM documents), "
+        f"pred AS (SELECT lang AS lang_true, {duck_language_id('toks')} "
+        "AS lang_pred FROM base), "
+        "cm AS (SELECT lang_true, lang_pred, count(*) AS n FROM pred "
+        "GROUP BY lang_true, lang_pred), "
+        "tot AS (SELECT lang_true, sum(n) AS n_true FROM cm GROUP BY lang_true) "
+        "SELECT cm.lang_true, cm.lang_pred, CAST(cm.n AS BIGINT) AS n, "
+        "CAST(cm.n AS DOUBLE) / tot.n_true AS frac_of_true "
+        "FROM cm JOIN tot ON cm.lang_true = tot.lang_true"
+    ),
+    doc=(
+        "Language-ID evaluation: the confusion matrix of the heuristic "
+        "classifier against the labeled language, with per-true-class "
+        "fractions (recall on the diagonal). Exact counts, one portable "
+        "division; |langs|^2-sized output from one aggregate."
+    ),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = with_tokens(docs).select(
+        F.col("lang").alias("lang_true"),
+        language_id_column().alias("lang_pred"),
+    )
+    cm = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("n_true"))
+    return cm.join(tot, "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("n_true")).alias("frac_of_true"),
+    )

@@ -317,3 +317,41 @@ def interval_day_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("part_us").cast("long").alias("covered_us"),
         )
     )
+
+
+@query(
+    "trailing_wau",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "cov AS (SELECT user_id, day + CAST(k AS INTEGER) AS wday "
+        "FROM ud, unnest(range(0, 7)) AS r(k)), "
+        "days AS (SELECT DISTINCT CAST(ts AS DATE) AS wday FROM events) "
+        "SELECT c.wday AS day, "
+        "CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau "
+        "FROM cov c JOIN days d ON c.wday = d.wday GROUP BY c.wday"
+    ),
+    doc=(
+        "Trailing 7-day active users per day — DISTINCT over a sliding "
+        "window, the aggregation windows can't express: each active "
+        "(user, day) explodes to the 7 future days it keeps the user "
+        "active for (map-side, bounded x7), then one count-distinct per "
+        "day; restricted to days that exist in the data. At 100 TB the "
+        "explode factor is the window length — linear, no per-day "
+        "rescans of history."
+    ),
+)
+def trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    cov = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(0, 6)")).alias("k"),
+        "day",
+    ).select("user_id", F.expr("date_add(day, k)").alias("wday"))
+    days = ev.select(F.col("ts").cast("date").alias("wday")).distinct()
+    return (
+        cov.join(days, "wday")
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
