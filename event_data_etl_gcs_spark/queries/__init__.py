@@ -101,6 +101,8 @@ set_priority([
     "bitmap_distinct_users", "linear_attribution", "key_skew_report",
     "scd2_point_in_time_join", "distinctive_terms_per_doc",
     "new_vs_returning_users", "revenue_concentration",
+    "lateral_top_orders_per_customer", "langid_confusion_matrix",
+    "trailing_wau",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
