@@ -113,18 +113,24 @@ def _make_sessionize_fn(gap_us: int, ts_col: str):
 def stateful_sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
-    watermark: str = "2 days",
+    watermark: str | None = "2 days",
     ts_col: str = "ts",
     key_col: str = "user_id",
 ) -> DataFrame:
     """Per-user session windows (30-min inactivity gap by default) over a
     streaming frame; emits each session exactly once, when closed. Use
-    outputMode('append')."""
+    outputMode('append').
+
+    ``watermark=None`` means the INPUT already carries one — required
+    when composing after another stateful operator (e.g.
+    dropDuplicatesWithinWatermark): Spark disallows redefining the
+    watermark between stateful operators in one query."""
     gap_us = gap_minutes * 60 * 1_000_000
     events = ensure_tz_timestamp(events, ts_col)
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
     return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
+        events.groupBy(key_col)
         .applyInPandasWithState(
             _make_sessionize_fn(gap_us, ts_col),
             outputStructType=SESSION_OUTPUT_SCHEMA,

@@ -86,3 +86,56 @@ def test_streaming_sessions_state_is_fixed_width(spark):
         "end_us",
         "n_events",
     ]
+
+
+def test_end_to_end_streaming_pipeline(spark, sessions_stream, tmp_path):
+    """Capstone composition: watermark dedup -> stateful sessionize ->
+    stream-static broadcast enrichment -> parquet sink with checkpoint —
+    the full streaming DAG in one query, checked against its batch
+    equivalent (the harder thing Spark must get right here is watermark
+    propagation THROUGH the stateful operator into the stateless join)."""
+    from event_data_etl_gcs_spark.queries import get_query
+    from event_data_etl_gcs_spark.streaming.joins import stream_static_enrich
+
+    ev = load_table(spark, SF, "events")
+    user_dim = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("lifetime_events")
+    )
+
+    from event_data_etl_gcs_spark.streaming._util import ensure_tz_timestamp
+
+    deduped = (
+        ensure_tz_timestamp(sessions_stream, "ts")
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sessions = stateful_sessionize(deduped, gap_minutes=30, watermark=None)
+    enriched = stream_static_enrich(sessions, user_dim, "user_id")
+    out = str(tmp_path / "pipe_out")
+    q = (
+        enriched.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).filter(F.col("user_id") != SENTINEL_USER)
+    want = (
+        get_query("sessionize").fn(spark, SF)
+        .join(user_dim, "user_id")
+    )
+    # same session set with the same enrichment attribute
+    g = {
+        (r["user_id"], r["session_start"], r["n_events"], r["lifetime_events"])
+        for r in got.collect()
+    }
+    w = {
+        (r["user_id"], r["session_start"], r["n_events"], r["lifetime_events"])
+        for r in want.select(
+            "user_id", "session_start", "n_events", "lifetime_events"
+        ).collect()
+    }
+    assert g == w and len(w) > 0
