@@ -102,7 +102,7 @@ set_priority([
     "scd2_point_in_time_join", "distinctive_terms_per_doc",
     "new_vs_returning_users", "revenue_concentration",
     "lateral_top_orders_per_customer", "langid_confusion_matrix",
-    "trailing_wau",
+    "trailing_wau", "stickiness_dau_mau",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

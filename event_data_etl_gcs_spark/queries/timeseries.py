@@ -355,3 +355,46 @@ def trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wday").alias("day"))
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+@query(
+    "stickiness_dau_mau",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud "
+        "GROUP BY day), "
+        "cov AS (SELECT user_id, day + CAST(k AS INTEGER) AS wday "
+        "FROM ud, unnest(range(0, 28)) AS r(k)), "
+        "mau AS (SELECT wday AS day, count(DISTINCT user_id) AS mau "
+        "FROM cov GROUP BY wday) "
+        "SELECT d.day, CAST(d.dau AS BIGINT) AS dau, "
+        "CAST(m.mau AS BIGINT) AS mau28, "
+        "CAST(d.dau AS DOUBLE) / m.mau AS stickiness "
+        "FROM dau d JOIN mau m ON d.day = m.day"
+    ),
+    doc=(
+        "Stickiness (DAU / trailing-28-day MAU) per day: both counts "
+        "via the explode-to-covering-days form (x28 bounded map-side "
+        "fan-out for the MAU — no per-day history rescans), joined on "
+        "days that exist in the data; one portable division."
+    ),
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    cov = ud.select(
+        "user_id", F.explode(F.expr("sequence(0, 27)")).alias("k"), "day"
+    ).select("user_id", F.expr("date_add(day, k)").alias("day"))
+    mau = cov.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("mau28")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau28",
+        (F.col("dau").cast("double") / F.col("mau28")).alias("stickiness"),
+    )

@@ -70,6 +70,7 @@ NON_QUERY = """
 | Perceptual image dHash dedup (map-only, 8 bytes/image state) | `operators/multimodal.py` | `test_multimodal_codecs.py` |
 | zlib compression-ratio quality scoring (Arrow-batched mapInPandas) | `operators/text.py` `compression_ratio` | `test_training_ops.py` (byte-exact vs zlib) |
 | Corpus pipeline v2: dedup + decontamination + cluster-aware split | `plans/training_corpus.py` | `test_training_ops.py::test_corpus_v2_invariants` |
+| End-to-end streaming DAG: watermark dedup -> stateful sessionize -> broadcast enrich -> checkpointed sink | `streaming/` composition | `test_streaming_sessions.py::test_end_to_end_streaming_pipeline` |
 """
 
 

@@ -13,7 +13,7 @@ import pytest
 
 from event_data_etl_gcs_spark.queries import all_queries
 
-TIER_N = 127
+TIER_N = 128
 
 # Rows-only by documented design (non-SQL-expressible): the driver records
 # a weaker rows-only check for these, which tolerates non-atomic columns.
