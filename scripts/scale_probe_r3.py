@@ -77,6 +77,19 @@ PROBES = [
     "cluster_aware_split",
     "k_anonymity_audit",
     "variant_extract",
+    "linear_attribution",
+    "key_skew_report",
+    "scd2_point_in_time_join",
+    "distinctive_terms_per_doc",
+    "new_vs_returning_users",
+    "revenue_concentration",
+    "langid_confusion_matrix",
+    "trailing_wau",
+    "stickiness_dau_mau",
+    # lateral_top_orders_per_customer is not probed: it needs the
+    # customer dim, which the 100x synthesizer doesn't replicate; the
+    # topn-per-key shape is already covered by topn_per_key_salted's
+    # skew probe.
 ]
 
 
