@@ -413,3 +413,48 @@ def test_pareto_front_matches_dominance_model(spark, data):
         if not dominated:
             want.add(uid)
     assert got == want
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.integers(min_value=0, max_value=20),  # day offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_trailing_wau_matches_python_model(spark, data):
+    """Explode-to-covering-days trailing-7d distinct == brute-force
+    per-day set union on random activity patterns."""
+    import datetime
+
+    import event_data_etl_gcs_spark.queries.timeseries as tsm
+    from event_data_etl_gcs_spark.queries.timeseries import trailing_wau
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(days=d, hours=1))
+        for i, (u, d) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    orig = tsm.load_table
+    try:
+        tsm.load_table = lambda s_, d_, n_: df
+        got = {r["day"]: r["wau"] for r in trailing_wau(spark, "x").collect()}
+    finally:
+        tsm.load_table = orig
+
+    active = {}
+    for u, d in data:
+        active.setdefault(d, set()).add(u)
+    want = {}
+    for d in active:
+        users = set()
+        for back in range(7):
+            users |= active.get(d - back, set())
+        want[(base + datetime.timedelta(days=d)).date()] = len(users)
+    assert got == want
