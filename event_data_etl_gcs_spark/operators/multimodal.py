@@ -488,8 +488,20 @@ def dhash_images(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 magic, dims, maxval, body = b.split(b"\n", 3)
-                assert magic == b"P6" and maxval == b"255"
+                # explicit raise, not assert: under python -O an assert
+                # is stripped and a malformed payload would be indexed
+                # arbitrarily, yielding a WRONG hash (silent mis-group)
+                if magic != b"P6" or maxval != b"255":
+                    raise ValueError(
+                        f"media_id={mid}: unsupported PPM payload "
+                        f"(magic={magic!r}, maxval={maxval!r})"
+                    )
                 w, h = (int(x) for x in dims.split())
+                if len(body) != 3 * w * h:
+                    raise ValueError(
+                        f"media_id={mid}: truncated PPM raster "
+                        f"({len(body)} bytes, expected {3 * w * h})"
+                    )
                 # integer grayscale per source pixel: (r + g + b)
                 gray = [
                     sum(body[3 * i : 3 * i + 3]) for i in range(w * h)

@@ -339,6 +339,20 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_term_decimal():
+    """Exact Gini numerator term (2i - nk - 1) * c with the FACTORS cast
+    to decimal before the multiplication: the per-term product (rank
+    ~1e9 x hot-key count) can exceed int64 at 100 TB and would wrap
+    silently in non-ANSI mode, while the DuckDB oracle computes it in
+    hugeint — the engines would diverge exactly at the scale the query
+    targets. decimal(20,0) factors keep the product within decimal(38,0)."""
+    return (
+        2 * F.col("i").cast("decimal(20,0)")
+        - F.col("nk").cast("decimal(20,0)")
+        - 1
+    ) * F.col("c").cast("decimal(20,0)")
+
+
 @query(
     "key_skew_report",
     oracle=(
@@ -387,13 +401,7 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("double") * F.max("nk") / F.max("total")
         ).alias("hot_key_factor"),
         (
-            # decimal accumulator: with 1e9 keys the long sum of
-            # ~(2*n_keys*c) terms overflows; DuckDB's hugeint does not.
-            F.sum(
-                ((2 * F.col("i") - F.col("nk") - 1) * F.col("c")).cast(
-                    "decimal(38,0)"
-                )
-            ).cast("double")
+            F.sum(gini_term_decimal()).cast("double")
             / (F.max("nk").cast("double") * F.max("total"))
         ).alias("gini"),
     )

@@ -115,6 +115,10 @@ def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
     m = read_manifest(table_dir)
     live = [e for e in m["versions"] if not e.get("vacuumed")]
     to_drop = live[:-keep_last] if keep_last > 0 else live
+    # never vacuum the version the manifest's 'current' pointer still
+    # references — keep_last=0 would otherwise break every subsequent
+    # read_snapshot while the manifest looks healthy
+    to_drop = [e for e in to_drop if e["version"] != m["current"]]
     dropped = []
     for e in to_drop:
         vdir = os.path.join(table_dir, f"v={e['version']}")

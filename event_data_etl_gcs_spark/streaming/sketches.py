@@ -17,7 +17,9 @@ makes HLL (unlike a raw counter) safe under foreachBatch redelivery.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +27,61 @@ from pyspark.sql import functions as F
 from ._util import ensure_tz_timestamp
 
 SKETCH_SCHEMA = "day TIMESTAMP, sk BINARY"
+
+# ---------------------------------------------------------------------------
+# Crash-atomic state storage (ADVICE r3): overwriting the live state dir
+# in place deletes it before rewriting, so a crash in between loses state
+# that the streaming checkpoint has already committed — those batches are
+# never replayed and the rebuilt state silently misses them. Instead each
+# new state generation is written to an immutable gen=N directory (data
+# files + _SUCCESS fully written first) and then a tiny manifest pointer
+# is advanced with os.replace (atomic on POSIX): readers see either the
+# old complete generation or the new one, never nothing. Same pattern as
+# sources/versioned.py. Older generations are pruned only AFTER the
+# pointer has moved past them (keep current + previous as crash fallback).
+# ---------------------------------------------------------------------------
+
+STATE_MANIFEST = "_state_manifest.json"
+
+
+def _state_current_gen(state_dir: str) -> int:
+    p = os.path.join(state_dir, STATE_MANIFEST)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["current"])
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, schema: str | None = None
+) -> DataFrame | None:
+    """Current state generation, or None if no generation committed yet."""
+    gen = _state_current_gen(state_dir)
+    if gen == 0:
+        return None
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(os.path.join(state_dir, f"gen={gen}"))
+
+
+def commit_state(df: DataFrame, state_dir: str) -> int:
+    """Write the next state generation, data first / pointer last; prune
+    generations older than the previous one. Returns the new gen number.
+    Because gen N is built while gen N-1 stays on disk untouched, the
+    merged plan can read the old state lazily during the write — no
+    cache-materialize-before-overwrite dance is needed."""
+    gen = _state_current_gen(state_dir) + 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(state_dir, f"gen={gen}")
+    )
+    tmp = os.path.join(state_dir, STATE_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"current": gen}, f)
+    os.replace(tmp, os.path.join(state_dir, STATE_MANIFEST))
+    for g in range(1, gen - 1):
+        old = os.path.join(state_dir, f"gen={g}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    return gen
 
 
 def batch_day_sketches(df: DataFrame, key_col: str = "user_id") -> DataFrame:
@@ -57,18 +114,9 @@ def run_streaming_sketch_maintenance(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_day_sketches(batch_df, key_col)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            state = spark.read.schema(SKETCH_SCHEMA).parquet(state_dir)
-            merged = merge_day_sketches(state, delta)
-        else:
-            merged = delta
-        out = merged.cache()
-        out.count()  # materialize before overwriting the input path
-        out.write.mode("overwrite").parquet(state_dir + "_tmp")
-        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
-            state_dir
-        )
-        out.unpersist()
+        state = read_state(spark, state_dir, SKETCH_SCHEMA)
+        merged = merge_day_sketches(state, delta) if state is not None else delta
+        commit_state(merged, state_dir)
 
     q = (
         stream.writeStream.trigger(availableNow=True)
@@ -84,7 +132,9 @@ def range_distinct_estimate(
 ) -> DataFrame:
     """(est_distinct): sketch-union distinct estimate over [from, to] —
     the read path: merges <= a few hundred day rows, touches no events."""
-    state = spark.read.schema(SKETCH_SCHEMA).parquet(state_dir)
+    state = read_state(spark, state_dir, SKETCH_SCHEMA)
+    if state is None:
+        raise ValueError(f"no committed state generation at {state_dir}")
     return (
         state.filter(
             (F.col("day") >= F.lit(day_from)) & (F.col("day") <= F.lit(day_to))
@@ -142,18 +192,10 @@ def run_streaming_kmv_maintenance(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_kmv_rows(batch_df, group_col, value_col)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            state = spark.read.schema(KMV_STATE_SCHEMA).parquet(state_dir)
-            merged = merge_kmv_rows(state, delta)
-        else:
-            merged = merge_kmv_rows(delta.limit(0), delta)
-        out = merged.cache()
-        out.count()
-        out.write.mode("overwrite").parquet(state_dir + "_tmp")
-        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
-            state_dir
-        )
-        out.unpersist()
+        state = read_state(spark, state_dir, KMV_STATE_SCHEMA)
+        if state is None:
+            state = delta.limit(0)
+        commit_state(merge_kmv_rows(state, delta), state_dir)
 
     q = (
         stream.writeStream.trigger(availableNow=True)
@@ -192,8 +234,8 @@ def run_streaming_checksum_maintenance(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         delta = partition_checksums(batch_df, part_expr, canonical_sql)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            state = spark.read.schema(CKSUM_STATE_SCHEMA).parquet(state_dir)
+        state = read_state(spark, state_dir, CKSUM_STATE_SCHEMA)
+        if state is not None:
             if (
                 state.filter(F.col("last_batch") >= batch_id).count() > 0
             ):  # replayed batch: already folded in, skip (non-idempotent add)
@@ -210,15 +252,10 @@ def run_streaming_checksum_maintenance(
             )
         else:
             merged = delta
-        out = merged.withColumn(
-            "last_batch", F.lit(batch_id).cast("long")
-        ).cache()
-        out.count()
-        out.write.mode("overwrite").parquet(state_dir + "_tmp")
-        spark.read.parquet(state_dir + "_tmp").write.mode("overwrite").parquet(
-            state_dir
+        commit_state(
+            merged.withColumn("last_batch", F.lit(batch_id).cast("long")),
+            state_dir,
         )
-        out.unpersist()
 
     q = (
         stream.writeStream.trigger(availableNow=True)

@@ -10,6 +10,7 @@ from event_data_etl_gcs_spark.sources.catalog import load_table
 from event_data_etl_gcs_spark.streaming.sketches import (
     batch_day_sketches,
     range_distinct_estimate,
+    read_state,
     run_streaming_sketch_maintenance,
 )
 
@@ -30,7 +31,7 @@ def test_streamed_sketches_match_batch(spark, tmp_path):
     run_streaming_sketch_maintenance(spark, stream, state_dir)
 
     # one row per day, merged across micro-batches
-    state = spark.read.parquet(state_dir)
+    state = read_state(spark, state_dir)
     n_days = ev.select(F.date_trunc("DAY", "ts")).distinct().count()
     assert state.count() == n_days
 
@@ -85,7 +86,7 @@ def test_streamed_kmv_matches_batch(spark, tmp_path):
 
     got = {
         (r["grp"], r["h"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     }
     want = {(r["grp"], r["h"]) for r in batch_kmv_rows(ev).collect()}
     assert got == want and len(want) > 0
@@ -115,7 +116,7 @@ def test_streamed_checksums_match_batch(spark, tmp_path):
     )
     got = {
         r["part"]: (r["n_rows"], r["checksum"], r["checksum2"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     }
     want = {
         r["part"]: (r["n_rows"], r["checksum"], r["checksum2"])
