@@ -1,0 +1,331 @@
+"""Per-user lifetime totals + idleness timers: arbitrary stateful
+streaming with warm start, in two API generations.
+
+The reference's incremental mode (`sparkify_etl_1.py`, one file per run
+with hand-rolled bookkeeping) is re-expressed as engine-managed state:
+
+* ``running_user_totals`` / ``idle_user_flags`` —
+  ``applyInPandasWithState`` implementations that run everywhere
+  (the API generation ``streaming/sessions.py`` also uses). Warm start
+  rides IN-BAND: a batch backfill aggregate is rendered as one
+  pre-aggregated unit row per user (``seed_units``) and staged as the
+  stream's first file, so the state fold never distinguishes seed from
+  live — a 100 TB backfill runs once as a batch job and the stream only
+  ever pays O(new events).
+* ``running_user_totals_tws`` / ``idle_user_flags_tws`` — the same
+  operators on Spark 4's ``transformWithStateInPandas`` (named state
+  variables, first-class event-time timers, ``handleInitialState`` warm
+  start). This is the PREFERRED form on a real cluster; its Python
+  worker protocol needs the ``protobuf`` package, which this container
+  does not ship, so the wrappers raise a clear error when unavailable
+  (``tws_available()`` gates the tests) — same posture as the
+  real-codec seam in operators/multimodal.py.
+
+Exactness: money totals ride as integer cents (``value_cents``) computed
+by the same decimal expression the batch side uses — streamed state is
+bit-equal to a batch groupBy, not approximately equal.
+
+Scale notes: state is one fixed-width row per user in the state store
+(RocksDB-backed on a cluster), hash-partitioned by key across executors;
+output is one row per (key, batch), never per event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ._util import ensure_tz_timestamp
+
+TOTALS_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("value_cents", LongType())]
+)
+TOTALS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+IDLE_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+IDLE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_seen", TimestampType()),
+        StructField("idle_at", TimestampType()),
+    ]
+)
+
+
+def with_value_cents(events: DataFrame) -> DataFrame:
+    """value (double dollars, 2dp) -> exact integer cents; the identical
+    expression on the batch side makes stream-vs-batch totals bit-equal."""
+    return events.withColumn(
+        "value_cents",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+
+
+def as_total_units(events: DataFrame) -> DataFrame:
+    """Stream input contract: (user_id, n_units, value_cents) — one unit
+    row per live event."""
+    return with_value_cents(events).select(
+        "user_id",
+        F.lit(1).cast("long").alias("n_units"),
+        "value_cents",
+    )
+
+
+def seed_units(batch_totals: DataFrame) -> DataFrame:
+    """Render a batch backfill aggregate (user_id, n_events, value_cents)
+    as pre-aggregated unit rows: stage these as the stream's FIRST file
+    and the state fold warm-starts without a separate bootstrap path."""
+    return batch_totals.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_units"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+def batch_user_totals(events: DataFrame) -> DataFrame:
+    """The batch truth / warm-start seed: same cents expression, one
+    groupBy — what the streamed state must equal after draining."""
+    return (
+        with_value_cents(events)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _totals_fold(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += int(pdf["n_units"].sum())
+        cents += int(pdf["value_cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+    )
+
+
+def running_user_totals(units: DataFrame) -> DataFrame:
+    """Streaming per-user lifetime totals over ``as_total_units`` /
+    ``seed_units`` rows; re-emits a user's updated totals whenever the
+    user appears in a micro-batch (use outputMode('update'))."""
+    return units.groupBy("user_id").applyInPandasWithState(
+        _totals_fold,
+        outputStructType=TOTALS_OUTPUT_SCHEMA,
+        stateStructType=TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _make_idle_fn(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen": [pd.to_datetime(last_us, unit="us")],
+                    "idle_at": [
+                        pd.to_datetime(last_us + gap_us, unit="us")
+                    ],
+                }
+            )
+            return
+        last_us = state.get[0] if state.exists else -1
+        for pdf in batches:
+            # pandas datetime64[ns] -> epoch micros (matches sessions.py)
+            batch_max = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = max(last_us, batch_max)
+        state.update((last_us,))
+        # fire once the watermark proves the gap has elapsed (epoch ms)
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000 + 1)
+        return
+
+    return fn
+
+
+def idle_user_flags(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """(user_id, last_seen, idle_at): one flag per idleness episode,
+    emitted when the watermark passes last_seen + gap; state clears on
+    firing so memory is O(currently-active users). Append semantics."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = (
+        ensure_tz_timestamp(events, "ts")
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_idle_fn(gap_us),
+        outputStructType=IDLE_OUTPUT_SCHEMA,
+        stateStructType=IDLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas forms (Spark 4 stateful v2). The worker
+# protocol requires protobuf; gate at call time, not import time.
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_tws() -> None:
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package for "
+            "its Python worker protocol; use running_user_totals / "
+            "idle_user_flags (applyInPandasWithState) instead"
+        )
+
+
+def running_user_totals_tws(
+    events: DataFrame, initial_totals: DataFrame | None = None
+) -> DataFrame:
+    """transformWithState form: ValueState per user + handleInitialState
+    warm start from a batch aggregate (user_id, n_events, value_cents)."""
+    _require_tws()
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n_events LONG, value_cents LONG"
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self.totals.update(
+                (
+                    int(initialState["n_events"].iloc[0]),
+                    int(initialState["value_cents"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self.totals.exists():
+                prev = self.totals.get()
+                n, cents = int(prev[0]), int(prev[1])
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value_cents"].sum())
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = with_value_cents(ensure_tz_timestamp(events, "ts")).select(
+        "user_id", "value_cents"
+    )
+    init = (
+        initial_totals.groupBy("user_id") if initial_totals is not None else None
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType="user_id LONG, n_events LONG, value_cents LONG",
+        outputMode="update",
+        timeMode="none",
+        initialState=init,
+    )
+
+
+def idle_user_flags_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """transformWithState form: one re-armed event-time TIMER per user
+    (registerTimer / handleExpiredTimer) instead of a state timeout."""
+    _require_tws()
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    gap_ms = gap_minutes * 60_000
+
+    class IdleUserProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.last = handle.getValueState("last_seen", "last_us LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_us = int(self.last.get()[0]) if self.last.exists() else -1
+            for pdf in rows:
+                batch_max = int(pdf["ts"].astype("int64").max()) // 1000
+                last_us = max(last_us, batch_max)
+            self.last.update((last_us,))
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(last_us // 1000 + gap_ms)
+            yield from ()
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            last_us = int(self.last.get()[0])
+            self.last.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen": [pd.to_datetime(last_us, unit="us")],
+                    "idle_at": [
+                        pd.to_datetime(
+                            expiredTimerInfo.getExpiryTimeInMs(), unit="ms"
+                        )
+                    ],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = (
+        ensure_tz_timestamp(events, "ts")
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts")
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        IdleUserProcessor(),
+        outputStructType="user_id LONG, last_seen TIMESTAMP, idle_at TIMESTAMP",
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -1,0 +1,160 @@
+"""transformWithState (Spark 4 stateful-v2) operators must equal their
+batch truths: running totals (with and without warm start) and
+timer-driven idleness flags."""
+
+from __future__ import annotations
+
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from event_data_etl_gcs_spark.sources.catalog import load_table
+from event_data_etl_gcs_spark.streaming.stateful_v2 import (
+    batch_user_totals,
+    idle_user_flags,
+    running_user_totals,
+)
+
+SF = "/root/testdata/sf0.001"
+SENTINEL_USER = -1
+
+
+def _stage_chunks(spark, ev, d, n_chunks=3, sentinel_minutes=None):
+    """Write chronological event chunks as separate files (one per
+    micro-batch with maxFilesPerTrigger=1); optionally append a
+    far-future sentinel event to advance the final watermark."""
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = ev.select(F.percentile_approx("ts", qs).alias("q")).collect()[0].q
+    lo = None
+    for hi in [*bounds, None]:
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts") <= F.lit(hi))
+        chunk.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        lo = hi
+    if sentinel_minutes is not None:
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = (
+            ev.limit(1)
+            .withColumn("user_id", F.lit(SENTINEL_USER).cast("long"))
+            .withColumn(
+                "ts",
+                (
+                    F.lit(max_ts)
+                    + F.expr(f"INTERVAL {sentinel_minutes} MINUTES")
+                ).cast("timestamp"),
+            )
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+
+
+def _drain_to_memory(df, name, mode):
+    q = (
+        df.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _final_totals(spark, table):
+    """Update-mode memory sink appends each batch's updated rows; the
+    final state per user is the row with the largest n_events."""
+    return {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in spark.table(table)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+
+
+def test_running_totals_match_batch(spark, tmp_path):
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(spark, ev, str(tmp_path / "ev"), n_chunks=3)
+    _drain_to_memory(running_user_totals(stream), "tws_totals", "update")
+    got = _final_totals(spark, "tws_totals")
+    want = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in batch_user_totals(ev).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_running_totals_warm_start(spark, tmp_path):
+    """Backfill the first chunk as a batch aggregate, stream only the
+    rest: the handed-off state must land on the same lifetime totals."""
+    ev = load_table(spark, SF, "events")
+    cut = ev.select(F.percentile_approx("ts", 0.5).alias("q")).collect()[0].q
+    history = ev.filter(F.col("ts") <= F.lit(cut))
+    live = ev.filter(F.col("ts") > F.lit(cut))
+    assert history.count() > 0 and live.count() > 0
+
+    d = str(tmp_path / "live")
+    live.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    seed = batch_user_totals(history)
+    _drain_to_memory(
+        running_user_totals(stream, initial_totals=seed), "tws_warm", "update"
+    )
+    got = _final_totals(spark, "tws_warm")
+    full = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in batch_user_totals(ev).collect()
+    }
+    # users with no live events keep their seeded state but are never
+    # re-emitted — the sink only sees users present in the stream
+    live_users = {r.user_id for r in live.select("user_id").distinct().collect()}
+    assert got == {u: full[u] for u in live_users} and len(got) > 0
+
+
+def test_idle_flags_fire_for_all_quiet_users(spark, tmp_path):
+    """A far-future sentinel pushes the watermark past every real user's
+    last_seen + gap: each real user must be flagged idle exactly once,
+    at last_seen (+gap) — and the sentinel itself must not fire."""
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(
+        spark, ev, str(tmp_path / "ev"), n_chunks=3, sentinel_minutes=40
+    )
+    _drain_to_memory(
+        idle_user_flags(stream, gap_minutes=30, watermark="1 minute"),
+        "tws_idle",
+        "append",
+    )
+    rows = [
+        r for r in spark.table("tws_idle").collect()
+        if r.user_id != SENTINEL_USER
+    ]
+    got = {r.user_id: r.last_seen for r in rows}
+    assert len(rows) == len(got)  # exactly once per user
+    want = {
+        r.user_id: r.last_seen
+        for r in ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .collect()
+    }
+    assert got == want
+    # idle_at is the armed expiry: last_seen + gap (ms precision)
+    for r in rows:
+        delta = (r.idle_at - r.last_seen).total_seconds()
+        assert 30 * 60 <= delta < 30 * 60 + 0.001
