@@ -66,13 +66,16 @@ def main() -> None:
     # session startup.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
-    # two runs per query, report the min: run 1 pays JVM JIT + codegen
-    # warmup, run 2 is the engine's steady-state throughput.
+    # several runs per query, report the min: run 1 pays JVM JIT + codegen
+    # warmup, later runs are the engine's steady-state throughput. Three
+    # timed runs (ADVICE r4) cut min-of-2 scheduler noise that made
+    # unchanged queries drift ±11% between rounds.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = specs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
@@ -86,7 +89,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": 2,
+                "runs_per_query": runs,
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

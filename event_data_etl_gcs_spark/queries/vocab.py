@@ -199,9 +199,13 @@ def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "desc, document frequency asc, term) — the integer-exact "
         "keyword-extraction ordering (log-free TF-IDF stands in for "
         "the libm-unportable tf*ln(N/df) score; the RANKING is what "
-        "downstream consumes). Corpus df is one two-phase aggregate "
-        "joined back on token; the rank window partitions per doc, "
-        "bounded by document vocabulary."
+        "downstream consumes). The corpus is exploded ONCE: tf holds "
+        "exactly one row per distinct (doc, term), so document frequency "
+        "is a plain count over tf — no second explode and no "
+        "count-distinct shuffle of raw (token, doc_id) pairs (the "
+        "8.3x-at-100x outlier in SCALE_r3.md; the shared tf exchange is "
+        "reused across both branches). The rank window partitions per "
+        "doc, bounded by document vocabulary."
     ),
 )
 def distinctive_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,8 +218,12 @@ def distinctive_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+    # count("tf") (never null, so == count(*)) keeps the tf column alive
+    # in this branch: with it pruned, the df subplan canonicalizes to a
+    # bare distinct and Catalyst cannot reuse the tf exchange — the
+    # corpus would be exploded and aggregated twice.
+    df = tf.groupBy("token").agg(
+        F.count("tf").cast("long").alias("df")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), "df", "token"

@@ -70,13 +70,30 @@ def commit_state(df: DataFrame, state_dir: str) -> int:
     merged plan can read the old state lazily during the write — no
     cache-materialize-before-overwrite dance is needed."""
     gen = _state_current_gen(state_dir) + 1
-    df.write.mode("errorifexists").parquet(
-        os.path.join(state_dir, f"gen={gen}")
-    )
+    gen_dir = os.path.join(state_dir, f"gen={gen}")
+    # The manifest pointer proves any gen > current is uncommitted garbage
+    # (a crash between data write and pointer advance). Clear it so a
+    # checkpoint-replayed retry of the same batch can recommit instead of
+    # wedging on errorifexists forever (ADVICE r4). Safe: foreachBatch is
+    # single-writer, so errorifexists below only guards same-process
+    # double-writes, which remain a hard error.
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
+    df.write.mode("errorifexists").parquet(gen_dir)
     tmp = os.path.join(state_dir, STATE_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"current": gen}, f)
+        f.flush()
+        os.fsync(f.fileno())  # rename must not outlive its contents on power loss
     os.replace(tmp, os.path.join(state_dir, STATE_MANIFEST))
+    try:  # persist the rename itself (directory entry) across power loss
+        dfd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # platform without directory fsync: best effort
     for g in range(1, gen - 1):
         old = os.path.join(state_dir, f"gen={g}")
         if os.path.exists(old):

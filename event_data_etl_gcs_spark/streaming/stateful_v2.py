@@ -111,27 +111,71 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def _totals_fold(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    n, cents = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        n += int(pdf["n_units"].sum())
-        cents += int(pdf["value_cents"].sum())
-    state.update((n, cents))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+def _make_totals_fold(seed_bcast):
+    """Fold with optional warm start: when a key's state does not exist
+    yet, its lifetime counters start from the broadcast seed entry (a
+    batch backfill aggregate) instead of zero."""
+
+    def fold(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, cents = state.get
+        elif seed_bcast is not None:
+            n, cents = seed_bcast.value.get(key[0], (0, 0))
+        else:
+            n, cents = 0, 0
+        for pdf in batches:
+            n += int(pdf["n_units"].sum())
+            cents += int(pdf["value_cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return fold
+
+
+def running_user_totals(
+    events: DataFrame, initial_totals: DataFrame | None = None
+) -> DataFrame:
+    """Streaming per-user lifetime totals; re-emits a user's updated
+    totals whenever the user appears in a micro-batch (use
+    outputMode('update')).
+
+    Accepts either raw event frames (``user_id, ts, value, ...`` — mapped
+    through ``as_total_units`` internally) or pre-shaped unit rows
+    (``user_id, n_units, value_cents`` from ``as_total_units`` /
+    ``seed_units``).
+
+    Warm start: pass ``initial_totals`` — a batch backfill aggregate
+    ``(user_id, n_events, value_cents)`` from ``batch_user_totals`` — and
+    each key's state is initialised from it on first touch. The seed is
+    collected once and broadcast (one fixed-width entry per seeded user);
+    for seeds too large to broadcast, stage ``seed_units(initial_totals)``
+    as the stream's FIRST file instead — the fold treats pre-aggregated
+    unit rows and live events identically, so the in-band path needs no
+    separate bootstrap code.
+    """
+    cols = set(events.columns)
+    units = (
+        events
+        if {"n_units", "value_cents"} <= cols
+        else as_total_units(events)
     )
-
-
-def running_user_totals(units: DataFrame) -> DataFrame:
-    """Streaming per-user lifetime totals over ``as_total_units`` /
-    ``seed_units`` rows; re-emits a user's updated totals whenever the
-    user appears in a micro-batch (use outputMode('update'))."""
+    seed_bcast = None
+    if initial_totals is not None:
+        seed_map = {
+            r["user_id"]: (int(r["n_events"]), int(r["value_cents"]))
+            for r in initial_totals.select(
+                "user_id", "n_events", "value_cents"
+            ).collect()
+        }
+        seed_bcast = events.sparkSession.sparkContext.broadcast(seed_map)
     return units.groupBy("user_id").applyInPandasWithState(
-        _totals_fold,
+        _make_totals_fold(seed_bcast),
         outputStructType=TOTALS_OUTPUT_SCHEMA,
         stateStructType=TOTALS_STATE_SCHEMA,
         outputMode="update",

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Round-5 scale probe: closes the two open items in the r3/r4 ledger.
+
+1. `distinctive_terms_per_doc` — re-measured after the r5 rewrite
+   (single corpus explode; df derived from tf instead of a
+   countDistinct over raw (token, doc_id) pairs). r3 measured 8.3x
+   wall at 100x data; target is <= 5x like its siblings.
+2. `lateral_top_orders_per_customer` — previously excluded because the
+   100x synthesizer doesn't replicate the customer dim. It doesn't
+   need to: the synthesizer strides o_orderkey but keeps o_custkey, so
+   the 1x customer table joined against 100x orders probes exactly the
+   scale axis the decorrelated top-n-per-key owns (100x fact rows per
+   dim key). The 1x customer parquet is copied into the x100 dir.
+
+Reuses the x100 tables synthesized by scale_probe_r3.py (regenerates
+them if missing). Output: SCALE_r5.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/tmp/spark_graft_scale_r3"
+SRC = "/root/testdata/sf0.1"
+FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "100"))
+
+PROBES = [
+    "distinctive_terms_per_doc",
+    "lateral_top_orders_per_customer",
+]
+
+
+def main() -> None:
+    from scripts.scale_probe_r3 import synthesize
+
+    from event_data_etl_gcs_spark.queries import all_queries
+    from event_data_etl_gcs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale_probe_r5",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    synthesize(spark)
+    x_dir = f"{BASE}/x{FACTOR}"
+    cust = os.path.join(x_dir, "customer.parquet")
+    if not os.path.exists(cust):
+        src_cust = os.path.join(SRC, "customer.parquet")
+        if os.path.isdir(src_cust):
+            shutil.copytree(src_cust, cust)
+        else:
+            shutil.copy2(src_cust, cust)
+
+    specs = all_queries()
+    rows = []
+    for name in PROBES:
+        fn = specs[name].fn
+        t1 = t100 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n1 = fn(spark, SRC).count()
+            t1 = min(t1, time.perf_counter() - t0)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n100 = fn(spark, x_dir).count()
+            t100 = min(t100, time.perf_counter() - t0)
+        rows.append((name, t1, n1, t100, n100))
+        print(
+            f"{name:32s} 1x {t1:7.2f}s ({n1} rows)   "
+            f"{FACTOR}x {t100:7.2f}s ({n100} rows)"
+        )
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_r5.md",
+    )
+    with open(out, "w") as f:
+        f.write(
+            f"# SCALE (round 5) — ledger closure at {FACTOR}x (local[32])\n\n"
+            "Same synthesized tables as SCALE_r3.md (orders stride "
+            "o_orderkey, keep o_custkey — so the lateral probe measures "
+            f"{FACTOR}x orders per customer against the unreplicated dim, "
+            "the skew axis a top-n-per-key owns). Min of 2 runs.\n\n"
+            f"| query | 1x (s) | rows | {FACTOR}x (s) | rows | ratio |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for name, t1, n1, t100, n100 in rows:
+            f.write(
+                f"| {name} | {t1:.2f} | {n1} | {t100:.2f} | {n100} | "
+                f"{t100 / t1:.1f}x |\n"
+            )
+        f.write(
+            "\n`distinctive_terms_per_doc` was the r3 outlier (8.3x): the "
+            "rewrite explodes the corpus once and derives document "
+            "frequency as a plain count over the (doc, term) aggregate, "
+            "dropping the second explode and the count-distinct shuffle "
+            "of raw token pairs.\n\n"
+            "`lateral_top_orders_per_customer` decorrelates to a ranked "
+            "window partitioned by o_custkey; output stays 2 rows per "
+            "customer regardless of fact growth.\n\n"
+            "Regenerate: `python scripts/scale_probe_r5.py`.\n"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,12 @@ def test_state_commit_survives_interrupted_next_write(spark, tmp_path):
     df2.write.parquet(os.path.join(state_dir, "gen=2"))
     assert read_state(spark, state_dir).count() == 5  # old state intact
 
-    # the recovery path (rerun) cannot reuse gen=2 (errorifexists) —
-    # a real rerun's foreachBatch would recompute into gen=2; since the
-    # directory exists the write fails loudly instead of silently
-    # mixing a half-committed generation
-    with pytest.raises(Exception):
-        commit_state(df2, state_dir)
+    # the recovery path (ADVICE r5): a checkpoint-replayed rerun of the
+    # same batch recomputes gen=2; the orphaned uncommitted directory is
+    # proven garbage by the manifest pointer and is cleared, so the retry
+    # COMMITS instead of wedging the stream on errorifexists forever
+    assert commit_state(df2, state_dir) == 2
+    assert read_state(spark, state_dir).count() == 9
 
 
 def test_state_generations_prune_but_keep_fallback(spark, tmp_path):
