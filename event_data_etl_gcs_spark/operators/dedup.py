@@ -232,39 +232,44 @@ def duck_minhash_lsh_ctes(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    prefix: str = "",
 ) -> str:
-    """DuckDB CTE fragments computing `mh_pairs(id_a, id_b, jaccard)` from
-    `table` — composable into larger WITH statements (same constants and
-    math as minhash_lsh_pairs)."""
+    """DuckDB CTE fragments computing `{prefix}mh_pairs(id_a, id_b,
+    jaccard)` from `table` — composable into larger WITH statements (same
+    constants and math as minhash_lsh_pairs). `prefix` namespaces every
+    CTE so two instances (e.g. over the raw corpus and over a deduped
+    stage) can coexist in one query."""
+    p = prefix
     band_rows = " UNION ALL ".join(
-        "SELECT id, {b} AS band_id, [{keys}] AS key FROM sig".format(
+        "SELECT id, {b} AS band_id, [{keys}] AS key FROM {p}sig".format(
             b=b,
+            p=p,
             keys=", ".join(f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
         )
         for b in range(N_BANDS)
     )
-    return f"""hashed AS (
+    return f"""{p}hashed AS (
   SELECT {id_col} AS id, {duck_shingle_hash_set(text_col)} AS sh_hashes
   FROM {table}
-), sig AS (
+), {p}sig AS (
   SELECT id, sh_hashes, {duck_minhash_signature_cols()}
-  FROM hashed WHERE len(sh_hashes) > 0
-), bands AS (
+  FROM {p}hashed WHERE len(sh_hashes) > 0
+), {p}bands AS (
   {band_rows}
-), cand AS (
+), {p}cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
+  FROM {p}bands a JOIN {p}bands b
     ON a.band_id = b.band_id AND a.key = b.key AND a.id < b.id
-), jac AS (
+), {p}jac AS (
   SELECT id_a, id_b,
     CASE WHEN len(list_distinct(list_concat(sa.sh_hashes, sb.sh_hashes))) = 0 THEN 0.0
          ELSE CAST(len(list_intersect(sa.sh_hashes, sb.sh_hashes)) AS DOUBLE)
               / len(list_distinct(list_concat(sa.sh_hashes, sb.sh_hashes))) END AS jaccard
-  FROM cand
-  JOIN sig sa ON sa.id = cand.id_a
-  JOIN sig sb ON sb.id = cand.id_b
-), mh_pairs AS (
-  SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+  FROM {p}cand
+  JOIN {p}sig sa ON sa.id = {p}cand.id_a
+  JOIN {p}sig sb ON sb.id = {p}cand.id_b
+), {p}mh_pairs AS (
+  SELECT id_a, id_b, jaccard FROM {p}jac WHERE jaccard >= {threshold}
 )"""
 
 

@@ -138,12 +138,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges(spark, sf_dir).select("u", "v"))
 
 
+def _duck_ann_edges_sql(k: int = K_NN, n_bands: int = 4, band_bits: int = 4) -> str:
+    """DuckDB mirror of operators/graph.py knn_edges_ann: same
+    deterministic hyperplanes (duck_hyperplane_sign ≡ the Spark sign
+    expression, left-to-right fold), same banded candidate equi-join,
+    same exact-cosine per-node top-k and u<v symmetrization."""
+    from ..operators.similarity import duck_hyperplane_sign
+
+    def band_bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {duck_hyperplane_sign(band * band_bits + b, 'embedding')} > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(band_bits)
+        )
+
+    banded = " UNION ALL ".join(
+        f"SELECT id, {band} AS band, {band_bucket(band)} AS bkt FROM valid"
+        for band in range(n_bands)
+    )
+    return (
+        "WITH base AS (SELECT vec_id AS id, embedding, "
+        f"{duck_norm('embedding')} AS nrm FROM embeddings), "
+        "valid AS (SELECT * FROM base WHERE nrm > 0), "
+        f"banded AS ({banded}), "
+        "cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb FROM banded a "
+        "JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id), "
+        "scored AS (SELECT ida, idb, "
+        f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
+        "FROM cand JOIN valid va ON va.id = cand.ida "
+        "JOIN valid vb ON vb.id = cand.idb), "
+        "sym2 AS (SELECT ida AS query_id, idb AS neighbor_id, cos_sim FROM scored "
+        "UNION ALL SELECT idb, ida, cos_sim FROM scored), "
+        "topk AS (SELECT * FROM sym2 QUALIFY row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {k}) "
+        "SELECT DISTINCT least(query_id, neighbor_id) AS u, "
+        "greatest(query_id, neighbor_id) AS v, cos_sim FROM topk"
+    )
+
+
 @query(
     "knn_graph_edges_ann",
-    oracle=None,  # deterministic but the banded-LSH candidate SQL has no
-    # compact oracle form; recall vs the exact builder is pinned in
-    # tests/test_graph.py (0.75 measured, >= 0.5 asserted) and the
-    # determinism audit hashes it across partitionings.
+    oracle=_duck_ann_edges_sql(),
     doc=(
         "Scale-path kNN graph build: banded SRP candidates equi-join on "
         "(band, bucket) with no corpus broadcast, embeddings join back "

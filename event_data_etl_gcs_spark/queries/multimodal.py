@@ -41,17 +41,55 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_decode",
-    oracle=None,  # mapInPandas stage — not SQL-expressible; rows-only check
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         sha256(text) AS sha,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST(concat('0x', substring(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bts
+  FROM documents
+)
+SELECT media_id,
+       'application/octet-stream' AS mime,
+       CAST(n AS BIGINT) AS n_bytes,
+       sha AS sha256,
+       CASE WHEN n = 0 THEN '0,0,0,0,0,0,0,0'
+       ELSE array_to_string([
+         n % 997,
+         bts[1],
+         bts[-1],
+         list_sum(bts[1:64]) % 9973,
+         list_min(bts),
+         list_max(bts),
+         list_sum(list_transform(bts[1:128], b -> b % 2)),
+         n % 31
+       ], ',') END AS features_csv
+FROM base
+""",
     doc=(
         "Arrow-batched mapInPandas decode/feature-extract over the media "
         "contract (stub codec): media_id, mime, n_bytes, sha256, "
-        "fixed-dim feature vector."
+        "fixed-dim feature vector. The stub features are pure integer "
+        "functions of the payload bytes, so the oracle recomputes them "
+        "relationally from the utf-8 byte list (hex-pair extraction) — "
+        "the Python decode path is value-checked, not just row-counted. "
+        "The feature vector rides as an integer CSV (features_csv) "
+        "because the driver canonicalizer hashes only atomic columns."
     ),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
-    return decode_stub(media)
+    return decode_stub(media).select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "sha256",
+        F.expr(
+            "array_join(transform(features, x -> CAST(CAST(x AS BIGINT) AS STRING)), ',')"
+        ).alias("features_csv"),
+    )
 
 
 @query(
@@ -135,11 +173,66 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(synthesize_wav_audio(docs))
 
 
+def _duck_dhash_oracle() -> str:
+    """DuckDB mirror of operators/multimodal.py dhash_images over the
+    synthesized PPM corpus: the whole hash is integer math on cyclic
+    text bytes (grayscale triples -> 9x8 integer area pool -> 64
+    cross-multiplied comparisons), so it inlines as nested list lambdas.
+    Bit 63 lands as the signed-int64 constant (the Python side stores
+    bits-2^64 when bit 63 is set)."""
+    # cell k (flat, 1-based k+1): r = k//9, c = k%9; block sums over
+    # y in [r*h//8, min(max((r+1)*h//8, y0+1), h)) x [c*w//9, ...)
+    y0 = "((k//9)*h//8)"
+    y1 = f"least(greatest(((k//9)+1)*h//8, {y0}+1), h)"
+    x0 = "((k%9)*w//9)"
+    x1 = f"least(greatest(((k%9)+1)*w//9, {x0}+1), w)"
+    cell = (
+        "list_transform(range(0, 72), k -> struct_pack("
+        f"tot := list_sum(flatten(list_transform(range({y0}, {y1}), y -> "
+        f"list_transform(range({x0}, {x1}), x -> gray[y*w+x+1])))), "
+        f"n := ({y1} - {y0}) * ({x1} - {x0})))"
+    )
+    bit_terms = []
+    for k in range(64):
+        r, c = k // 8, k % 8
+        hi, lo = r * 9 + c + 2, r * 9 + c + 1  # (r, c+1) vs (r, c), 1-based
+        val = -(1 << 63) if k == 63 else (1 << k)
+        bit_terms.append(
+            f"(CASE WHEN cells[{hi}].tot * cells[{lo}].n > "
+            f"cells[{lo}].tot * cells[{hi}].n THEN CAST({val} AS BIGINT) "
+            f"ELSE 0 END)"
+        )
+    dhash = " + ".join(bit_terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         CASE WHEN octet_length(encode(text)) = 0 THEN [CAST(0 AS BIGINT)]
+              ELSE list_transform(range(0, octet_length(encode(text))),
+                   i -> CAST(concat('0x', substring(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) END AS bts
+  FROM documents
+), g AS (
+  SELECT media_id, w, h,
+         list_transform(range(0, w*h), i ->
+           bts[((3*i) % len(bts)) + 1] + bts[((3*i+1) % len(bts)) + 1]
+           + bts[((3*i+2) % len(bts)) + 1]) AS gray
+  FROM base
+), cellsq AS (
+  SELECT media_id, {cell} AS cells FROM g
+), hashes AS (
+  SELECT media_id, {dhash} AS dhash FROM cellsq
+), grp AS (
+  SELECT dhash, count(*) AS n_images, min(media_id) AS group_rep
+  FROM hashes GROUP BY dhash HAVING count(*) > 1
+)
+SELECT hs.media_id, hs.dhash, grp.group_rep, CAST(grp.n_images AS BIGINT) AS n_images
+FROM hashes hs JOIN grp USING (dhash)
+"""
+
+
 @query(
     "multimodal_image_dhash_dedup",
-    oracle=None,  # the 9x8 area-pooled bit pattern has no tractable SQL
-    # form; determinism + duplicate grouping are pinned in
-    # tests/test_multimodal_codecs.py.
+    oracle=_duck_dhash_oracle(),
     doc=(
         "Perceptual image dedup: 64-bit dHash per image (integer area "
         "pooling over raw PPM bytes, Arrow-batched mapInPandas, 8 bytes "
@@ -157,9 +250,37 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_video_frame_stats",
-    oracle=None,  # frame extraction over framed binary payloads has no
-    # SQL form; tests/test_multimodal_video.py pins the sampler against
-    # python byte arithmetic and the resize stage's shapes.
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN [CAST(0 AS BIGINT)]
+              ELSE list_transform(range(0, octet_length(encode(text))),
+                   i -> CAST(concat('0x', substring(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) END AS bts
+  FROM documents
+), fr AS (
+  SELECT media_id, len(bts) AS L, list_sum(bts) AS S, bts, f
+  FROM base, unnest([0, 4, 8]) AS t(f)
+), sums AS (
+  SELECT media_id, f,
+         (48 // L) * S +
+         CASE WHEN (f % L) + (48 % L) <= L
+              THEN COALESCE(list_sum(bts[(f % L) + 1 : (f % L) + (48 % L)]), 0)
+              ELSE COALESCE(list_sum(bts[(f % L) + 1 : L]), 0)
+                   + COALESCE(list_sum(bts[1 : (f % L) + (48 % L) - L]), 0)
+         END AS frame_sum
+  FROM fr
+)
+SELECT media_id, CAST(count(*) AS BIGINT) AS n_sampled_frames,
+       CAST(min(frame_sum) AS BIGINT) AS min_frame_sum,
+       CAST(max(frame_sum) AS BIGINT) AS max_frame_sum,
+       CAST(sum(frame_sum) AS BIGINT) AS total_bytes_sum
+FROM sums GROUP BY media_id
+""",
+    # Each synthesized frame is the text's byte cycle starting at offset
+    # f mod L (FRAME_BYTES=48 bytes, frames 0/4/8 of 12 at every_k=4),
+    # so a frame checksum decomposes into whole-cycle sums plus a cyclic
+    # partial slice — the same relational byte math as the image/audio
+    # stats oracles.
     doc=(
         "Video preprocessing plumbing: synthesize framed binary "
         "payloads, sample every 4th frame (mapInPandas flatMap shape — "

@@ -317,13 +317,82 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_v2_stats_oracle() -> str:
+    """One monolithic DuckDB mirror of build_training_corpus_v2: gate ->
+    exact dedup -> near-dedup over the deduped stage (prefix u_) ->
+    pooled-benchmark decontamination -> cluster reps from near-dup pairs
+    over the RAW corpus (no prefix; recursive reachability) -> split of
+    rep -> (split, lang) rollup. Composed from the SAME validated stage
+    fragments the individual stage oracles use."""
+    from ..operators.text import duck_quality_select, duck_shingle_hash_set, duck_tokens
+    from ..plans.training_corpus import (
+        MAX_PUNCT_RATIO,
+        MAX_STOPWORD_RATIO,
+        MIN_TOKENS,
+        NEAR_DUP_THRESHOLD,
+    )
+
+    qsel = duck_quality_select()
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, source, text, {duck_tokens('text')} AS toks FROM documents
+), qscored AS (
+  SELECT doc_id, lang, source, text,
+         {qsel['n_tokens']} AS n_tokens,
+         {qsel['stopword_ratio']} AS stopword_ratio,
+         {qsel['punct_ratio']} AS punct_ratio
+  FROM base
+), gated AS (
+  SELECT * FROM qscored
+  WHERE n_tokens >= {MIN_TOKENS}
+    AND stopword_ratio <= {MAX_STOPWORD_RATIO}
+    AND punct_ratio <= {MAX_PUNCT_RATIO}
+), uniq AS (
+  SELECT g.* FROM gated g
+  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text) k
+    ON g.text = k.text AND g.doc_id = k.doc_id
+), {_duck_mh_ctes(table='uniq', threshold=NEAR_DUP_THRESHOLD, prefix='u_')},
+survivors AS (
+  SELECT u.* FROM uniq u
+  WHERE NOT EXISTS (SELECT 1 FROM u_mh_pairs p WHERE p.id_b = u.doc_id)
+), allsh AS (
+  SELECT doc_id, {duck_shingle_hash_set('text')} AS hs FROM documents
+), bench_h AS (
+  SELECT DISTINCT unnest(hs) AS h FROM allsh WHERE doc_id % 97 = 0
+), surv_sh AS (
+  SELECT s.doc_id, unnest(a.hs) AS h
+  FROM survivors s JOIN allsh a ON a.doc_id = s.doc_id
+), cont AS (
+  SELECT doc_id FROM surv_sh JOIN bench_h USING (h)
+  GROUP BY doc_id HAVING count(*) >= 4
+), clean AS (
+  SELECT * FROM survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+), {_duck_mh_ctes(threshold=NEAR_DUP_THRESHOLD)},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM mh_pairs
+  UNION SELECT id_b AS u, id_a AS v FROM mh_pairs
+), reach AS (
+  SELECT u AS node, u AS component FROM edges
+  UNION SELECT v AS node, v AS component FROM edges
+  UNION SELECT e.u AS node, r.component FROM edges e
+  JOIN reach r ON e.v = r.node
+), reps AS (
+  SELECT node AS doc_id, MIN(component) AS rep FROM reach GROUP BY node
+), labeled AS (
+  SELECT c.lang, c.n_tokens,
+         {_split_of('COALESCE(r.rep, c.doc_id)')} AS split
+  FROM clean c LEFT JOIN reps r ON c.doc_id = r.doc_id
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY split, lang
+"""
+
+
 @query(
     "training_corpus_v2_stats",
-    oracle=None,  # the composed pipeline's stage oracles each exist
-    # individually (gopher_quality_gate, dedup_exact_keep,
-    # near_dedup_keep_best, decontaminate_against_benchmark,
-    # cluster_aware_split); the composition's invariants are pinned by
-    # test_corpus_v2_invariants instead of one monolithic SQL string.
+    oracle=_corpus_v2_stats_oracle(),
     doc=(
         "Per-(split, lang) corpus composition after the full v2 "
         "pipeline: quality gate -> exact dedup -> near-dedup -> "

@@ -16,10 +16,12 @@ with hand-rolled bookkeeping) is re-expressed as engine-managed state:
   operators on Spark 4's ``transformWithStateInPandas`` (named state
   variables, first-class event-time timers, ``handleInitialState`` warm
   start). This is the PREFERRED form on a real cluster; its Python
-  worker protocol needs the ``protobuf`` package, which this container
-  does not ship, so the wrappers raise a clear error when unavailable
-  (``tws_available()`` gates the tests) — same posture as the
-  real-codec seam in operators/multimodal.py.
+  worker protocol needs the ``protobuf`` runtime, which this container
+  does not ship as a pip package — ``enable_tws_runtime()`` (call
+  before the first SparkSession) wires in the pure-Python runtime
+  vendored by the public Google Cloud SDK via ``_vendor/pbshim`` for
+  both driver and workers; without any protobuf the wrappers raise a
+  clear error (``tws_available()`` gates the tests).
 
 Exactness: money totals ride as integer cents (``value_cents``) computed
 by the same decimal expression the batch side uses — streamed state is
@@ -32,6 +34,8 @@ output is one row per (key, batch), never per event.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 from typing import Any
 
@@ -244,21 +248,91 @@ def idle_user_flags(
 # ---------------------------------------------------------------------------
 
 
-def tws_available() -> bool:
+_PBSHIM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_vendor",
+    "pbshim",
+)
+
+
+def _install_protobuf_shim() -> bool:
+    """Driver-side: make ``google.protobuf`` importable. Prefers a real
+    installation; otherwise exposes the pure-Python runtime vendored in
+    the public Google Cloud SDK via ``_vendor/pbshim`` and relaxes the
+    gencode/runtime version gate for same-major mismatches (gencode
+    6.33 vs runtime 6.32 — codegen-compatible within a major). Returns
+    True when ``google.protobuf`` is importable afterwards."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(_PBSHIM_DIR, "google", "protobuf")):
         return False
+    if _PBSHIM_DIR not in sys.path:
+        sys.path.append(_PBSHIM_DIR)
+    try:
+        from google.protobuf import runtime_version as rv
+    except ImportError:
+        return False
+    orig = rv.ValidateProtobufRuntimeVersion
+
+    def lenient(domain, major, minor, patch, suffix, location):
+        try:
+            orig(domain, major, minor, patch, suffix, location)
+        except rv.VersionError:
+            if major != rv.MAJOR:
+                raise
+
+    rv.ValidateProtobufRuntimeVersion = lenient
+    return True
 
 
-def _require_tws() -> None:
+def enable_tws_runtime() -> bool:
+    """Make transformWithStateInPandas runnable in this container: install
+    the driver-side protobuf shim AND export PYTHONPATH so Spark's Python
+    workers pick up the worker-side shim (``_vendor/pbshim/sitecustomize``
+    runs at worker interpreter startup). MUST be called before the first
+    SparkSession is created — workers inherit the JVM's environment, which
+    inherits this process's environment at JVM launch."""
+    if not _install_protobuf_shim():
+        return False
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PBSHIM_DIR not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pp + (os.pathsep if pp else "") + _PBSHIM_DIR
+        )
+    return True
+
+
+def tws_available() -> bool:
+    return _install_protobuf_shim()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _require_tws(df: DataFrame) -> None:
     if not tws_available():
         raise ImportError(
-            "transformWithStateInPandas needs the 'protobuf' package for "
-            "its Python worker protocol; use running_user_totals / "
-            "idle_user_flags (applyInPandasWithState) instead"
+            "transformWithStateInPandas needs the 'protobuf' runtime for "
+            "its Python worker protocol and none is reachable (pip package "
+            "or _vendor/pbshim); use running_user_totals / idle_user_flags "
+            "(applyInPandasWithState) instead"
+        )
+    provider = df.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas needs a state store with multiple "
+            "column families — set spark.sql.streaming.stateStore."
+            f"providerClass={ROCKSDB_PROVIDER} (the production-grade "
+            "provider at any scale; the HDFS-backed default cannot run "
+            "stateful v2)"
         )
 
 
@@ -267,7 +341,7 @@ def running_user_totals_tws(
 ) -> DataFrame:
     """transformWithState form: ValueState per user + handleInitialState
     warm start from a batch aggregate (user_id, n_events, value_cents)."""
-    _require_tws()
+    _require_tws(events)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class RunningTotalsProcessor(StatefulProcessor):
@@ -323,7 +397,7 @@ def idle_user_flags_tws(
 ) -> DataFrame:
     """transformWithState form: one re-armed event-time TIMER per user
     (registerTimer / handleExpiredTimer) instead of a state timeout."""
-    _require_tws()
+    _require_tws(events)
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     gap_ms = gap_minutes * 60_000

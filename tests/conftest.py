@@ -11,6 +11,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from event_data_etl_gcs_spark.schemas import TESTDATA_TABLES
 from event_data_etl_gcs_spark.session import get_spark
+from event_data_etl_gcs_spark.streaming.stateful_v2 import enable_tws_runtime
+
+# Must run before the first SparkSession: exports PYTHONPATH so Python
+# workers bootstrap the vendored protobuf runtime (sitecustomize) that
+# transformWithStateInPandas' worker protocol needs. No-op elsewhere.
+enable_tws_runtime()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")

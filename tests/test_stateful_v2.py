@@ -12,13 +12,32 @@ from pyspark.sql.window import Window
 
 from event_data_etl_gcs_spark.sources.catalog import load_table
 from event_data_etl_gcs_spark.streaming.stateful_v2 import (
+    ROCKSDB_PROVIDER,
     batch_user_totals,
     idle_user_flags,
+    idle_user_flags_tws,
     running_user_totals,
+    running_user_totals_tws,
+    tws_available,
 )
 
 SF = "/root/testdata/sf0.001"
 SENTINEL_USER = -1
+
+needs_tws = pytest.mark.skipif(
+    not tws_available(), reason="no protobuf runtime reachable"
+)
+
+
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState needs a multi-column-family state store; scope
+    the RocksDB provider to the test so other streaming tests keep
+    exercising the HDFS-backed default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield
+    spark.conf.unset(key)
 
 
 def _stage_chunks(spark, ev, d, n_chunks=3, sentinel_minutes=None):
@@ -158,3 +177,78 @@ def test_idle_flags_fire_for_all_quiet_users(spark, tmp_path):
     for r in rows:
         delta = (r.idle_at - r.last_seen).total_seconds()
         assert 30 * 60 <= delta < 30 * 60 + 0.001
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas generation: must land on the same answers as
+# the applyInPandasWithState generation / the batch truth.
+# ---------------------------------------------------------------------------
+
+
+@needs_tws
+def test_tws_totals_match_batch(spark, tmp_path, rocksdb_state):
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(spark, ev, str(tmp_path / "ev"), n_chunks=3)
+    _drain_to_memory(running_user_totals_tws(stream), "tws2_totals", "update")
+    got = _final_totals(spark, "tws2_totals")
+    want = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in batch_user_totals(ev).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+@needs_tws
+def test_tws_totals_warm_start(spark, tmp_path, rocksdb_state):
+    """handleInitialState hand-off: seed from a batch backfill aggregate,
+    stream only the live half — totals equal the full-history batch."""
+    ev = load_table(spark, SF, "events")
+    cut = ev.select(F.percentile_approx("ts", 0.5).alias("q")).collect()[0].q
+    history = ev.filter(F.col("ts") <= F.lit(cut))
+    live = ev.filter(F.col("ts") > F.lit(cut))
+    d = str(tmp_path / "live")
+    live.coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    _drain_to_memory(
+        running_user_totals_tws(stream, initial_totals=batch_user_totals(history)),
+        "tws2_warm",
+        "update",
+    )
+    got = _final_totals(spark, "tws2_warm")
+    full = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in batch_user_totals(ev).collect()
+    }
+    live_users = {r.user_id for r in live.select("user_id").distinct().collect()}
+    assert got == {u: full[u] for u in live_users} and len(got) > 0
+
+
+@needs_tws
+def test_tws_idle_flags_fire_for_all_quiet_users(spark, tmp_path, rocksdb_state):
+    """Event-time TIMER form (registerTimer / handleExpiredTimer): same
+    exactly-once idleness contract as the state-timeout form."""
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(
+        spark, ev, str(tmp_path / "ev"), n_chunks=3, sentinel_minutes=40
+    )
+    _drain_to_memory(
+        idle_user_flags_tws(stream, gap_minutes=30, watermark="1 minute"),
+        "tws2_idle",
+        "append",
+    )
+    rows = [
+        r for r in spark.table("tws2_idle").collect()
+        if r.user_id != SENTINEL_USER
+    ]
+    got = {r.user_id: r.last_seen for r in rows}
+    assert len(rows) == len(got)  # exactly once per user
+    want = {
+        r.user_id: r.last_seen
+        for r in ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .collect()
+    }
+    assert got == want
