@@ -49,8 +49,10 @@ def initial_symbols(words: DataFrame) -> DataFrame:
     """(word, cnt, syms): character symbols plus the end-of-word marker.
     Character split via substring over a sequence — the same spelling
     DuckDB uses, so initial states are identical across engines."""
+    # sequence(1, 0) is DESCENDING in Spark: guard the empty-word edge
     chars = F.expr(
-        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+        "CASE WHEN char_length(word) = 0 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, char_length(word)), i -> substring(word, i, 1)) END"
     )
     return words.select(
         "word", "cnt", F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("syms")
@@ -64,9 +66,12 @@ def pair_counts(symbols: DataFrame) -> DataFrame:
     pairs = symbols.select(
         "cnt",
         F.explode(
+            # sequence(1, 0) is DESCENDING in Spark: guard 1-symbol words
             F.expr(
+                "CASE WHEN size(syms) >= 2 THEN "
                 "transform(sequence(1, size(syms) - 1), "
-                "i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                "i -> struct(syms[i - 1] AS l, syms[i] AS r)) "
+                "ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
             )
         ).alias("pr"),
     )

@@ -69,6 +69,105 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 8
+
+
+def _duck_bpe_train_ctes(n_merges: int = BPE_MERGES) -> str:
+    """Chained-CTE DuckDB mirror of operators/bpe.py bpe_train: the full
+    k-step merge loop, integer-exact. Per step: weighted adjacent-pair
+    counts over the vocab table, argmax under (count DESC, left, right),
+    then greedy left-to-right merge. The merge is relational: candidate
+    positions island-grouped (gaps-and-islands) with only EVEN offsets
+    within a run merging — overlapping candidates require left==right,
+    and even-offset selection is exactly what a sequential left-to-right
+    scan keeps ("a a a a" -> "aa aa"). Produces best_0..best_{k-1}."""
+    parts = [
+        f"words AS MATERIALIZED (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT unnest({duck_tokens('text')}) AS t FROM documents) "
+        f"GROUP BY t), "
+        "syms_0 AS MATERIALIZED (SELECT word, cnt, list_append("
+        "list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)), "
+        "'</w>') AS s FROM words)"
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"pairs_{i} AS (SELECT s[p] AS l, s[p+1] AS r, "
+            f"CAST(sum(cnt) AS BIGINT) AS c "
+            f"FROM syms_{i}, unnest(range(1, len(s))) AS tp_{i}(p) "
+            f"GROUP BY 1, 2), "
+            f"best_{i} AS MATERIALIZED (SELECT l, r, c FROM pairs_{i} "
+            f"ORDER BY c DESC, l, r LIMIT 1), "
+            f"pos_{i} AS (SELECT word, cnt, p, s[p] AS sym, "
+            f"(p < len(s) AND s[p] = (SELECT l FROM best_{i}) "
+            f"AND s[p+1] = (SELECT r FROM best_{i})) AS cand "
+            f"FROM syms_{i}, unnest(range(1, len(s) + 1)) AS tq_{i}(p)), "
+            f"isl_{i} AS (SELECT *, p - row_number() OVER "
+            f"(PARTITION BY word, cand ORDER BY p) AS grp FROM pos_{i}), "
+            f"mrk_{i} AS (SELECT *, CASE WHEN cand THEN "
+            f"(p - min(p) OVER (PARTITION BY word, grp, cand)) % 2 = 0 "
+            f"ELSE FALSE END AS mstart FROM isl_{i}), "
+            f"csm_{i} AS (SELECT *, COALESCE(lag(mstart) OVER "
+            f"(PARTITION BY word ORDER BY p), FALSE) AS consumed FROM mrk_{i}), "
+            f"syms_{i + 1} AS MATERIALIZED (SELECT word, cnt, "
+            f"list(CASE WHEN mstart THEN sym || (SELECT r FROM best_{i}) "
+            f"ELSE sym END ORDER BY p) AS s "
+            f"FROM csm_{i} WHERE NOT consumed GROUP BY word, cnt)"
+        )
+    return ", ".join(parts)
+
+
+def _duck_bpe_train_sql(n_merges: int = BPE_MERGES) -> str:
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_tok, r AS right_tok, c AS pair_count "
+        f"FROM best_{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {_duck_bpe_train_ctes(n_merges)} {steps}"
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_duck_bpe_train_sql(),
+    doc=(
+        f"Full BPE tokenizer training ({BPE_MERGES} merges) on the "
+        "word-frequency table: ONE corpus-sized shuffle ever, then each "
+        "step is a vocab-table pair count + argmax under the (count "
+        "DESC, left, right) total order + a MAP-SIDE aggregate-fold "
+        "merge (no shuffle, no UDF). Integer counts + string concat "
+        "end to end, so the whole k-step loop is engine-exact — the "
+        "oracle replays all 8 steps as chained CTEs with a relational "
+        "gaps-and-islands spelling of the greedy left-to-right merge."
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=BPE_MERGES)
+
+
+@query(
+    "bpe_vocab_after_training",
+    oracle=(
+        f"WITH {_duck_bpe_train_ctes(BPE_MERGES)}, "
+        f"fin AS (SELECT cnt, unnest(s) AS token FROM syms_{BPE_MERGES}) "
+        "SELECT token, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(cnt) AS BIGINT) AS total_count FROM fin GROUP BY token"
+    ),
+    doc=(
+        "The symbol vocabulary after the learned merges — the trained "
+        "tokenizer's vocab file with corpus stats (distinct words using "
+        "each symbol, total weighted occurrences). Same chained-CTE "
+        "oracle as bpe_train_merges, read out at the final state."
+    ),
+)
+def bpe_vocab_after_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_vocab(docs, n_merges=BPE_MERGES)
+
+
 @query(
     "vocab_coverage_topk",
     oracle=(
