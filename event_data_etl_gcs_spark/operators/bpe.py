@@ -132,10 +132,12 @@ def bpe_train(
     )
 
 
-def bpe_vocab(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
-    """(token, n_words, total_count): the symbol vocabulary after
-    `n_merges` learned merges — what the trained tokenizer's vocab file
-    contains, with corpus statistics."""
+def trained_symbols(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt, syms): every corpus word's symbolization under the
+    learned merges — the distributed form of a trained tokenizer (apply
+    = join words against this table; no per-document re-merging)."""
     symbols = initial_symbols(word_frequencies(docs, text_col))
     for row in bpe_train(docs, n_merges, text_col).collect():
         symbols = symbols.select(
@@ -143,8 +145,44 @@ def bpe_vocab(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
             "cnt",
             merge_pair_column(row["left_tok"], row["right_tok"]).alias("syms"),
         )
-    toks = symbols.select("cnt", F.explode("syms").alias("token"))
+    return symbols
+
+
+def bpe_vocab(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> DataFrame:
+    """(token, n_words, total_count): the symbol vocabulary after
+    `n_merges` learned merges — what the trained tokenizer's vocab file
+    contains, with corpus statistics."""
+    toks = trained_symbols(docs, n_merges, text_col).select(
+        "cnt", F.explode("syms").alias("token")
+    )
     return toks.groupBy("token").agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("cnt").cast("long").alias("total_count"),
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenize the corpus under the
+    TRAINED tokenizer. Application is a symbolization-table join — each
+    word instance looks up its merged symbol count — so encoding costs
+    one join against the vocab-sized table, never a per-document merge
+    replay. At 100 TB the symbolization table is the broadcast/bucketed
+    dimension; the corpus side stays a map-side explode."""
+    from .text import tokens_sql
+
+    syms = trained_symbols(docs, n_merges, text_col).select(
+        "word", F.size("syms").cast("long").alias("n_syms")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.expr(tokens_sql(text_col))).alias("word")
+    )
+    return (
+        words.join(syms, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
     )

@@ -37,6 +37,7 @@ from . import graph  # noqa: E402,F401
 from . import vocab  # noqa: E402,F401
 from . import sketches  # noqa: E402,F401
 from . import features  # noqa: E402,F401
+from . import layout  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of

@@ -1,0 +1,112 @@
+"""Z-order (Morton) layout as an oracle-checked query.
+
+The WRITE path exists in sources/parquet_sink.py write_zordered (n-column
+Morton clustering; pruning benefit measured in SCALE_100x.md and pinned
+by tests/test_scale_techniques2.py). This query exposes the SAME z-key
+math relationally — per coarse z-bucket, both dimensions' min/max spans
+tighten together, which is exactly the hyper-rectangle locality parquet
+row-group pruning exploits — and value-checks it against DuckDB, closing
+the loop on the layout arithmetic itself (the sink test asserts pruning
+fractions, not key values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import query
+
+Z_BITS = 8  # per-dimension rank bits for the query-level rollup
+
+_EPOCH_SPARK = "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+_EPOCH_DUCK = "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+
+
+def _scaled(col: str, lo: str, hi: str, div: str) -> str:
+    """Range-scaled rank in [0, 2^Z_BITS - 1] — the identical spelling
+    (and the identical `(v-mn)*(2^bits-1) intdiv span` formula) the
+    write path uses, in either engine's integer-division syntax."""
+    return (
+        f"((CAST({col} AS BIGINT) - {lo}) * {(1 << Z_BITS) - 1} "
+        f"{div} (CASE WHEN {hi} - {lo} > 0 THEN {hi} - {lo} ELSE 1 END))"
+    )
+
+
+def _interleave(a: str, b: str, shift: str) -> str:
+    """Morton interleave of two Z_BITS-bit ranks (a even, b odd bits) as
+    generated mask/shift literals; `shift` spells right-shift-by-i."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({shift.format(v=a, i=i)} % 2) * {1 << (2 * i)})")
+        terms.append(f"(({shift.format(v=b, i=i)} % 2) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_zorder_sql() -> str:
+    bck = _scaled("ck", "cklo", "ckhi", "//")
+    bdd = _scaled("dd", "ddlo", "ddhi", "//")
+    # DuckDB right shift spelled as integer division by 2^i
+    zkey = _interleave(bck, bdd, "({v} // POW2_{i})")
+    for i in range(Z_BITS):
+        zkey = zkey.replace(f"POW2_{i}", str(1 << i))
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS ck, {_EPOCH_DUCK} AS dd FROM orders
+), b AS (
+  SELECT min(ck) AS cklo, max(ck) AS ckhi, min(dd) AS ddlo, max(dd) AS ddhi
+  FROM o
+), z AS (
+  SELECT ck, dd, {zkey} AS zkey FROM o, b
+)
+SELECT zkey // {1 << Z_BITS} AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS ck_min, CAST(max(ck) AS BIGINT) AS ck_max,
+       CAST(min(dd) AS BIGINT) AS dd_min, CAST(max(dd) AS BIGINT) AS dd_max
+FROM z GROUP BY zbucket
+"""
+
+
+@query(
+    "zorder_layout_stats",
+    oracle=_duck_zorder_sql(),
+    doc=(
+        "Morton-key layout planning over orders on (custkey, orderdate): "
+        "the same range-scaled-rank + bit-interleave arithmetic "
+        "sources/parquet_sink.py write_zordered clusters writes by, "
+        "surfaced as a per-coarse-z-bucket rollup whose ck/dd min-max "
+        "spans tighten TOGETHER — the hyper-rectangle locality that "
+        "makes 2-D predicates prune row groups. Bounds are one min/max "
+        "aggregate (two scalars per dim to the driver); the key is "
+        "map-only generated integer literals, no UDF. Integer-exact "
+        "DuckDB oracle with correlated bounds."
+    ),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.expr(_EPOCH_SPARK).cast("long").alias("dd"),
+    )
+    b = o.agg(
+        F.min("ck").alias("cklo"),
+        F.max("ck").alias("ckhi"),
+        F.min("dd").alias("ddlo"),
+        F.max("dd").alias("ddhi"),
+    ).collect()[0]
+    bck = _scaled("ck", str(b["cklo"]) + "L", str(b["ckhi"]) + "L", "div")
+    bdd = _scaled("dd", str(b["ddlo"]) + "L", str(b["ddhi"]) + "L", "div")
+    zkey = _interleave(bck, bdd, "shiftright({v}, {i})")
+    return (
+        o.withColumn("zkey", F.expr(zkey))
+        .select(F.expr(f"zkey div {1 << Z_BITS}").alias("zbucket"), "ck", "dd")
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("ck").cast("long").alias("ck_min"),
+            F.max("ck").cast("long").alias("ck_max"),
+            F.min("dd").cast("long").alias("dd_min"),
+            F.max("dd").cast("long").alias("dd_max"),
+        )
+    )

@@ -169,6 +169,31 @@ def bpe_vocab_after_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_encode_stats",
+    oracle=(
+        f"WITH {_duck_bpe_train_ctes(BPE_MERGES)}, "
+        f"docw AS (SELECT doc_id, unnest({duck_tokens('text')}) AS word "
+        "FROM documents) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(len(s)) AS BIGINT) AS n_bpe_tokens "
+        f"FROM docw JOIN syms_{BPE_MERGES} USING (word) GROUP BY doc_id"
+    ),
+    doc=(
+        "Corpus tokenization under the TRAINED tokenizer: encoding is a "
+        "join against the word->symbolization table (vocab-sized, the "
+        "broadcast/bucketed dim at 100 TB), never a per-document merge "
+        "replay. Per-doc word and BPE-token counts; integer-exact, "
+        "oracle replays training then joins the final state."
+    ),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_stats as _encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _encode(docs, n_merges=BPE_MERGES)
+
+
+@query(
     "vocab_coverage_topk",
     oracle=(
         f"WITH toks AS (SELECT unnest({duck_tokens('text')}) AS token "

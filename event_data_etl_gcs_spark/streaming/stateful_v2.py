@@ -390,6 +390,84 @@ def running_user_totals_tws(
     )
 
 
+def sessionize_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str | None = "2 days",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """transformWithState generation of streaming/sessions.py
+    stateful_sessionize: same per-key (start, end, n) state and the same
+    sort-merge-split session assembly, but session closure by a
+    first-class re-armed event-time TIMER (registerTimer /
+    handleExpiredTimer) instead of a state timeout. Emits each session
+    exactly once when closed (append semantics); bit-equal to the
+    applyInPandasWithState generation by construction — the test pins
+    it."""
+    _require_tws(events)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from .sessions import SESSION_OUTPUT_SCHEMA, _sessions_df
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.sess = handle.getValueState(
+                "open_session", "start_us LONG, end_us LONG, n_events LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us: list[int] = []
+            for pdf in rows:
+                ts_us.extend(int(v) for v in pdf[ts_col].astype("int64") // 1000)
+            ts_us.sort()
+            open_s = (
+                tuple(int(x) for x in self.sess.get())
+                if self.sess.exists()
+                else None
+            )
+            closed: list[tuple[int, int, int]] = []
+            for t in ts_us:
+                if open_s is None:
+                    open_s = (t, t, 1)
+                elif t - open_s[1] <= gap_us:
+                    open_s = (open_s[0], max(open_s[1], t), open_s[2] + 1)
+                else:
+                    closed.append(open_s)
+                    open_s = (t, t, 1)
+            self.sess.update(open_s)
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            # timers take epoch MILLIS; fire once the watermark proves
+            # the gap after the open session's last event has elapsed
+            self.handle.registerTimer((open_s[1] + gap_us) // 1000 + 1)
+            if closed:
+                yield _sessions_df(key[0], closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.sess.exists():
+                start, end, n = (int(x) for x in self.sess.get())
+                self.sess.clear()
+                yield _sessions_df(key[0], [(start, end, n)])
+
+        def close(self) -> None:
+            pass
+
+    ev = ensure_tz_timestamp(events, ts_col)
+    if watermark is not None:
+        ev = ev.withWatermark(ts_col, watermark)
+    ev = ev.select(key_col, ts_col)
+    return ev.groupBy(key_col).transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def idle_user_flags_tws(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -227,6 +227,35 @@ def test_tws_totals_warm_start(spark, tmp_path, rocksdb_state):
 
 
 @needs_tws
+def test_tws_sessionize_matches_batch(spark, tmp_path, rocksdb_state):
+    """The transformWithState session operator (re-armed event-time
+    timers) must reproduce the batch sessionize query exactly, like the
+    applyInPandasWithState generation does."""
+    from event_data_etl_gcs_spark.queries import get_query
+    from event_data_etl_gcs_spark.streaming.stateful_v2 import sessionize_tws
+
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(
+        spark, ev, str(tmp_path / "ev"), n_chunks=3, sentinel_minutes=40
+    )
+    _drain_to_memory(
+        sessionize_tws(stream, gap_minutes=30, watermark="1 minute"),
+        "tws2_sessions",
+        "append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("tws2_sessions").collect()
+        if r.user_id != SENTINEL_USER
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in get_query("sessionize").fn(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+@needs_tws
 def test_tws_idle_flags_fire_for_all_quiet_users(spark, tmp_path, rocksdb_state):
     """Event-time TIMER form (registerTimer / handleExpiredTimer): same
     exactly-once idleness contract as the state-timeout form."""
