@@ -17,6 +17,7 @@ Scale-posture replacements:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -238,6 +239,78 @@ def delete_where(
                 ignore_errors=True,
             )
     return n_before - n_after
+
+
+def merge_into(
+    spark,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    validate_source_keys: bool = True,
+) -> tuple[int, int]:
+    """MERGE INTO (upsert) on a hive-partitioned parquet table: rows of
+    `source` matching a target row on `key_cols` REPLACE it; the rest
+    INSERT — the whole-row form Delta/Iceberg MERGE compiles to when
+    every column updates.
+
+    Partition-pruned like delete_where/update_where: the rewrite touches
+    only (a) partitions holding a matched target row — found with a
+    key-join over a scan column-pruned to keys + partition — and (b)
+    partitions receiving inserts. A matched key whose source row carries
+    a DIFFERENT partition value moves partitions correctly because both
+    the old and new partition are in the affected set. Untouched
+    partitions' files are never read or rewritten.
+
+    Returns (n_updated, n_inserted)."""
+    from pyspark.sql import functions as F
+
+    if validate_source_keys:
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_into source has duplicate keys: the rewrite would "
+                "be nondeterministic; dedupe the source first"
+            )
+    target = spark.read.parquet(table_dir)
+    # affected = target partitions with a matched key (column-pruned key
+    # scan) ∪ source partitions (inserts + cross-partition key moves)
+    matched_parts = (
+        target.select(*key_cols, partition_col)
+        .join(source.select(*key_cols), key_cols, "left_semi")
+        .select(partition_col)
+        .distinct()
+    )
+    src_parts = source.select(partition_col).distinct()
+    affected = [
+        r[0] for r in matched_parts.unionByName(src_parts).distinct().collect()
+    ]
+    if not affected:
+        return (0, 0)
+    sub = target.filter(F.col(partition_col).isin(affected))
+    n_updated = sub.join(source.select(*key_cols), key_cols, "left_semi").count()
+    kept = sub.join(source.select(*key_cols), key_cols, "left_anti")
+    out = kept.unionByName(source.select(*target.columns))
+    # dynamic partition overwrite (session.py pins it) rewrites only the
+    # partitions present in `out`; a partition fully vacated by
+    # cross-partition key moves yields no output rows and must be removed
+    # explicitly, exactly like delete_where's empty-partition case
+    survivors = {r[0] for r in out.select(partition_col).distinct().collect()}
+    if survivors:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    for part in affected:
+        if part not in survivors:
+            shutil.rmtree(
+                os.path.join(table_dir, f"{partition_col}={part}"),
+                ignore_errors=True,
+            )
+    return (n_updated, source.count() - n_updated)
 
 
 def update_where(

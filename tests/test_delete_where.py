@@ -118,3 +118,76 @@ def test_update_partition_column_rejected(spark, tmp_path):
     d, _ = _stage(spark, tmp_path)
     with pytest.raises(ValueError, match="partition column"):
         update_where(spark, d, "day = 1", {"day": "2"}, "day")
+
+
+def test_merge_upserts_and_prunes_partitions(spark, tmp_path):
+    """MERGE: matched keys replaced, new keys inserted, only partitions
+    with a match or an insert rewritten; others stay byte-identical."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    d, ev = _stage(spark, tmp_path)
+    before = _snapshot(d)
+
+    # updates: re-value every day-3 purchase; inserts: brand-new ids on day 3
+    upd = (
+        ev.filter("day = 3 AND event_type = 'purchase'")
+        .withColumn("value", F.lit(123.0))
+    )
+    n_upd = upd.count()
+    assert n_upd > 0
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    ins = upd.limit(2).withColumn(
+        "event_id", F.col("event_id") + F.lit(max_id).cast("long")
+    )
+    n_ins = ins.count()
+    src = upd.unionByName(ins)
+
+    got_upd, got_ins = merge_into(spark, d, src, ["event_id"], "day")
+    assert (got_upd, got_ins) == (n_upd, n_ins)
+
+    after = _snapshot(d)
+    touched = {f for f in before if (f not in after) or before[f] != after[f]}
+    assert touched and all("day=3" in f for f in touched)
+
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count() + n_ins
+    assert (
+        back.filter("day = 3 AND event_type = 'purchase' AND value <> 123.0").count()
+        == 0
+    )
+    # non-matching rows of the touched partition survive
+    assert (
+        back.filter("day = 3 AND event_type <> 'purchase'").count()
+        == ev.filter("day = 3 AND event_type <> 'purchase'").count()
+    )
+
+
+def test_merge_moves_keys_across_partitions(spark, tmp_path):
+    """A source row matching a key in another partition relocates it:
+    old partition loses the row, new partition gains it, both rewritten."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    d, ev = _stage(spark, tmp_path)
+    moved = ev.filter("day = 5").limit(3).withColumn("day", F.lit(6))
+    n_moved = moved.count()
+    moved_ids = [r[0] for r in moved.select("event_id").collect()]
+
+    got_upd, got_ins = merge_into(spark, d, moved, ["event_id"], "day")
+    assert (got_upd, got_ins) == (n_moved, 0)
+
+    back = spark.read.parquet(d)
+    assert back.count() == ev.count()
+    cond = F.col("event_id").isin(moved_ids)
+    assert back.filter(cond & (F.col("day") == 5)).count() == 0
+    assert back.filter(cond & (F.col("day") == 6)).count() == n_moved
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    d, ev = _stage(spark, tmp_path)
+    dup = ev.filter("day = 3").limit(1)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, d, dup.unionByName(dup), ["event_id"], "day")
