@@ -117,3 +117,50 @@ def rechunk_gzip_jsonl(
     )
     df.write.mode(mode).parquet(out_dir)
     return spark.read.parquet(out_dir).count()
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path_glob: str,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Whole-file binary ingestion via Spark's binaryFile source:
+    (path, modificationTime, length, content) — the entry point for
+    image/audio/video corpora that arrive as FILES, feeding the media
+    contract (operators/multimodal.py). pathGlobFilter/recursive ride
+    the option surface; `max_bytes` pushes a length predicate into the
+    file index so oversized blobs are skipped without being read (at
+    100 TB the skip happens at listing time, not scan time)."""
+    reader = spark.read.format("binaryFile")
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path_glob)
+    if max_bytes is not None:
+        df = df.filter(f"length <= {int(max_bytes)}")
+    return df
+
+
+def media_from_binary_files(
+    spark: SparkSession,
+    path_glob: str,
+    mime: str = "application/octet-stream",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Adapt a directory of binary files to the media contract
+    (media_id, payload, mime, meta): id = a stable hash of the file
+    path, meta carries path + mtime for lineage. Plugs directly into
+    decode_stub / decode_ppm / dhash_images — file-backed corpora and
+    column-backed corpora share one decode surface."""
+    from pyspark.sql import functions as F
+
+    files = read_binary_files(spark, path_glob, max_bytes=max_bytes)
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.lit(mime).alias("mime"),
+        F.create_map(
+            F.lit("path"), F.col("path"),
+            F.lit("mtime"), F.col("modificationTime").cast("string"),
+        ).alias("meta"),
+    )

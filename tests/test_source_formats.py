@@ -119,3 +119,41 @@ def test_rechunk_gzip_jsonl(spark, tmp_path):
     assert_same_rows(back, docs)
     # the landed layout is actually parallel: multiple parquet files
     assert len(glob.glob(f"{out}/*.parquet")) == 8
+
+
+def test_binary_file_ingest_feeds_media_contract(spark, tmp_path):
+    """Files on disk -> binaryFile source -> media contract -> the same
+    PPM decoder the column-backed path uses; length pushdown skips
+    oversized blobs at listing time."""
+    import os
+
+    from event_data_etl_gcs_spark.operators.multimodal import decode_ppm
+    from event_data_etl_gcs_spark.sources.formats import (
+        media_from_binary_files,
+        read_binary_files,
+    )
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    # two tiny valid P6 PPMs + one oversized blob
+    for name, w, h, fill in [("a.ppm", 2, 2, 10), ("b.ppm", 3, 1, 200)]:
+        body = bytes([fill]) * (w * h * 3)
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (w, h) + body)
+    with open(os.path.join(d, "huge.bin"), "wb") as f:
+        f.write(b"\x00" * 4096)
+
+    files = read_binary_files(spark, d, max_bytes=1024)
+    assert files.count() == 2  # huge.bin skipped by the length predicate
+
+    media = media_from_binary_files(spark, d, mime="image/x-ppm", max_bytes=1024)
+    rows = media.collect()
+    assert len(rows) == 2
+    assert len({r["media_id"] for r in rows}) == 2  # stable distinct ids
+    assert all(r["meta"]["path"].startswith("file:") for r in rows)
+
+    decoded = {
+        (r["width"], r["height"]): r["mean_pixel"]
+        for r in decode_ppm(media).collect()
+    }
+    assert decoded == {(2, 2): 10.0, (3, 1): 200.0}
