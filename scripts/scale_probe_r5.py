@@ -32,6 +32,19 @@ FACTOR = int(os.environ.get("SCALE_PROBE_FACTOR", "100"))
 PROBES = [
     "distinctive_terms_per_doc",
     "lateral_top_orders_per_customer",
+    # round-5 additions: BPE training/encoding run on the vocab table
+    # (same distinct words at 100x, counts scaled), the z-order rollup is
+    # map-side + one aggregate, the new oracle-backed multimodal ops are
+    # map-only mapInPandas, and the v2 stats pipeline is the corpus
+    # composition.
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "zorder_layout_stats",
+    "multimodal_decode",
+    "multimodal_video_frame_stats",
+    "multimodal_image_dhash_dedup",
+    "knn_graph_edges_ann",
+    "training_corpus_v2_stats",
 ]
 
 
