@@ -72,6 +72,13 @@ set_priority([
     "sessionize", "math_funcs", "approx_count_distinct",
     "topn_per_key_salted", "running_sum_bucketed", "asof_join_last_purchase",
     # --- next in line if the driver checks more than 50 ------------------
+    # round-5 additions lead the second tier: full BPE tokenizer training
+    # + encoding, the v2 corpus pipeline rollup, the ANN-built kNN graph,
+    # perceptual image dedup, video frame stats, z-order layout math
+    "bpe_train_merges", "bpe_encode_stats", "bpe_vocab_after_training",
+    "training_corpus_v2_stats", "knn_graph_edges_ann",
+    "multimodal_image_dhash_dedup", "multimodal_video_frame_stats",
+    "zorder_layout_stats",
     "ngram_docfreq_filter", "clean_text_normalize", "redact_pii",
     "embedding_quantize", "ann_quantized", "token_budget_sample",
     "scd2_event_type_history", "fuzzy_pairs_edit_distance",

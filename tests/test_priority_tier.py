@@ -17,7 +17,8 @@ TIER_N = 128
 
 # Rows-only by documented design (non-SQL-expressible): the driver records
 # a weaker rows-only check for these, which tolerates non-atomic columns.
-ROWS_ONLY_OK = {"multimodal_decode", "graph_pagerank"}
+# (multimodal_decode graduated to an exact oracle in round 5.)
+ROWS_ONLY_OK = {"graph_pagerank"}
 
 
 def tier():
