@@ -390,6 +390,101 @@ def running_user_totals_tws(
     )
 
 
+def user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) lifetime counts via MapState — the keyed
+    sub-state TWS adds over applyInPandasWithState's single value row.
+    One map entry per event type a user has produced (bounded by the
+    type vocabulary, not by events); update-mode re-emits an entry
+    whenever its count changes. Batch truth: groupBy(user, type).count."""
+    _require_tws(events)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "type_counts", "event_type STRING", "n LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                for t, n in pdf["event_type"].value_counts().items():
+                    touched[t] = touched.get(t, 0) + int(n)
+            for t, add in touched.items():
+                prev = self.counts.getValue((t,))
+                n = (int(prev[0]) if prev is not None else 0) + add
+                self.counts.updateValue((t,), (n,))
+                touched[t] = n
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "event_type": list(touched.keys()),
+                    "n_events": list(touched.values()),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events.select("user_id", "event_type")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        TypeCountProcessor(),
+        outputStructType="user_id LONG, event_type STRING, n_events LONG",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def recent_values_tws(events: DataFrame, n_recent: int = 3) -> DataFrame:
+    """Per-user trailing-window feature state via ListState: keep the
+    last `n_recent` (ts, cents) pairs, emit the window's exact integer
+    sum + count each time it changes — the feature-store shape (rolling
+    recency features maintained by the stream, O(n_recent) state per
+    user). Batch truth: row_number() desc <= n over (user) then sum."""
+    _require_tws(events)
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RecentValuesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.recent = handle.getListState(
+                "recent", "ts_us LONG, value_cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            items = [tuple(int(v) for v in t) for t in self.recent.get()]
+            for pdf in rows:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, c in zip(ts_us, pdf["value_cents"]):
+                    items.append((int(t), int(c)))
+            items.sort()
+            items = items[-n_recent:]
+            self.recent.put(items)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_ts_us": [items[-1][0]],
+                    "recent_n": [len(items)],
+                    "recent_sum_cents": [sum(c for _, c in items)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = with_value_cents(ensure_tz_timestamp(events, "ts")).select(
+        "user_id", "ts", "value_cents"
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RecentValuesProcessor(),
+        outputStructType=(
+            "user_id LONG, last_ts_us LONG, recent_n LONG, "
+            "recent_sum_cents LONG"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def sessionize_tws(
     events: DataFrame,
     gap_minutes: int = 30,

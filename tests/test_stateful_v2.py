@@ -227,6 +227,86 @@ def test_tws_totals_warm_start(spark, tmp_path, rocksdb_state):
 
 
 @needs_tws
+def test_tws_map_state_type_counts(spark, tmp_path, rocksdb_state):
+    """MapState per-(user, type) counts drain to the batch groupBy."""
+    from event_data_etl_gcs_spark.streaming.stateful_v2 import user_type_counts_tws
+
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(spark, ev, str(tmp_path / "ev"), n_chunks=3)
+    _drain_to_memory(user_type_counts_tws(stream), "tws2_types", "update")
+    final = {
+        (r.user_id, r.event_type): r.n_events
+        for r in spark.table("tws2_types")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("n_events")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want and len(want) > 0
+
+
+@needs_tws
+def test_tws_list_state_recent_values(spark, tmp_path, rocksdb_state):
+    """ListState trailing-3 window: final state equals the batch last-3
+    (by ts) exact cent sums per user."""
+    from event_data_etl_gcs_spark.streaming.stateful_v2 import (
+        recent_values_tws,
+        with_value_cents,
+    )
+
+    ev = load_table(spark, SF, "events")
+    stream = _stage_chunks(spark, ev, str(tmp_path / "ev"), n_chunks=3)
+    _drain_to_memory(recent_values_tws(stream, n_recent=3), "tws2_recent", "update")
+    final = {
+        r.user_id: (r.recent_n, r.recent_sum_cents)
+        for r in spark.table("tws2_recent")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("last_ts_us"), F.desc("recent_n")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        # tie-break mirrors the stream's (ts, cents) tuple sort; a full
+        # (ts, cents) duplicate contributes the same sum either way
+        for r in with_value_cents(ev)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("value_cents")
+                )
+            ),
+        )
+        .filter("rn <= 3")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.sum("value_cents").alias("s")
+        )
+        .collect()
+    }
+    assert final == want and len(want) > 0
+
+
+@needs_tws
 def test_tws_sessionize_matches_batch(spark, tmp_path, rocksdb_state):
     """The transformWithState session operator (re-armed event-time
     timers) must reproduce the batch sessionize query exactly, like the
