@@ -191,6 +191,36 @@ SHOW = [
         "the exact-count branch shares the same two-phase shape — at "
         "scale the merge input is days, not events.",
     ),
+    (
+        "distinctive_terms_per_doc",
+        "Round-5 fix: document frequency derives from the (doc, term) "
+        "aggregate -- the count-distinct shuffle of raw token pairs is "
+        "gone (8.3x -> 5.0x at 100x). Honest residual: Catalyst's "
+        "RemoveRedundantAggregates prunes the df branch to a bare "
+        "distinct, so the explode re-runs there instead of reusing the "
+        "tf exchange. df broadcasts back; WindowGroupLimit prunes the "
+        "per-doc rank before the doc_id exchange.",
+    ),
+    (
+        "bpe_encode_stats",
+        "Trained-tokenizer application: the corpus side is a map-side "
+        "explode joined against the vocab-sized word->symbolization "
+        "table (broadcast at this SF; bucketed dim at 100 TB), then one "
+        "two-phase per-doc aggregate.",
+    ),
+    (
+        "zorder_layout_stats",
+        "Morton-key math is pure projection (generated shift/mask "
+        "literals, no UDF): scan -> project -> one two-phase hash "
+        "aggregate; the only exchange is the final group-by.",
+    ),
+    (
+        "knn_graph_edges_ann",
+        "ANN graph build: banded signatures explode map-side, candidates "
+        "come from an EQUI-join on (band, bucket) -- no corpus broadcast, "
+        "no cross join -- embeddings join back by id, and the per-node "
+        "top-k is a WindowGroupLimit-pruned rank.",
+    ),
 ]
 
 KEY = re.compile(
