@@ -298,6 +298,7 @@ def knn_edges_ann(
     k: int = 3,
     n_bands: int = 4,
     band_bits: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The SCALE path for the kNN graph build: banded random-hyperplane
     LSH candidate generation instead of the brute-force cross product.
@@ -353,6 +354,22 @@ def knn_edges_ann(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkt")
+    if max_bucket is not None:
+        # Hot-bucket cap — the LSH skew control. Correlated/duplicated
+        # data concentrates in few buckets (measured: one bucket held a
+        # THIRD of a 200k corpus), making the within-bucket self-join
+        # quadratic exactly where the hash is least discriminative.
+        # Buckets above the cap are skipped; their members still get
+        # candidates from their other n_bands-1 bands. The bucket-size
+        # table is buckets-sized (tiny) and broadcasts. Opt-in so the
+        # default output (and its DuckDB oracle) is unchanged.
+        small = (
+            banded.groupBy("band", "bkt")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .select("band", "bkt")
+        )
+        banded = banded.join(F.broadcast(small), ["band", "bkt"])
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

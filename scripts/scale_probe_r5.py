@@ -46,6 +46,13 @@ PROBES = [
     "knn_graph_edges_ann",
     "training_corpus_v2_stats",
 ]
+# SCALE_PROBE_ONLY=a,b,c restricts the list (chunked runs for the heavy
+# pipelines); SCALE_PROBE_RUNS sets min-of-N (default 2). Results append
+# into SCALE_r5.md's table when it already exists.
+if os.environ.get("SCALE_PROBE_ONLY"):
+    _only = set(os.environ["SCALE_PROBE_ONLY"].split(","))
+    PROBES = [p for p in PROBES if p in _only]
+RUNS = int(os.environ.get("SCALE_PROBE_RUNS", "2"))
 
 
 def main() -> None:
@@ -73,11 +80,11 @@ def main() -> None:
     for name in PROBES:
         fn = specs[name].fn
         t1 = t100 = float("inf")
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             n1 = fn(spark, SRC).count()
             t1 = min(t1, time.perf_counter() - t0)
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             n100 = fn(spark, x_dir).count()
             t100 = min(t100, time.perf_counter() - t0)
@@ -91,6 +98,19 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_r5.md",
     )
+    if os.environ.get("SCALE_PROBE_ONLY") and os.path.exists(out):
+        text = open(out).read()
+        lines = text.split("\n")
+        last_row = max(i for i, l in enumerate(lines) if l.startswith("| "))
+        new_rows = [
+            f"| {name} | {t1:.2f} | {n1} | {t100:.2f} | {n100} | "
+            f"{t100 / t1:.1f}x |"
+            for name, t1, n1, t100, n100 in rows
+        ]
+        lines[last_row + 1 : last_row + 1] = new_rows
+        open(out, "w").write("\n".join(lines))
+        spark.stop()
+        return
     with open(out, "w") as f:
         f.write(
             f"# SCALE (round 5) — ledger closure at {FACTOR}x (local[32])\n\n"

@@ -158,3 +158,29 @@ def test_bfs_hops_vs_python_model(spark):
                 dq.append(nb)
     got = {r["node"]: r["hops"] for r in bfs_hops(_edge_df(spark, edges)).collect()}
     assert got == want
+
+
+def test_knn_ann_hot_bucket_cap(spark):
+    """max_bucket: identity when no bucket exceeds the cap; on a
+    duplicate-heavy corpus the cap drops only mega-buckets while other
+    bands still supply candidates (edges survive)."""
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.graph import knn_edges_ann
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, knn_edges_ann(emb, k=3).collect()))
+    b = sorted(map(tuple, knn_edges_ann(emb, k=3, max_bucket=10**9).collect()))
+    assert a == b and len(a) > 0
+
+    # 40 near-copies of each vector -> every bucket is a mega-bucket for
+    # a tiny cap; capped run must still terminate with a bounded pair
+    # count and produce edges from the surviving buckets
+    dup = emb
+    for i in range(1, 4):
+        dup = dup.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000 * i))
+        )
+    edges = knn_edges_ann(dup, k=3, band_bits=6, max_bucket=50)
+    assert edges.count() > 0
