@@ -89,3 +89,48 @@ def test_bpe_train_matches_sequential_reference(spark):
         tuple(r["syms"]): r["cnt"] for r in syms.collect()
     }
     assert got_vocab == want_vocab
+
+
+def test_merge_fold_property_random_sequences(spark):
+    """Property: for random symbol sequences and random merge pairs, the
+    map-side aggregate fold equals the sequential greedy reference."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    cases = []
+    for i in range(60):
+        syms = [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        l, r = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((f"w{i}", l, r, syms))
+
+    def reference(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    from event_data_etl_gcs_spark.operators.bpe import merge_pair_column
+
+    # group cases by (l, r) so each merge expression runs over its batch
+    by_pair = {}
+    for w, l, r, syms in cases:
+        by_pair.setdefault((l, r), []).append((w, syms))
+    for (l, r), rows in by_pair.items():
+        df = spark.createDataFrame(
+            [(w, 1, syms) for w, syms in rows],
+            "word STRING, cnt LONG, syms ARRAY<STRING>",
+        )
+        got = {
+            row["word"]: row["m"]
+            for row in df.select(
+                "word", merge_pair_column(l, r).alias("m")
+            ).collect()
+        }
+        for w, syms in rows:
+            assert got[w] == reference(syms, l, r), (l, r, syms, got[w])
