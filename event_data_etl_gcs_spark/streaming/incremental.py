@@ -162,3 +162,63 @@ def run_incremental_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_merge_into(
+    spark: SparkSession,
+    stream: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+    latest_col: str | None = None,
+) -> None:
+    """Streaming MERGE INTO a hive-partitioned parquet table: per
+    micro-batch the PARTITION-PRUNED upsert (sources/parquet_sink.py
+    merge_into) — only partitions holding a matched key or receiving an
+    insert rewrite, unlike the full-table merge_write above (which is
+    the right shape only for small dimension tables). This is the Delta
+    streaming-MERGE pattern without the table format.
+
+    ``latest_col`` picks the deterministic within-batch winner per key
+    (largest value survives — the CDC keep-latest contract); merge_into
+    itself rejects duplicate keys, so the reduction is mandatory when a
+    key can repeat inside one batch. At-least-once replays re-merge the
+    same rows; replace-by-key makes that idempotent."""
+    from pyspark.sql import Window
+
+    from ..sources.parquet_sink import merge_into
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = batch_df
+        if latest_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(latest_col), *[F.desc(c) for c in src.columns]
+            )
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .drop("__rn")
+            )
+        src = src.localCheckpoint(eager=True)  # the write rewrites its own input path
+        if os.path.exists(os.path.join(table_dir, "_SUCCESS")) or any(
+            p.startswith(f"{partition_col}=")
+            for p in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+        ):
+            merge_into(
+                spark, table_dir, src, key_cols, partition_col,
+                validate_source_keys=latest_col is None,
+            )
+        else:
+            src.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
