@@ -188,3 +188,50 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("bitmap_distinct"),
         F.sum("ex").cast("long").alias("exact_distinct"),
     )
+
+
+from ..operators.histsketch import (  # noqa: E402
+    day_histogram_sketch,
+    duck_bin_expr,
+    duck_lo_cents_expr,
+    merged_quantiles,
+)
+
+
+def _duck_hdr_sql() -> str:
+    per_p = " UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p, "
+        f"{duck_lo_cents_expr('(SELECT min(bin) FROM cum, total WHERE cum >= ceil(' + str(p) + ' * n))')} "
+        "AS est_cents, (SELECT CAST(n AS BIGINT) FROM total) AS n_total"
+        for p in (0.5, 0.95, 0.99)
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events
+), b AS (
+  SELECT {duck_bin_expr('c')} AS bin, count(*) AS cnt FROM cents GROUP BY 1
+), total AS (SELECT sum(cnt) AS n FROM b),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM b)
+{per_p}
+"""
+
+
+@query(
+    "hdr_quantile_sketch",
+    oracle=_duck_hdr_sql(),
+    doc=(
+        "Mergeable QUANTILE sketch (DDSketch-style log-linear histogram, "
+        "integer-only): per-day (day, bin, cnt) rows — hundreds per day "
+        "regardless of event volume — merge by summing, read any range's "
+        "p50/p95/p99 as a prefix-sum walk, relative error <= 1/16. The "
+        "bucket id uses length(bin(m)) for floor(log2), so unlike a "
+        "float t-digest the whole pipeline is engine-exact: the oracle "
+        "recomputes sketch, merge, and quantile walk bit-identically. "
+        "Completes the sketch family (HLL/KMV/CMS/Bloom/bitmap had no "
+        "quantile member); streaming maintenance rides the same "
+        "crash-atomic commit_state as the HLL rollup."
+    ),
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return merged_quantiles(day_histogram_sketch(ev))

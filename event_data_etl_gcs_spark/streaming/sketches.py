@@ -281,3 +281,69 @@ def run_streaming_checksum_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_hdr_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+) -> None:
+    """Maintain the mergeable quantile sketch (operators/histsketch.py)
+    from a stream. COUNT deltas are not replay-idempotent the way HLL
+    unions are, so each batch's partial rows carry their batch_id and a
+    redelivered batch REPLACES its own prior rows (delete-then-insert
+    inside the crash-atomic generation commit); everything older than
+    the live batch folds into one batch_id=-1 row set, bounding state at
+    ~2x days x buckets regardless of batch count."""
+    from pyspark.sql import functions as F
+
+    from ..operators.histsketch import day_histogram_sketch
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = day_histogram_sketch(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        state = read_state(
+            spark, state_dir, "day TIMESTAMP, bin BIGINT, cnt BIGINT, batch_id BIGINT"
+        )
+        if state is not None:
+            merged = state.filter(F.col("batch_id") != batch_id).unionByName(delta)
+        else:
+            merged = delta
+        compacted = (
+            merged.withColumn(
+                "batch_id",
+                F.when(F.col("batch_id") == batch_id, F.col("batch_id")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            )
+            .groupBy("day", "bin", "batch_id")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .select("day", "bin", "cnt", "batch_id")
+        )
+        commit_state(compacted, state_dir)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hdr_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantiles from the maintained sketch state — a prefix-sum walk
+    over a few hundred rows, never the event history."""
+    from ..operators.histsketch import merged_quantiles
+
+    state = read_state(
+        spark, state_dir, "day TIMESTAMP, bin BIGINT, cnt BIGINT, batch_id BIGINT"
+    )
+    return merged_quantiles(state.select("bin", "cnt"), probs)
