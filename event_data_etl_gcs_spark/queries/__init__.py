@@ -78,7 +78,7 @@ set_priority([
     "bpe_train_merges", "bpe_encode_stats", "bpe_vocab_after_training",
     "training_corpus_v2_stats", "knn_graph_edges_ann",
     "multimodal_image_dhash_dedup", "multimodal_video_frame_stats",
-    "zorder_layout_stats",
+    "zorder_layout_stats", "hdr_quantile_sketch",
     "ngram_docfreq_filter", "clean_text_normalize", "redact_pii",
     "embedding_quantize", "ann_quantized", "token_budget_sample",
     "scd2_event_type_history", "fuzzy_pairs_edit_distance",
