@@ -48,12 +48,15 @@ def duck_bin_expr(cents_col: str) -> str:
 
 def lo_cents_expr(bin_col: str) -> str:
     """Lower value edge of a bucket (the quantile estimate): invert
-    (e, sub) -> smallest m in the bucket, minus the +1 shift. For
-    e <= SUB_BITS the bucket holds exactly one integer (sub == m)."""
+    (e, sub) -> smallest m in the bucket, minus the +1 shift. Only for
+    e STRICTLY below SUB_BITS is the bucket single-valued (sub == m);
+    at e == SUB_BITS the shift is 0 but m = 2^e + sub (the general
+    form) — the <= spelling mis-estimated values in [15, 30] cents,
+    caught by the bucket-math property test."""
     e = f"({bin_col} div {1 << SUB_BITS})"
     sub = f"({bin_col} % {1 << SUB_BITS})"
     return (
-        f"(CASE WHEN {e} <= {SUB_BITS} THEN {sub} "
+        f"(CASE WHEN {e} < {SUB_BITS} THEN {sub} "
         f"ELSE (({1 << SUB_BITS}L + {sub}) << ({e} - {SUB_BITS})) END - 1L)"
     )
 
@@ -62,7 +65,7 @@ def duck_lo_cents_expr(bin_col: str) -> str:
     e = f"({bin_col} // {1 << SUB_BITS})"
     sub = f"({bin_col} % {1 << SUB_BITS})"
     return (
-        f"(CASE WHEN {e} <= {SUB_BITS} THEN {sub} "
+        f"(CASE WHEN {e} < {SUB_BITS} THEN {sub} "
         f"ELSE (({1 << SUB_BITS} + {sub}) << ({e} - {SUB_BITS})) END - 1)"
     )
 

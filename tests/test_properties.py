@@ -458,3 +458,42 @@ def test_trailing_wau_matches_python_model(spark, data):
             users |= active.get(d - back, set())
         want[(base + datetime.timedelta(days=d)).date()] = len(users)
     assert got == want
+
+
+def test_histsketch_bucket_math_properties():
+    """Quantile-sketch math over a dense integer sweep (no Spark needed:
+    the expressions are engine-portable SQL, checked in DuckDB):
+    bucket id monotone in the value, lower-edge inversion bounds the
+    value from below, and the relative error never exceeds 1/16."""
+    import duckdb
+
+    from event_data_etl_gcs_spark.operators.histsketch import (
+        duck_bin_expr,
+        duck_lo_cents_expr,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH v AS (
+          SELECT CAST(x AS BIGINT) AS c FROM (
+            SELECT unnest(range(0, 5000)) AS x
+            UNION ALL
+            SELECT unnest(list_transform(range(0, 2000),
+                   i -> (i * 2654435761) % 1000000007)) AS x
+          )
+        ), b AS (
+          SELECT c, {duck_bin_expr('c')} AS bin FROM v
+        )
+        SELECT c, bin, {duck_lo_cents_expr('bin')} AS lo FROM b ORDER BY c
+        """
+    ).fetchall()
+    prev_c, prev_bin = -1, -1
+    for c, b, lo in rows:
+        if c == prev_c:
+            continue
+        assert b >= prev_bin, (c, b, prev_bin)  # monotone
+        assert lo <= c, (c, b, lo)  # lower edge below the value
+        # relative error bound: bucket width / value <= 1/16 (+1 shift slack)
+        assert (c - lo) <= max(c, 1) / 16 + 1, (c, b, lo)
+        prev_c, prev_bin = c, b
