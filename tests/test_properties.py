@@ -497,3 +497,49 @@ def test_histsketch_bucket_math_properties():
         # relative error bound: bucket width / value <= 1/16 (+1 shift slack)
         assert (c - lo) <= max(c, 1) / 16 + 1, (c, b, lo)
         prev_c, prev_bin = c, b
+
+
+def test_zorder_interleave_bijective_and_monotone_blocks():
+    """Morton-key math (queries/layout.py spelling, DuckDB twin): the
+    interleave of two 8-bit ranks must be a bijection onto [0, 65536)
+    and each coarse z-bucket (key >> 8) must span a bounded rectangle —
+    the hyper-rectangle property pruning relies on. Mirrored-math
+    oracles can share a bug (see the quantile-sketch boundary fix), so
+    the algebra gets its own sweep."""
+    import duckdb
+
+    from event_data_etl_gcs_spark.queries.layout import _interleave
+
+    zkey = _interleave("a", "b", "({v} // POW2_{i})")
+    for i in range(8):
+        zkey = zkey.replace(f"POW2_{i}", str(1 << i))
+    con = duckdb.connect()
+    n_distinct, n_rows = con.execute(
+        f"""
+        WITH g AS (
+          SELECT a, b, {zkey} AS z
+          FROM (SELECT unnest(range(0, 256)) AS a),
+               (SELECT unnest(range(0, 256)) AS b)
+        )
+        SELECT count(DISTINCT z), count(*) FROM g
+        """
+    ).fetchone()
+    assert n_distinct == n_rows == 65536  # bijective
+
+    # every coarse bucket (z >> 8) covers a <= 16x16 rectangle: the
+    # locality that tightens BOTH dimensions' min/max spans together
+    spans = con.execute(
+        f"""
+        WITH g AS (
+          SELECT a, b, {zkey} AS z
+          FROM (SELECT unnest(range(0, 256)) AS a),
+               (SELECT unnest(range(0, 256)) AS b)
+        )
+        SELECT max(max_a - min_a), max(max_b - min_b) FROM (
+          SELECT z // 256 AS zb, max(a) AS max_a, min(a) AS min_a,
+                 max(b) AS max_b, min(b) AS min_b
+          FROM g GROUP BY zb
+        )
+        """
+    ).fetchone()
+    assert spans[0] <= 15 and spans[1] <= 15
