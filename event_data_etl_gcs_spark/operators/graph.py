@@ -299,6 +299,7 @@ def knn_edges_ann(
     n_bands: int = 4,
     band_bits: int = 4,
     max_bucket: int | None = None,
+    ring_cap: int | None = None,
 ) -> DataFrame:
     """The SCALE path for the kNN graph build: banded random-hyperplane
     LSH candidate generation instead of the brute-force cross product.
@@ -314,13 +315,46 @@ def knn_edges_ann(
     :func:`knn_edges`. Recall < 1 by construction (a true neighbor in
     no shared band is missed); tests/test_graph.py measures it against
     the exact builder.
+
+    Skew controls (both opt-in, composable; default output unchanged):
+
+    ``max_bucket`` alone — skip buckets larger than the cap entirely
+    (members keep their other bands). Blunt; loses all candidates from
+    the skipped band.
+
+    ``ring_cap`` alone — BOUNDED ring candidate generation everywhere:
+    members of each (band, bucket) are ranked by a deterministic hash
+    and each member pairs only with the next ``ring_cap`` positions.
+    The quadratic within-bucket self-join becomes a pure equi-join on
+    (band, bucket, position) whose output is <= members x ring_cap rows
+    — LINEAR in bucket size, and the blow-up never materializes (vs
+    max_bucket, which must first count the bucket it then throws away).
+    With ring_cap >= the largest bucket the output is IDENTICAL to the
+    uncapped build (tests pin this); below that it SAMPLES candidates
+    (hash order ~ random permutation), which measurably costs recall on
+    a diverse corpus — use the hybrid below instead.
+
+    ``max_bucket`` + ``ring_cap`` (the recommended skew posture) —
+    buckets within max_bucket keep the EXACT within-bucket join; buckets
+    above it are RING-SAMPLED instead of skipped. Exactness is preserved
+    everywhere except genuine hot buckets. Rings are ordered by a
+    continuous per-band random projection, which makes the sampling
+    LOSSLESS for the duplicate-concentration shape that creates hot
+    buckets in practice (the measured 100x corpus): exact/near copies
+    project (near-)identically, sort consecutively, and any ring cap >=
+    the copy-group size finds every duplicate pair. For a DIVERSE hot
+    bucket (clustered-but-distinct vectors) the ring is a partial
+    sample — measured here: no 1-D ordering localizes true kNN inside a
+    64-dim mega-bucket — so the first lever there is more band_bits
+    (~log2(n/target_occupancy)); the ring bounds the cost of whatever
+    skew remains. Always strictly better recall than skipping, at the
+    same bounded candidate count (<= members x ring_cap per bucket).
     """
     from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD, dot_sql, norm_sql
 
-    def band_bucket_sql(band: int) -> str:
+    def plane_bits_sql(planes: list[int]) -> str:
         bits = []
-        for b in range(band_bits):
-            j = band * band_bits + b
+        for b, j in enumerate(planes):
             # constants as LONG literals: ANSI mode errors on the int32
             # overflow of (j+1)*C1 + (i-1)*C2 otherwise (BUILDER_NOTES)
             sign = (
@@ -332,8 +366,28 @@ def knn_edges_ann(
                 f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
                 "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
             )
-            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b}L ELSE 0L END)")
         return " + ".join(bits)
+
+    def band_bucket_sql(band: int) -> str:
+        return plane_bits_sql(
+            [band * band_bits + b for b in range(band_bits)]
+        )
+
+    def plane_dot_sql(j_expr: str) -> str:
+        # Raw (unsigned) projection onto the deterministic +/-1
+        # direction of plane ``j_expr`` — same sign family as the
+        # bucket planes, but the CONTINUOUS value, and the plane index
+        # may be a per-row SQL expression (band-dependent ordering).
+        sign = (
+            f"(CASE WHEN ((({j_expr} + 1) * {LSH_C1}L + (i - 1) * {LSH_C2}L)"
+            f" % {LSH_MOD}L) < {LSH_HALF}L THEN 1 ELSE -1 END)"
+        )
+        return (
+            "aggregate(transform(sequence(1, size(embedding)), "
+            f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
 
     base = vectors.select(
         F.col("vec_id").alias("id"),
@@ -354,34 +408,80 @@ def knn_edges_ann(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkt")
-    if max_bucket is not None:
-        # Hot-bucket cap — the LSH skew control. Correlated/duplicated
-        # data concentrates in few buckets (measured: one bucket held a
-        # THIRD of a 200k corpus), making the within-bucket self-join
-        # quadratic exactly where the hash is least discriminative.
-        # Buckets above the cap are skipped; their members still get
-        # candidates from their other n_bands-1 bands. The bucket-size
-        # table is buckets-sized (tiny) and broadcasts. Opt-in so the
-        # default output (and its DuckDB oracle) is unchanged.
-        small = (
-            banded.groupBy("band", "bkt")
-            .agg(F.count("*").alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket)
-            .select("band", "bkt")
-        )
-        banded = banded.join(F.broadcast(small), ["band", "bkt"])
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
+    def exact_pairs(members: DataFrame) -> DataFrame:
+        a = members.alias("a")
+        b = members.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+
+    def ring_pairs(members: DataFrame, cap: int) -> DataFrame:
+        # Ring candidates: rank bucket members by a CONTINUOUS random
+        # projection — the raw (unsigned) dot against a deterministic
+        # +/-1 direction, a DIFFERENT direction per band (plane index
+        # offset past the banding planes). Near vectors project near, so
+        # ring neighbors are angle-biased (a projection-sorted sliding-
+        # window join, cf. random-projection sort-joins), and each band
+        # contributes a DIFFERENT ordering, so the n_bands rings sample
+        # diverse neighborhoods instead of one (hash ordering and a
+        # shared bit-signature ordering both measured recall ~0.21 vs
+        # 0.75 here; see tests). The sort of a hot bucket is O(m log m)
+        # in one task — cheap; the quadratic JOIN OUTPUT was the killer.
+        # Each member pos p equi-joins positions p+1..p+cap. Edge-of-
+        # ring members get fewer forward candidates but appear as
+        # backward candidates of their predecessors; the later
+        # symmetrize covers both directions.
+        proj = plane_dot_sql("(CAST(band AS INT) + " f"{n_bands * band_bits})")
+        wpos = Window.partitionBy("band", "bkt").orderBy("proj", "id")
+        pos = members.join(
+            base.select("id", "embedding"), "id"
+        ).withColumn("proj", F.expr(proj)).withColumn(
+            "pos", F.row_number().over(wpos)
         )
-        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
-        .distinct()
-    )
+        left = pos.select(
+            "band",
+            "bkt",
+            F.col("id").alias("lid"),
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(cap))
+            ).alias("tpos"),
+        )
+        right = pos.select(
+            "band", "bkt", F.col("id").alias("rid"), F.col("pos").alias("tpos")
+        )
+        return left.join(right, ["band", "bkt", "tpos"]).select(
+            F.least("lid", "rid").alias("ida"),
+            F.greatest("lid", "rid").alias("idb"),
+        )
+
+    if max_bucket is not None:
+        # Hot-bucket control — the LSH skew lever. Correlated/duplicated
+        # data concentrates in few buckets (measured: one bucket held a
+        # THIRD of a 200k corpus), making the within-bucket self-join
+        # quadratic exactly where the hash is least discriminative. The
+        # bucket-size table is buckets-sized (tiny) and broadcasts.
+        # Opt-in so the default output (and its DuckDB oracle) is
+        # unchanged.
+        sizes = banded.groupBy("band", "bkt").agg(F.count("*").alias("__bsz"))
+        sized = banded.join(F.broadcast(sizes), ["band", "bkt"])
+        small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+        hot = sized.filter(F.col("__bsz") > max_bucket).drop("__bsz")
+        if ring_cap is not None:
+            # Hybrid: exact join inside sane buckets, ring-sample the
+            # hot ones instead of dropping them.
+            cand = exact_pairs(small).unionByName(
+                ring_pairs(hot, ring_cap)
+            ).distinct()
+        else:
+            # Skip hot buckets; members keep their other n_bands-1 bands.
+            cand = exact_pairs(small).distinct()
+    elif ring_cap is not None:
+        cand = ring_pairs(banded, ring_cap).distinct()
+    else:
+        cand = exact_pairs(banded).distinct()
     va = base.select(
         F.col("id").alias("ida"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
