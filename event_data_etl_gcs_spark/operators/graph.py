@@ -293,13 +293,40 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
+# Default skew posture (round-6: DEFAULT-ON, was opt-in). Values are the
+# measured round-5 hybrid operating point (SCALE_r5.md: 100% near-dup
+# recall at bounded wall on the 200k duplicate-heavy corpus, vs 27.8%
+# for skip-only). ring_cap < max_bucket keeps hot-bucket candidate
+# output strictly below the exact-join cost of a cap-sized bucket.
+KNN_ANN_MAX_BUCKET = 512
+KNN_ANN_RING_CAP = 128
+# band_bits auto-derivation target: ~this many vectors per bucket on a
+# uniform corpus (band_bits = log2(n / occupancy), floor 4 so tiny
+# corpora keep the pre-round-6 geometry and its pinned oracles).
+KNN_ANN_TARGET_OCCUPANCY = 256
+
+
+def derive_band_bits(n: int, target_occupancy: int = KNN_ANN_TARGET_OCCUPANCY) -> int:
+    """band_bits ≈ log2(n / target_occupancy), floored at 4.
+
+    The first lever against LSH bucket skew is more buckets, not caps
+    (SCALE_r5.md): aim for ~target_occupancy members per bucket so the
+    within-bucket join stays ~occupancy² regardless of corpus size.
+    """
+    import math
+
+    if n <= target_occupancy:
+        return 4
+    return max(4, math.ceil(math.log2(n / target_occupancy)))
+
+
 def knn_edges_ann(
     vectors: DataFrame,
     k: int = 3,
     n_bands: int = 4,
-    band_bits: int = 4,
-    max_bucket: int | None = None,
-    ring_cap: int | None = None,
+    band_bits: int | None = None,
+    max_bucket: int | None = KNN_ANN_MAX_BUCKET,
+    ring_cap: int | None = KNN_ANN_RING_CAP,
 ) -> DataFrame:
     """The SCALE path for the kNN graph build: banded random-hyperplane
     LSH candidate generation instead of the brute-force cross product.
@@ -316,7 +343,15 @@ def knn_edges_ann(
     no shared band is missed); tests/test_graph.py measures it against
     the exact builder.
 
-    Skew controls (both opt-in, composable; default output unchanged):
+    ``band_bits=None`` (the default) derives the band width from a
+    corpus count: ``max(4, ceil(log2(n / 256)))`` — one eager count job
+    at build time, in exchange for bucket occupancy that stays ~constant
+    as the corpus grows (the log2 prescription SCALE_r5.md measured).
+    Pass an explicit int to pin the geometry (oracle-comparable runs).
+
+    Skew controls (DEFAULT-ON since round 6 — the 100-TB-safe call is
+    the zero-argument call; pass ``max_bucket=None, ring_cap=None`` to
+    get the uncapped build):
 
     ``max_bucket`` alone — skip buckets larger than the cap entirely
     (members keep their other bands). Blunt; loses all candidates from
@@ -351,6 +386,12 @@ def knn_edges_ann(
     same bounded candidate count (<= members x ring_cap per bucket).
     """
     from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD, dot_sql, norm_sql
+
+    if band_bits is None:
+        # One count job at build time; the plan below is built against
+        # the derived geometry. Uses the raw row count (zero-norm rows
+        # are rare and only make buckets slightly roomier).
+        band_bits = derive_band_bits(vectors.count())
 
     def plane_bits_sql(planes: list[int]) -> str:
         bits = []
@@ -434,19 +475,34 @@ def knn_edges_ann(
         # ring members get fewer forward candidates but appear as
         # backward candidates of their predecessors; the later
         # symmetrize covers both directions.
+        if cap < 1:
+            raise ValueError(f"ring_cap must be >= 1, got {cap}")
         proj = plane_dot_sql("(CAST(band AS INT) + " f"{n_bands * band_bits})")
         wpos = Window.partitionBy("band", "bkt").orderBy("proj", "id")
-        pos = members.join(
-            base.select("id", "embedding"), "id"
-        ).withColumn("proj", F.expr(proj)).withColumn(
-            "pos", F.row_number().over(wpos)
+        wall = Window.partitionBy("band", "bkt")
+        pos = (
+            members.join(base.select("id", "embedding"), "id")
+            .withColumn("proj", F.expr(proj))
+            .withColumn("pos", F.row_number().over(wpos))
+            .withColumn("maxpos", F.max("pos").over(wall))
         )
+        # Forward ring, clamped to the bucket's last position: without
+        # the clamp every member of every bucket emits `cap` candidate
+        # slots (a cap-fold inflation of the exploded table in small
+        # buckets); the last member would even emit a DESCENDING
+        # sequence. `when` gates the explode (NULL rows emit nothing).
         left = pos.select(
             "band",
             "bkt",
             F.col("id").alias("lid"),
             F.explode(
-                F.sequence(F.col("pos") + 1, F.col("pos") + F.lit(cap))
+                F.when(
+                    F.col("pos") < F.col("maxpos"),
+                    F.sequence(
+                        F.col("pos") + 1,
+                        F.least(F.col("pos") + F.lit(cap), F.col("maxpos")),
+                    ),
+                )
             ).alias("tpos"),
         )
         right = pos.select(
@@ -463,8 +519,9 @@ def knn_edges_ann(
         # THIRD of a 200k corpus), making the within-bucket self-join
         # quadratic exactly where the hash is least discriminative. The
         # bucket-size table is buckets-sized (tiny) and broadcasts.
-        # Opt-in so the default output (and its DuckDB oracle) is
-        # unchanged.
+        # DEFAULT-ON since round 6; the registered query's DuckDB oracle
+        # mirrors the hybrid exactly (queries/graph.py), so the capped
+        # semantics are oracle-checked, not just bounded.
         sizes = banded.groupBy("band", "bkt").agg(F.count("*").alias("__bsz"))
         sized = banded.join(F.broadcast(sizes), ["band", "bkt"])
         small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")

@@ -20,7 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.graph import bfs_hops, knn_edges, pagerank, triangle_counts
+from ..operators.graph import (
+    KNN_ANN_MAX_BUCKET,
+    KNN_ANN_RING_CAP,
+    bfs_hops,
+    knn_edges,
+    pagerank,
+    triangle_counts,
+)
 from ..operators.similarity import duck_dot, duck_norm
 from ..sources.catalog import load_table
 from .registry import query
@@ -138,11 +145,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges(spark, sf_dir).select("u", "v"))
 
 
-def _duck_ann_edges_sql(k: int = K_NN, n_bands: int = 4, band_bits: int = 4) -> str:
+def _duck_ann_edges_sql(
+    k: int = K_NN,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    ring_cap: int | None = None,
+) -> str:
     """DuckDB mirror of operators/graph.py knn_edges_ann: same
     deterministic hyperplanes (duck_hyperplane_sign ≡ the Spark sign
     expression, left-to-right fold), same banded candidate equi-join,
-    same exact-cosine per-node top-k and u<v symmetrization."""
+    same exact-cosine per-node top-k and u<v symmetrization.
+
+    With ``max_bucket``+``ring_cap`` the mirror reproduces the hybrid
+    skew posture bit-for-bit: buckets with <= max_bucket members keep
+    the exact within-bucket join; hot buckets rank members by the same
+    continuous per-band random projection (plane index band +
+    n_bands*band_bits — identical double fold in both engines) and pair
+    each member with the next ring_cap positions. The ring's BETWEEN
+    range join here is output-equivalent to Spark's clamped
+    explode+equi-join spelling (positions past the bucket end simply
+    never match)."""
     from ..operators.similarity import duck_hyperplane_sign
 
     def band_bucket(band: int) -> str:
@@ -153,16 +176,41 @@ def _duck_ann_edges_sql(k: int = K_NN, n_bands: int = 4, band_bits: int = 4) -> 
         )
 
     banded = " UNION ALL ".join(
-        f"SELECT id, {band} AS band, {band_bucket(band)} AS bkt FROM valid"
+        f"SELECT id, {band} AS band, {band_bucket(band)} AS bkt, "
+        f"{duck_hyperplane_sign(band + n_bands * band_bits, 'embedding')} AS proj "
+        "FROM valid"
         for band in range(n_bands)
     )
+    if max_bucket is not None and ring_cap is not None:
+        cand = (
+            "sized AS (SELECT id, band, bkt, proj, "
+            "COUNT(*) OVER (PARTITION BY band, bkt) AS bsz FROM banded), "
+            "small_pairs AS (SELECT a.id AS ida, b.id AS idb FROM sized a "
+            "JOIN sized b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id "
+            f"WHERE a.bsz <= {max_bucket}), "
+            "pos AS (SELECT id, band, bkt, row_number() OVER "
+            "(PARTITION BY band, bkt ORDER BY proj, id) AS pos "
+            f"FROM sized WHERE bsz > {max_bucket}), "
+            "ring_pairs AS (SELECT least(l.id, r.id) AS ida, "
+            "greatest(l.id, r.id) AS idb FROM pos l JOIN pos r "
+            "ON l.band = r.band AND l.bkt = r.bkt "
+            f"AND r.pos > l.pos AND r.pos <= l.pos + {ring_cap}), "
+            "cand AS (SELECT DISTINCT ida, idb FROM "
+            "(SELECT * FROM small_pairs UNION ALL SELECT * FROM ring_pairs)), "
+        )
+    elif max_bucket is None and ring_cap is None:
+        cand = (
+            "cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb FROM banded a "
+            "JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id), "
+        )
+    else:
+        raise ValueError("mirror supports hybrid (both caps) or uncapped (neither)")
     return (
         "WITH base AS (SELECT vec_id AS id, embedding, "
         f"{duck_norm('embedding')} AS nrm FROM embeddings), "
         "valid AS (SELECT * FROM base WHERE nrm > 0), "
         f"banded AS ({banded}), "
-        "cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb FROM banded a "
-        "JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id), "
+        f"{cand}"
         "scored AS (SELECT ida, idb, "
         f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
         "FROM cand JOIN valid va ON va.id = cand.ida "
@@ -178,12 +226,22 @@ def _duck_ann_edges_sql(k: int = K_NN, n_bands: int = 4, band_bits: int = 4) -> 
 
 @query(
     "knn_graph_edges_ann",
-    oracle=_duck_ann_edges_sql(),
+    # Mirrors the DEFAULT call exactly: auto band_bits resolves to 4 for
+    # every test corpus (n <= 4096 -> max(4, ceil(log2(n/256))) = 4; the
+    # embeddings table is 500/500/2000 rows at sf0.001/0.01/0.1), and the
+    # default hybrid caps are mirrored bit-for-bit — at sf0.1 the 725-
+    # member hot bucket actually engages the ring, so this oracle checks
+    # the capped semantics, not just the exact join.
+    oracle=_duck_ann_edges_sql(
+        max_bucket=KNN_ANN_MAX_BUCKET, ring_cap=KNN_ANN_RING_CAP
+    ),
     doc=(
         "Scale-path kNN graph build: banded SRP candidates equi-join on "
         "(band, bucket) with no corpus broadcast, embeddings join back "
         "by id, exact cosines rank per node — same u<v edge contract as "
-        "knn_graph_edges with sub-quadratic candidate generation."
+        "knn_graph_edges with sub-quadratic candidate generation. "
+        "Round 6: the hybrid skew posture (max_bucket + ring_cap) and "
+        "auto band_bits are the DEFAULT; the oracle mirrors the hybrid."
     ),
 )
 def knn_graph_edges_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,3 +249,24 @@ def knn_graph_edges_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_edges_ann(emb, k=K_NN)
+
+
+@query(
+    "knn_graph_edges_ann_capped",
+    # Caps chosen to ENGAGE at the driver's sf0.01 gate (max bucket there
+    # is 192 > 64): this row proves the ring-hybrid candidate path itself
+    # — projection sort, position ring, least/greatest symmetrization —
+    # hash-exact against the DuckDB mirror, at every test SF.
+    oracle=_duck_ann_edges_sql(max_bucket=64, ring_cap=32),
+    doc=(
+        "Ring-hybrid kNN graph build with caps small enough to engage on "
+        "the gate corpus: exact join inside sane (band, bucket) cells, "
+        "continuous-projection ring sampling inside hot ones — the "
+        "bounded posture the 100-TB call relies on, oracle-checked."
+    ),
+)
+def knn_graph_edges_ann_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import knn_edges_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_edges_ann(emb, k=K_NN, band_bits=4, max_bucket=64, ring_cap=32)

@@ -200,7 +200,9 @@ def test_knn_ann_ring_cap(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     n = emb.count()
     a = sorted(map(tuple, knn_edges_ann(emb, k=3).collect()))
-    b = sorted(map(tuple, knn_edges_ann(emb, k=3, ring_cap=n).collect()))
+    b = sorted(
+        map(tuple, knn_edges_ann(emb, k=3, max_bucket=None, ring_cap=n).collect())
+    )
     assert a == b and len(a) > 0
 
     # HYBRID (max_bucket + ring_cap): exact join inside sane buckets,
@@ -214,7 +216,7 @@ def test_knn_ann_ring_cap(spark):
     exact = {(r["u"], r["v"]) for r in knn_edges(emb, k=3).collect()}
     skip = {
         (r["u"], r["v"])
-        for r in knn_edges_ann(emb, k=3, max_bucket=20).collect()
+        for r in knn_edges_ann(emb, k=3, max_bucket=20, ring_cap=None).collect()
     }
     hybrid = {
         (r["u"], r["v"])
@@ -243,3 +245,49 @@ def test_knn_ann_ring_cap(spark):
         .count()
     )
     assert nodes_with_dup == dup.count()
+
+
+def test_knn_ann_round6_defaults(spark):
+    """Round-6 posture: the zero-argument call IS the bounded hybrid.
+    (a) auto band_bits resolves to 4 on small corpora so the default
+    output equals the pre-round-6 uncapped build wherever no bucket
+    exceeds the default cap; (b) ring_cap < 1 is a loud error; (c) the
+    clamped ring emits no self-pairs and no candidates beyond the
+    bucket end (pure-ring identity already pins output; here we pin the
+    candidate-count bound on a tiny 2-member bucket shape)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.graph import (
+        derive_band_bits,
+        knn_edges_ann,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    assert derive_band_bits(100) == 4
+    assert derive_band_bits(4096) == 4
+    assert derive_band_bits(4097) == 5
+    assert derive_band_bits(200_000) == 10
+    assert derive_band_bits(200_000_000) == 20
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    defaults = sorted(map(tuple, knn_edges_ann(emb, k=3).collect()))
+    uncapped = sorted(
+        map(
+            tuple,
+            knn_edges_ann(
+                emb, k=3, band_bits=4, max_bucket=None, ring_cap=None
+            ).collect(),
+        )
+    )
+    assert defaults == uncapped and len(defaults) > 0
+
+    with pytest.raises(ValueError, match="ring_cap"):
+        knn_edges_ann(emb, k=3, max_bucket=None, ring_cap=0).collect()
+
+    # ring_cap=1 on a pure-ring build: each member pairs with at most
+    # its successor -> candidate pairs <= members per (band, bucket);
+    # before the clamp fix, the tpos==pos self-join row made ring_cap
+    # small values emit self-pairs. Edges must never contain u == v.
+    edges = knn_edges_ann(emb, k=3, max_bucket=None, ring_cap=1)
+    assert edges.filter(F.col("u") == F.col("v")).count() == 0
