@@ -187,34 +187,195 @@ def lsh_bucket_topk(
     )
 
 
+# Default skew posture for the embedding-dedup bucket join (round 6 —
+# same measured operating point as operators/graph.py knn_edges_ann).
+COSINE_DEDUP_MAX_BUCKET = 512
+COSINE_DEDUP_RING_CAP = 128
+
+
 def cosine_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = COSINE_DEDUP_MAX_BUCKET,
+    ring_cap: int | None = COSINE_DEDUP_RING_CAP,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos_sim >= threshold)
     within LSH buckets — the scale path: candidate generation is a bucket
-    equi-join, never an all-pairs cross product."""
-    v = corpus.select(
+    equi-join, never an all-pairs cross product.
+
+    Round-6 hardening (the knn_edges_ann / minhash lessons, applied):
+
+    * ``collapse_identical`` (default on): bit-identical vectors collapse
+      to a min-id representative FIRST (one hash window — arrays leave
+      the plan right after). The bucket join runs over distinct vectors
+      only; member pairs expand back afterwards (intra-group pairs get
+      the rep's self-cosine — the same double the naive path computes,
+      since cos(v, v) is one value per vector — and cross-group pairs
+      inherit the rep-pair cosine, exact because members equal reps).
+      Output is identical to the naive path; the quadratic verify cost
+      now depends on DISTINCT vectors, not raw rows — the shape that
+      melted the 100x duplicate-replicated corpus (SCALE_r5.md).
+    * Candidates are (id, bucket) only; embeddings join back BY ID after
+      pair generation, so the 64-float arrays never ride the bucket-join
+      shuffle (previously a.v/b.v shipped through it).
+    * ``max_bucket`` + ``ring_cap`` (DEFAULT-ON): buckets up to
+      max_bucket distinct vectors keep the exact within-bucket join;
+      hotter buckets rank members by a continuous random projection
+      (plane index LSH_PLANES — the first plane the bucket hash doesn't
+      use) and pair each member with the next ring_cap positions —
+      candidate output linear in bucket size. Near-identical vectors
+      project near-identically and sort adjacent, so duplicate recall in
+      hot buckets survives the sampling (measured 1.000 in SCALE_r5.md's
+      hybrid row); genuinely diverse hot buckets are sampled, as with
+      any LSH recall/cost trade. Pass ``None`` for both to get the
+      uncapped quadratic join (identical output whenever no bucket
+      exceeds the cap — the registered oracle relies on this at test
+      scale).
+    """
+    base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.expr(norm_sql(vec_col)).alias("nrm"),
-        F.expr(bucket_sql(vec_col)).alias("bucket"),
         # zero-norm vectors: cosine undefined, engines disagree on 0/0
     ).filter(F.col("nrm") > 0)
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        (
-            F.expr(dot_sql("a.v", "b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-        ).alias("cos_sim"),
+
+    if collapse_identical:
+        mem = base.withColumn(
+            "rep_id", F.min("id").over(Window.partitionBy("v"))
+        )
+        mem_ids = mem.select("id", "rep_id").cache()
+        reps = mem.filter(F.col("id") == F.col("rep_id")).select(
+            "id", "v", "nrm"
+        )
+    else:
+        reps = base
+
+    bucketed = reps.select(
+        "id", F.expr(bucket_sql("v")).alias("bucket")
     )
-    return pairs.filter(F.col("cos_sim") >= threshold)
+
+    def exact_pairs(members: DataFrame) -> DataFrame:
+        a, b = members.alias("a"), members.alias("b")
+        return a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    def ring_pairs(members: DataFrame, cap: int) -> DataFrame:
+        if cap < 1:
+            raise ValueError(f"ring_cap must be >= 1, got {cap}")
+        wpos = Window.partitionBy("bucket").orderBy("proj", "id")
+        wall = Window.partitionBy("bucket")
+        pos = (
+            members.join(reps.select("id", "v"), "id")
+            .withColumn("proj", F.expr(hyperplane_sign_sql(LSH_PLANES, "v")))
+            .withColumn("pos", F.row_number().over(wpos))
+            .withColumn("maxpos", F.max("pos").over(wall))
+        )
+        left = pos.select(
+            "bucket",
+            F.col("id").alias("lid"),
+            F.explode(
+                F.when(
+                    F.col("pos") < F.col("maxpos"),
+                    F.sequence(
+                        F.col("pos") + 1,
+                        F.least(F.col("pos") + F.lit(cap), F.col("maxpos")),
+                    ),
+                )
+            ).alias("tpos"),
+        )
+        right = pos.select(
+            "bucket", F.col("id").alias("rid"), F.col("pos").alias("tpos")
+        )
+        return left.join(right, ["bucket", "tpos"]).select(
+            F.least("lid", "rid").alias("id_a"),
+            F.greatest("lid", "rid").alias("id_b"),
+        )
+
+    if max_bucket is not None and ring_cap is not None:
+        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("__bsz"))
+        sized = bucketed.join(F.broadcast(sizes), "bucket")
+        small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+        hot = sized.filter(F.col("__bsz") > max_bucket).drop("__bsz")
+        cand = exact_pairs(small).unionByName(ring_pairs(hot, ring_cap))
+    elif max_bucket is None and ring_cap is None:
+        cand = exact_pairs(bucketed)
+    else:
+        raise ValueError(
+            "cosine_dedup_pairs: pass max_bucket AND ring_cap (hybrid) or "
+            "neither (uncapped); skip-only mode drops duplicates silently"
+        )
+    # No distinct needed: each vector lives in exactly ONE bucket (single
+    # 16-plane hash, unlike the banded knn join), and a bucket is either
+    # small or hot, never both.
+
+    va = reps.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = reps.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    rep_pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+    if not collapse_identical:
+        return rep_pairs.select("id_a", "id_b", "cos_sim")
+
+    # Intra-group: every member pair of an identical-vector group carries
+    # the rep's SELF-cosine — computed with the same dot/norm expressions
+    # the naive path would apply to the (equal) member vectors, so the
+    # double matches bit-for-bit (it is ~1.0 but not the literal 1.0:
+    # dot(v,v) != sqrt(dot)^2 in IEEE). The threshold filter is applied
+    # for strict semantic equality with the naive path.
+    self_cos = reps.select(
+        F.col("id").alias("rep_id"),
+        (
+            F.expr(dot_sql("v", "v")) / (F.col("nrm") * F.col("nrm"))
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    x, y = mem_ids.alias("x"), mem_ids.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .join(self_cos.alias("s"), F.col("x.rep_id") == F.col("s.rep_id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # Cross-group: cos(a, b) for identical-vector members equals the
+    # rep-pair cosine; expand each rep pair to the member cross product.
+    ma = mem_ids.select(F.col("rep_id").alias("id_a"), F.col("id").alias("m_a"))
+    mb = mem_ids.select(F.col("rep_id").alias("id_b"), F.col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # =========================================================================

@@ -178,8 +178,74 @@ WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.9
     ),
 )
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Default call = round-6 bounded posture (collapse-identical +
+    # max_bucket/ring_cap hybrid). The oracle above stays the simple
+    # quadratic spelling because at every test SF no 16-plane bucket
+    # exceeds the 512 default cap (max 191 at sf0.1) and the embeddings
+    # tables contain no bit-identical vectors, so the bounded build's
+    # output is IDENTICAL to the naive one (pinned in
+    # tests/test_similarity.py on corpora where neither holds).
+    return cosine_dedup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def _duck_cosine_dedup_capped_sql(
+    threshold: float, max_bucket: int, ring_cap: int
+) -> str:
+    """DuckDB mirror of the hybrid cosine_dedup_pairs candidate path:
+    exact join inside buckets of <= max_bucket members, continuous-
+    projection ring (plane index LSH_PLANES, row_number ordered by
+    (proj, id)) inside hot ones. No collapse CTE: the embeddings tables
+    hold no bit-identical vectors at any SF (verified), so rep == row —
+    collapse equivalence on duplicate-bearing corpora is pinned Spark-
+    side in tests/test_similarity.py."""
+    from ..operators.similarity import LSH_PLANES, duck_hyperplane_sign
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id AS id, embedding AS v, {duck_norm('embedding')} AS nrm,
+         {duck_bucket('embedding')} AS bucket
+  FROM embeddings
+  WHERE {duck_norm('embedding')} > 0
+), sized AS (
+  SELECT id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM vecs
+), small_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM sized a
+  JOIN sized b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE a.bsz <= {max_bucket}
+), pos AS (
+  SELECT id, bucket, row_number() OVER (
+    PARTITION BY bucket ORDER BY {duck_hyperplane_sign(LSH_PLANES, 'v')}, id
+  ) AS pos
+  FROM sized WHERE bsz > {max_bucket}
+), ring_pairs AS (
+  SELECT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b
+  FROM pos l JOIN pos r ON l.bucket = r.bucket
+   AND r.pos > l.pos AND r.pos <= l.pos + {ring_cap}
+), cand AS (
+  SELECT id_a, id_b FROM small_pairs UNION ALL SELECT id_a, id_b FROM ring_pairs
+)
+SELECT cand.id_a, cand.id_b,
+       {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
+FROM cand JOIN vecs a ON a.id = cand.id_a JOIN vecs b ON b.id = cand.id_b
+WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {threshold}
+"""
+
+
+@query(
+    "embedding_dedup_capped",
+    # max_bucket=16 < the 49-member sf0.01 hot bucket: the ring path
+    # actually runs at the driver's gate, hash-exact vs the mirror.
+    oracle=_duck_cosine_dedup_capped_sql(0.9, max_bucket=16, ring_cap=8),
+    doc=(
+        "Embedding near-dup pairs under the bounded hybrid posture with "
+        "caps small enough to engage at gate scale: candidate output in "
+        "a hot bucket is linear (members x ring_cap), embeddings join "
+        "back by id — the 100-TB-safe spelling, oracle-checked."
+    ),
+)
+def embedding_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_dedup_pairs(emb, threshold=0.9)
+    return cosine_dedup_pairs(emb, threshold=0.9, max_bucket=16, ring_cap=8)
 
 
 @query(
