@@ -383,14 +383,28 @@ def _real_codecs_available() -> dict[str, bool]:
     Checked on the DRIVER so the plan (and output schema) is decided
     before any task launches; executors in a well-formed cluster share the
     driver's Python environment, so the probe result holds there too.
+
+    ``image`` has two backends: pillow when importable, else the vendored
+    pure-Python PPM/PNG decoder (``_vendor/pycodec`` — stdlib-only, so it
+    is importable wherever this package is; ``image_backend`` records
+    which one won). Real-codec mode is therefore always AVAILABLE for
+    images; it stays opt-in via SPARK_GRAFT_REAL_CODECS.
     """
-    avail = {}
-    for key, mod in (("image", "PIL.Image"), ("audio", "soundfile")):
+    avail: dict[str, bool] = {}
+    try:
+        __import__("PIL.Image")
+        avail["image"], avail["image_backend"] = True, "pil"
+    except Exception:
         try:
-            __import__(mod)
-            avail[key] = True
+            __import__("event_data_etl_gcs_spark._vendor.pycodec")
+            avail["image"], avail["image_backend"] = True, "pycodec"
         except Exception:
-            avail[key] = False
+            avail["image"], avail["image_backend"] = False, None
+    try:
+        __import__("soundfile")
+        avail["audio"] = True
+    except Exception:
+        avail["audio"] = False
     return avail
 
 
@@ -407,11 +421,15 @@ def decode_real(media: DataFrame, strict: bool = False) -> DataFrame:
     deterministic stub — same DECODED_SCHEMA either way, so downstream
     plans are identical and swapping the codec never replans the job.
 
-    Dispatch: opt-in via ``SPARK_GRAFT_REAL_CODECS=1`` AND pillow
-    importable → PIL-backed image decode (width/height/channel means as
-    the feature head, stub moments for the rest). Otherwise falls back to
-    ``decode_stub`` — or raises if ``strict=True`` (for callers that must
-    not silently ship fake features, e.g. a production embed stage).
+    Dispatch: opt-in via ``SPARK_GRAFT_REAL_CODECS=1`` → real image
+    decode (width/height/channel means as the feature head, stub moments
+    for the rest), backed by pillow when importable, else the vendored
+    pure-Python PPM/PNG decoder (``_vendor/pycodec``: actual zlib
+    inflate + scanline unfiltering — real pixels, not fakes, and always
+    importable since it is stdlib-only). With the env flag unset, falls
+    back to ``decode_stub`` — or raises if ``strict=True`` (for callers
+    that must not silently ship fake features, e.g. a production embed
+    stage).
 
     The Spark-side shape is the integration contract: Arrow-batched
     ``mapInPandas``, map-only, schema-stable. Wiring in torchaudio/ffmpeg
@@ -421,16 +439,29 @@ def decode_real(media: DataFrame, strict: bool = False) -> DataFrame:
     if not use_real:
         if strict:
             raise NotImplementedError(
-                "real media codecs unavailable (set SPARK_GRAFT_REAL_CODECS=1 "
-                "with pillow/soundfile installed); decode_stub is the "
-                "plumbing-equivalent fallback"
+                "real media codecs not enabled (set SPARK_GRAFT_REAL_CODECS=1; "
+                "pillow is used when importable, else the vendored pure-"
+                "Python PPM/PNG decoder); decode_stub is the plumbing-"
+                "equivalent fallback"
             )
         return decode_stub(media)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        try:
+            from PIL import Image
+
+            def _open_rgb(b: bytes):
+                img = Image.open(io.BytesIO(b)).convert("RGB")
+                w, h = img.size
+                return w, h, list(img.getdata())
+
+        except Exception:
+            from event_data_etl_gcs_spark._vendor.pycodec import open_image
+
+            def _open_rgb(b: bytes):
+                return open_image(b)
 
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "mime", "n_bytes", "sha256", "features")}
@@ -446,9 +477,7 @@ def decode_real(media: DataFrame, strict: bool = False) -> DataFrame:
                 rows["n_bytes"].append(len(b))
                 rows["sha256"].append(hashlib.sha256(b).hexdigest())
                 try:
-                    img = Image.open(io.BytesIO(b)).convert("RGB")
-                    w, h = img.size
-                    px = list(img.getdata())
+                    w, h, px = _open_rgb(b)
                     n = max(len(px), 1)
                     means = [sum(p[c] for p in px) / n for c in range(3)]
                     rows["features"].append(
