@@ -190,6 +190,39 @@ def write_zordered(
     out.write.mode(mode).parquet(path)
 
 
+def _vacated_partition_dirs(
+    table_dir: str, partition_col: str, parts: list
+) -> list[str]:
+    """On-disk hive directories for the given partition VALUES, resolved
+    by listing and unescaping actual directory names rather than
+    rebuilding them with an f-string: Spark %-escapes special characters
+    in partition paths (ExternalCatalogUtils.escapePathName) and renders
+    null as __HIVE_DEFAULT_PARTITION__, so a raw ``col=value`` string
+    misses those directories, leaving stale rows that resurface on the
+    next read. Matching on the DECODED value sidesteps the escaping
+    table entirely."""
+    from urllib.parse import unquote
+
+    prefix = partition_col + "="
+    try:
+        entries = os.listdir(table_dir)
+    except FileNotFoundError:
+        return []
+    by_value: dict[str | None, str] = {}
+    for e in entries:
+        if not e.startswith(prefix):
+            continue
+        raw = e[len(prefix):]
+        val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+        by_value[val] = os.path.join(table_dir, e)
+    out = []
+    for p in parts:
+        key = None if p is None else str(p)
+        if key in by_value:
+            out.append(by_value[key])
+    return out
+
+
 def delete_where(
     spark,
     table_dir: str,
@@ -232,12 +265,9 @@ def delete_where(
     # replaced (session.py pins partitionOverwriteMode=dynamic)
     if survivors:
         keep.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
-    for part in affected:
-        if part not in survivors:
-            shutil.rmtree(
-                os.path.join(table_dir, f"{partition_col}={part}"),
-                ignore_errors=True,
-            )
+    vacated = [p for p in affected if p not in survivors]
+    for d in _vacated_partition_dirs(table_dir, partition_col, vacated):
+        shutil.rmtree(d, ignore_errors=True)
     return n_before - n_after
 
 
@@ -262,9 +292,22 @@ def merge_into(
     the old and new partition are in the affected set. Untouched
     partitions' files are never read or rewritten.
 
+    The source is eagerly localCheckpointed at entry: a lazy source
+    derived from the TARGET table (the typical MERGE shape) would
+    otherwise be re-executed against the rewritten table by the write
+    and the post-write counts — a read-overwrite hazard that silently
+    corrupts both the merge and the returned numbers.
+
+    ``validate_source_keys`` also validates that the AFFECTED target
+    partitions are key-unique: with duplicate target keys, "rows
+    updated" is ill-defined (one source row replaces several target
+    rows) and n_inserted could go negative.
+
     Returns (n_updated, n_inserted)."""
     from pyspark.sql import functions as F
 
+    source = source.localCheckpoint(eager=True)
+    n_source = source.count()
     if validate_source_keys:
         dup = (
             source.groupBy(*key_cols)
@@ -294,6 +337,20 @@ def merge_into(
     if not affected:
         return (0, 0)
     sub = target.filter(F.col(partition_col).isin(affected))
+    if validate_source_keys:
+        tdup = (
+            sub.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if tdup:
+            raise ValueError(
+                "merge_into target has duplicate keys in an affected "
+                "partition: updated/inserted counts would be ill-defined; "
+                "dedupe the target or merge on a unique key"
+            )
     n_updated = sub.join(source.select(*key_cols), key_cols, "left_semi").count()
     kept = sub.join(source.select(*key_cols), key_cols, "left_anti")
     out = kept.unionByName(source.select(*target.columns))
@@ -304,13 +361,13 @@ def merge_into(
     survivors = {r[0] for r in out.select(partition_col).distinct().collect()}
     if survivors:
         out.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
-    for part in affected:
-        if part not in survivors:
-            shutil.rmtree(
-                os.path.join(table_dir, f"{partition_col}={part}"),
-                ignore_errors=True,
-            )
-    return (n_updated, source.count() - n_updated)
+    vacated = [p for p in affected if p not in survivors]
+    for d in _vacated_partition_dirs(table_dir, partition_col, vacated):
+        shutil.rmtree(d, ignore_errors=True)
+    # n_source was counted from the checkpointed source BEFORE the write:
+    # a lazy count here would re-scan the rewritten table for
+    # target-derived sources and return garbage.
+    return (n_updated, n_source - n_updated)
 
 
 def update_where(

@@ -346,4 +346,9 @@ def read_hdr_quantiles(
     state = read_state(
         spark, state_dir, "day TIMESTAMP, bin BIGINT, cnt BIGINT, batch_id BIGINT"
     )
+    if state is None:
+        raise FileNotFoundError(
+            f"no committed HDR sketch state in {state_dir!r}: run "
+            "run_streaming_hdr_maintenance over at least one batch first"
+        )
     return merged_quantiles(state.select("bin", "cnt"), probs)

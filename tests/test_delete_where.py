@@ -191,3 +191,74 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     dup = ev.filter("day = 3").limit(1)
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_into(spark, d, dup.unionByName(dup), ["event_id"], "day")
+
+
+def test_delete_vacated_partition_with_escaped_name(spark, tmp_path):
+    """ADVICE r5: partition values Spark hive-escapes on disk (here
+    'a:b' -> 'day=a%3Ab') must still be removed when fully vacated —
+    the raw f-string path missed them, leaving stale rows that
+    resurface on the next read."""
+    d = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, "plain")], "id long, day string"
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(d)
+    assert os.path.isdir(os.path.join(d, "day=a%3Ab"))
+
+    deleted = delete_where(spark, d, "day = 'a:b'", "day")
+    assert deleted == 2
+    assert not os.path.isdir(os.path.join(d, "day=a%3Ab"))
+    back = spark.read.parquet(d)
+    assert [r["id"] for r in back.collect()] == [3]
+
+
+def test_merge_counts_with_target_derived_lazy_source(spark, tmp_path):
+    """ADVICE r5: a source LAZILY derived from the target (the typical
+    MERGE shape) must yield correct counts — before the fix, n_inserted
+    re-executed the source against the REWRITTEN table."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    d = str(tmp_path / "lazy_merge")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")],
+        "event_id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+
+    # source = target rows with val >= 20, bumped, plus one new key —
+    # built FROM the live table read, not a materialized frame
+    tgt = spark.read.parquet(d)
+    src = tgt.filter("val >= 20").withColumn(
+        "val", F.col("val") + 100
+    ).unionByName(
+        spark.createDataFrame([(9, 999, "c")], "event_id long, val long, day string")
+    )
+    n_upd, n_ins = merge_into(spark, d, src, ["event_id"], "day")
+    assert (n_upd, n_ins) == (2, 1)
+    back = {r["event_id"]: r["val"] for r in spark.read.parquet(d).collect()}
+    assert back == {1: 10, 2: 120, 3: 130, 9: 999}
+
+
+def test_merge_rejects_duplicate_target_keys(spark, tmp_path):
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    import pytest
+
+    d = str(tmp_path / "dup_target")
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "a"), (2, 20, "b")],
+        "event_id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+    src = spark.createDataFrame(
+        [(1, 99, "a")], "event_id long, val long, day string"
+    )
+    with pytest.raises(ValueError, match="target has duplicate keys"):
+        merge_into(spark, d, src, ["event_id"], "day")
+
+
+def test_read_hdr_quantiles_before_any_commit_is_loud(spark, tmp_path):
+    import pytest
+
+    from event_data_etl_gcs_spark.streaming.sketches import read_hdr_quantiles
+
+    with pytest.raises(FileNotFoundError, match="no committed HDR sketch"):
+        read_hdr_quantiles(spark, str(tmp_path / "never_ran"))
