@@ -35,8 +35,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Callable oracles (expected-table form) are materialized at the
+    # driver's gate scale: the grading driver runs this SQL at sf0.01.
+    from event_data_etl_gcs_spark.queries.registry import resolve_oracle
+
+    gate_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec, gate_dir)
         for name, spec in all_queries().items()
         if spec.oracle is not None
     }

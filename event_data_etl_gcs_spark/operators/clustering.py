@@ -51,6 +51,39 @@ def duck_sqdist(a: str, b: str) -> str:
     )
 
 
+# Round-6 portability device for ITERATED trainers (kmeans_iterate,
+# train_ivf_centroids, train_codebook): component means over a group via
+# POWER-OF-TWO integer quantization. q = floor(v * 2^20 + 0.5) is
+# bit-portable (the multiply only shifts the exponent — exact in IEEE;
+# +0.5 and floor are exact at these magnitudes; floor(x+0.5) is the
+# round-half-up spelling both engines agree on, unlike round()), the
+# int64 SUM is exact in ANY order — partitioning-independent with the
+# same shuffle shape as a plain avg, none of the order-pinned fold's
+# collect_list memory — and the final double division is one correctly-
+# rounded IEEE op. Decimal(28,12) sums (the previous device) were
+# partitioning-independent but NOT cross-engine portable: DuckDB rounds
+# double->decimal half-way values differently than Java BigDecimal
+# (measured: 6 of 192k embedding components disagree). Quantization
+# error vs the true mean is < 2^-21 per component — noise relative to
+# k-means convergence tolerance.
+QMEAN_SCALE = float(1 << 20)
+
+
+def quantized_mean(val) -> "F.Column":
+    """Aggregate expression: quantized component mean of ``val`` (see
+    QMEAN_SCALE note). Use inside groupBy().agg()."""
+    q = F.floor(val.cast("double") * F.lit(QMEAN_SCALE) + F.lit(0.5)).cast("long")
+    return F.sum(q).cast("double") / (F.lit(QMEAN_SCALE) * F.count("*"))
+
+
+def duck_quantized_mean(val: str) -> str:
+    """DuckDB mirror of :func:`quantized_mean` (aggregate expression)."""
+    return (
+        f"CAST(SUM(CAST(floor(CAST({val} AS DOUBLE) * {QMEAN_SCALE!r} + 0.5) "
+        f"AS BIGINT)) AS DOUBLE) / ({QMEAN_SCALE!r} * COUNT(*))"
+    )
+
+
 def initial_centroids(
     emb: DataFrame, k: int = K_CLUSTERS, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -129,12 +162,14 @@ def kmeans_iterate(
     """Full Lloyd iterations (fixed count) — the production path.
 
     Each round: broadcast current centroids, map-side assignment, one
-    groupBy recompute (plain avg — at scale the order pin is unnecessary
-    and the extra sort/collect would cost memory). Centroids come back to
-    the driver between rounds (k x dim doubles — tiny), exactly like
-    MLlib's implementation. Returns the final (vec_id, cluster_id,
-    sqdist) assignment. Rows-only check: float sums across partitions
-    make the interior iterations engine-unportable by construction.
+    groupBy recompute using the QUANTIZED component mean (see
+    QMEAN_SCALE: exact int64 sums — partitioning-independent AND
+    cross-engine portable at the same shuffle cost as a plain avg,
+    without the order-pinned fold's collect_list memory). Centroids come
+    back to the driver between rounds (k x dim doubles — tiny), exactly
+    like MLlib's implementation. Returns the final (vec_id, cluster_id,
+    sqdist) assignment — since round 6 oracle-exact (the DuckDB mirror
+    replays all iterations; queries/clustering.py).
     """
     spark = emb.sparkSession
     cent = initial_centroids(emb, k, id_col, vec_col)
@@ -147,7 +182,7 @@ def kmeans_iterate(
             .join(assign.select("vec_id", "cluster_id"), "vec_id")
             .select("cluster_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(quantized_mean(F.col("val")).alias("m"))
             .groupBy("cluster_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(

@@ -8,11 +8,11 @@ Spark-first + deterministic:
   * Training is driver-coordinated Lloyd iterations (the standard way —
     each iteration is one distributed assign + one grouped mean).
   * Initialization = first k vectors by id (pinned, no RNG).
-  * Cell means are computed with DECIMAL sums per (cell, dimension) —
-    bit-identical at any partitioning, so the index (and therefore query
-    results) is reproducible run-to-run. (No DuckDB oracle: float→decimal
-    casts aren't portable ACROSS engines — this op is rows-only checked,
-    plus a recall test against brute force.)
+  * Cell means are computed with QUANTIZED-INTEGER sums per (cell,
+    dimension) (operators/clustering.QMEAN_SCALE) — bit-identical at any
+    partitioning AND across engines, so the trained index has an exact
+    DuckDB oracle since round 6 (queries/similarity.ann_ivf_trained),
+    plus a recall test against brute force.
   * Assignment ties break toward the lower cell id.
 
 At 100 TB: centroids broadcast (k×dim doubles); assignment is map-only;
@@ -75,12 +75,15 @@ def train_ivf_centroids(
         exploded = assigned.select(
             "cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
         )
-        # decimal component sums -> partitioning-independent means
+        # quantized-integer component means: exact int64 sums ->
+        # partitioning-independent AND cross-engine portable (round 6 —
+        # the previous decimal(28,12) sums were only the former: DuckDB
+        # rounds double->decimal half-way values differently than Java
+        # BigDecimal). See operators/clustering.QMEAN_SCALE.
+        from .clustering import quantized_mean
+
         means = exploded.groupBy("cell", "dim").agg(
-            (
-                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
-                / F.count("*")
-            ).alias("m")
+            quantized_mean(F.col("v")).alias("m")
         )
         centroids = means.groupBy("cell").agg(
             F.transform(

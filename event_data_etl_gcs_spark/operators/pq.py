@@ -214,10 +214,15 @@ def train_codebook(
             .filter(F.col("__rn") == 1)
             .select("vec_id", "m", "c", "sv")
         )
+        from .clustering import quantized_mean
+
         new = (
             assign.select("m", "c", F.posexplode("sv").alias("pos", "val"))
             .groupBy("m", "c", "pos")
-            .agg(F.avg("val").alias("v"))
+            # quantized-integer mean (round 6): partitioning-independent
+            # AND cross-engine portable at plain-avg cost — the device
+            # that gives the trained codebook an exact DuckDB oracle
+            .agg(quantized_mean(F.col("val")).alias("v"))
             .groupBy("m", "c")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
             .select(

@@ -80,14 +80,63 @@ def kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_recompute(emb, assign)
 
 
+def _duck_kmeans_iterated_sql(k: int = K_CLUSTERS, n_iter: int = 5) -> str:
+    """Full relational replay of kmeans_iterate in DuckDB: per iteration,
+    one assignment CTE (same sqdist fold, ties to the lower cid) and one
+    quantized-mean recompute CTE (exact int64 sums — the round-6
+    portability device that made this oracle possible; see
+    operators/clustering.QMEAN_SCALE). State CTEs are MATERIALIZED:
+    DuckDB otherwise inlines the chain and re-scans exponentially."""
+    from ..operators.clustering import duck_quantized_mean
+
+    ctes = [
+        f"cent0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cvec "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k})"
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"d{it} AS (SELECT e.vec_id, c.cid, "
+            f"{duck_sqdist('e.embedding', 'c.cvec')} AS sqd "
+            f"FROM embeddings e CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, cid AS cluster_id FROM d{it} "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) = 1)"
+        )
+        # di, not i: duck lambda helpers capture an outer index named i
+        # (BUILDER_NOTES sharp edge)
+        ctes.append(
+            f"m{it} AS (SELECT a.cluster_id, r.di - 1 AS pos, "
+            f"{duck_quantized_mean('e.embedding[r.di]')} AS m "
+            f"FROM embeddings e JOIN a{it} a ON e.vec_id = a.vec_id, "
+            "unnest(range(1, len(e.embedding) + 1)) AS r(di) "
+            "GROUP BY a.cluster_id, r.di)"
+        )
+        ctes.append(
+            f"cent{it} AS MATERIALIZED (SELECT cluster_id AS cid, "
+            f"list_transform(list(m ORDER BY pos), x -> CAST(x AS REAL)) AS cvec "
+            f"FROM m{it} GROUP BY cluster_id)"
+        )
+    final = (
+        f"fd AS (SELECT e.vec_id, c.cid, "
+        f"{duck_sqdist('e.embedding', 'c.cvec')} AS sqdist "
+        f"FROM embeddings e CROSS JOIN cent{n_iter} c) "
+        "SELECT vec_id, cid AS cluster_id, sqdist FROM fd "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) = 1"
+    )
+    return "WITH " + ", ".join(ctes) + ", " + final
+
+
 @query(
     "kmeans_iterated",
-    oracle=None,  # float sums across partitions in the interior
-    # iterations are engine-unportable by construction; rows-only.
+    oracle=_duck_kmeans_iterated_sql(),
     doc=(
         "Fixed-count Lloyd iterations (5): broadcast centroids, map-side "
-        "assignment, plain-avg recompute, k x dim doubles back to the "
-        "driver per round — the MLlib-shaped production path."
+        "assignment, quantized-integer-mean recompute (exact int64 sums "
+        "— partitioning-independent AND cross-engine portable), k x dim "
+        "doubles back to the driver per round — the MLlib-shaped "
+        "production path, oracle-exact since round 6."
     ),
 )
 def kmeans_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,10 +500,82 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_pq_adc_trained_sql(n_iter: int = 3) -> str:
+    """Relational replay of train_codebook + encode + ADC: seed codebook
+    (K smallest-id vectors' subvectors), n_iter per-subspace Lloyd
+    iterations with quantized-integer means (the round-6 portability
+    device) and empty-cell keep-previous via LEFT JOIN + COALESCE, then
+    the same code/LUT/fold-in-subspace-order ADC as ann_pq_adc."""
+    from ..operators.clustering import duck_quantized_mean
+    from ..operators.pq import PQ_K, PQ_M, PQ_SUB
+
+    subexpr = f"embedding[(m * {PQ_SUB} + 1):(m * {PQ_SUB} + {PQ_SUB})]"
+    ctes = [
+        "seeds AS (SELECT vec_id, embedding, "
+        "CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c "
+        f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {PQ_K}))",
+        f"cb0 AS MATERIALIZED (SELECT m, c, {subexpr} AS cv "
+        f"FROM seeds, unnest(range({PQ_M})) AS t(m))",
+        f"sub AS MATERIALIZED (SELECT vec_id, m, {subexpr} AS sv "
+        f"FROM embeddings, unnest(range({PQ_M})) AS t(m))",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"cb{it - 1}"
+        ctes.append(
+            f"pd{it} AS (SELECT s.vec_id, s.m, b.c, "
+            f"{duck_sqdist('s.sv', 'b.cv')} AS d "
+            f"FROM sub s JOIN {prev} b ON s.m = b.m)"
+        )
+        ctes.append(
+            f"pa{it} AS MATERIALIZED (SELECT vec_id, m, c FROM pd{it} "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1)"
+        )
+        ctes.append(
+            f"pm{it} AS (SELECT a.m, a.c, r.di - 1 AS pos, "
+            f"{duck_quantized_mean('s.sv[r.di]')} AS v "
+            f"FROM sub s JOIN pa{it} a ON s.vec_id = a.vec_id AND s.m = a.m, "
+            "unnest(range(1, len(s.sv) + 1)) AS r(di) "
+            "GROUP BY a.m, a.c, r.di)"
+        )
+        ctes.append(
+            f"pn{it} AS (SELECT m, c, "
+            "list_transform(list(v ORDER BY pos), x -> CAST(x AS REAL)) AS cv "
+            f"FROM pm{it} GROUP BY m, c)"
+        )
+        # empty cells keep the previous centroid (standard practice,
+        # mirrored from operators/pq.train_codebook)
+        ctes.append(
+            f"cb{it} AS MATERIALIZED (SELECT p.m, p.c, COALESCE(n.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN pn{it} n ON p.m = n.m AND p.c = n.c)"
+        )
+    cb = f"cb{n_iter}"
+    tail = (
+        f"cand AS (SELECT s.vec_id, s.m, b.c, {duck_sqdist('s.sv', 'b.cv')} AS d "
+        f"FROM sub s JOIN {cb} b ON s.m = b.m), "
+        "codes AS MATERIALIZED (SELECT vec_id, m, c AS code FROM cand "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1), "
+        f"qsub AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub "
+        f"WHERE vec_id < {_PQ_N_QUERY}), "
+        "partial AS (SELECT qid, codes.vec_id AS vec_id, codes.m AS m, "
+        f"{duck_sqdist('qsv', 'cv')} AS p "
+        f"FROM codes JOIN {cb} ON {cb}.m = codes.m AND {cb}.c = codes.code "
+        "JOIN qsub ON qsub.m = codes.m WHERE qid <> codes.vec_id), "
+        "summed AS (SELECT qid AS query_id, vec_id AS neighbor_id, "
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY m)), "
+        "(acc, x) -> acc + x) AS adc_dist FROM partial GROUP BY 1, 2) "
+        "SELECT query_id, neighbor_id, adc_dist, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY adc_dist, neighbor_id) AS INTEGER) AS rank "
+        "FROM summed "
+        "QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY adc_dist, neighbor_id) <= {_PQ_TOP_K}"
+    )
+    return "WITH " + ", ".join(ctes) + ", " + tail
+
+
 @query(
     "ann_pq_adc_trained",
-    oracle=None,  # Lloyd-refined codebook: float avgs across partitions
-    # in training make the codebook engine-unportable; rows-only.
+    oracle=_duck_pq_adc_trained_sql(),
     doc=(
         "ADC search over a Lloyd-refined PQ codebook (3 per-subspace "
         "k-means iterations from the deterministic seeds) — the trained "

@@ -14,15 +14,27 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: SparkQuery
-    oracle: str | None  # ANSI SQL for DuckDB over the same tables; None = rows-only check
+    # ANSI SQL for DuckDB over the same tables; None = rows-only check.
+    # A CALLABLE oracle takes the sf_dir and returns the SQL — for
+    # expected-table oracles whose literals are precomputed from the
+    # input parquet by an independent implementation (e.g. direct zlib
+    # over document text). Use resolve_oracle() to materialize.
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
+
+
+def resolve_oracle(spec: "QuerySpec", sf_dir: str) -> str | None:
+    """Materialize a spec's oracle SQL for a given scale-factor dir."""
+    if spec.oracle is None:
+        return None
+    return spec.oracle(sf_dir) if callable(spec.oracle) else spec.oracle
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 _PRIORITY: list[str] = []
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def query(name: str, oracle: str | Callable[[str], str] | None = None, doc: str = ""):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: SparkQuery) -> SparkQuery:

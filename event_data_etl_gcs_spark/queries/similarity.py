@@ -138,15 +138,83 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivf_trained_sql(
+    k_cells: int = 8, iterations: int = 2, n_probe: int = 3, k: int = TOP_K
+) -> str:
+    """Relational replay of train_ivf_centroids + ivf_topk: pinned seed
+    cells (first k vectors, cell = 0..k-1), per-iteration assignment
+    (same sqdist fold, ties to the lower cell) + quantized-integer cell
+    means (operators/clustering.QMEAN_SCALE — the round-6 device that
+    made the trained index oracle-exact), then the inverted-file probe:
+    each query ranks cells by centroid distance, probes the n_probe
+    nearest, exact cosines rank within the probed cells."""
+    from ..operators.clustering import duck_quantized_mean, duck_sqdist
+
+    ctes = [
+        "cent0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
+        f"FROM embeddings ORDER BY vec_id LIMIT {k_cells})"
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"d{it} AS (SELECT e.vec_id, c.cell, "
+            f"{duck_sqdist('e.embedding', 'c.centroid')} AS sqd "
+            f"FROM embeddings e CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, cell FROM d{it} "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cell) = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT a.cell, r.di - 1 AS dim, "
+            f"{duck_quantized_mean('e.embedding[r.di]')} AS m "
+            f"FROM embeddings e JOIN a{it} a ON e.vec_id = a.vec_id, "
+            "unnest(range(1, len(e.embedding) + 1)) AS r(di) "
+            "GROUP BY a.cell, r.di)"
+        )
+        ctes.append(
+            f"cent{it} AS MATERIALIZED (SELECT cell, "
+            f"list(m ORDER BY dim) AS centroid FROM m{it} GROUP BY cell)"
+        )
+    cent = f"cent{iterations}"
+    probe = (
+        f"vd AS (SELECT e.vec_id, e.embedding, c.cell, "
+        f"{duck_sqdist('e.embedding', 'c.centroid')} AS sqd "
+        f"FROM embeddings e CROSS JOIN {cent} c), "
+        "inv AS MATERIALIZED (SELECT vec_id, embedding, cell, "
+        f"{duck_norm('embedding')} AS nrm FROM vd "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cell) = 1), "
+        "invv AS (SELECT * FROM inv WHERE nrm > 0), "
+        "qc AS (SELECT vec_id AS query_id, embedding AS qv, cell, "
+        f"{duck_norm('embedding')} AS qnrm FROM vd "
+        f"WHERE vec_id < {N_QUERY_VECS} "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cell) "
+        f"<= {n_probe}), "
+        "qcv AS (SELECT * FROM qc WHERE qnrm > 0), "
+        "scored AS (SELECT q.query_id, i.vec_id AS neighbor_id, "
+        f"{duck_dot('q.qv', 'i.embedding')} / (q.qnrm * i.nrm) AS cos_sim "
+        "FROM invv i JOIN qcv q ON i.cell = q.cell "
+        "AND i.vec_id <> q.query_id) "
+        "SELECT query_id, neighbor_id, cos_sim, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank "
+        "FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY cos_sim DESC, neighbor_id) <= {k}"
+    )
+    return "WITH " + ", ".join(ctes) + ", " + probe
+
+
 @query(
     "ann_ivf_trained",
-    oracle=None,  # float->decimal centroid means aren't engine-portable;
-    # determinism + recall are pinned in tests/test_ivf.py instead
+    oracle=_duck_ivf_trained_sql(),
     doc=(
-        "Trained IVF ANN: k-means-lite coarse centroids (deterministic "
-        "decimal-mean training, pinned init), corpus inverted by nearest "
-        "cell, queries probe the 3 nearest cells. The data-adaptive scale "
-        "path beyond the label-cell and LSH variants."
+        "Trained IVF ANN: k-means-lite coarse centroids (quantized-"
+        "integer-mean training, pinned init — oracle-exact since round "
+        "6), corpus inverted by nearest cell, queries probe the 3 "
+        "nearest cells. The data-adaptive scale path beyond the "
+        "label-cell and LSH variants."
     ),
 )
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -750,10 +750,37 @@ def code_switch_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compression_expected_sql(sf_dir: str) -> str:
+    """Expected-table oracle (round 6): DEFLATE has no SQL form, so the
+    expected (doc_id, n_bytes, n_compressed) triples are precomputed
+    with DIRECT zlib calls over the parquet text — no Spark, no Arrow
+    batch path, just the compressor the query's contract names — and
+    pinned as a VALUES literal. The ratio division stays in SQL so no
+    float literal rides the comparison (same IEEE operands → same
+    double in both engines)."""
+    import zlib
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    vals = []
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        vals.append(f"({doc_id},{len(raw)},{len(zlib.compress(raw, 6))})")
+    return (
+        "SELECT doc_id, n_bytes, n_compressed, "
+        "CASE WHEN n_bytes = 0 THEN CAST(1 AS DOUBLE) "
+        "ELSE CAST(n_compressed AS DOUBLE) / n_bytes END AS compression_ratio "
+        f"FROM (VALUES {','.join(vals)}) AS t(doc_id, n_bytes, n_compressed)"
+    )
+
+
 @query(
     "compression_ratio_quality",
-    oracle=None,  # DEFLATE has no SQL form; verified against direct
-    # zlib calls in tests/test_training_ops.py.
+    oracle=_compression_expected_sql,  # callable: materialized per sf_dir
+    # (byte-exactness vs direct zlib also pinned in tests/test_training_ops.py)
     doc=(
         "zlib compression ratio per document (Gopher/FineWeb quality "
         "signal): Arrow-batched mapInPandas, map-only — one of the few "

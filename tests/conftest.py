@@ -93,8 +93,10 @@ def assert_oracle_match(spark, duck, spec, sf_dir: str = SF_ORACLE) -> None:
             "cannot sort/hash it. Emit a scalar (array_join / flatten) in "
             "both the Spark query and the oracle."
         )
+    from event_data_etl_gcs_spark.queries.registry import resolve_oracle
+
     got = normalize(spark_df.toPandas())
-    want = normalize(duck.execute(spec.oracle).df())
+    want = normalize(duck.execute(resolve_oracle(spec, sf_dir)).df())
     assert list(got.columns) == list(want.columns), (
         f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
