@@ -320,78 +320,23 @@ def derive_band_bits(n: int, target_occupancy: int = KNN_ANN_TARGET_OCCUPANCY) -
     return max(4, math.ceil(math.log2(n / target_occupancy)))
 
 
-def knn_edges_ann(
-    vectors: DataFrame,
-    k: int = 3,
+def banded_srp_candidates(
+    base: DataFrame,
     n_bands: int = 4,
     band_bits: int | None = None,
     max_bucket: int | None = KNN_ANN_MAX_BUCKET,
     ring_cap: int | None = KNN_ANN_RING_CAP,
 ) -> DataFrame:
-    """The SCALE path for the kNN graph build: banded random-hyperplane
-    LSH candidate generation instead of the brute-force cross product.
-
-    Each vector hashes to ``n_bands`` band buckets (``band_bits``
-    deterministic hyperplane signs per band — same integer sign pattern
-    as operators/similarity.py); candidate pairs share at least one
-    band. Candidates self-join as an EQUI-join on (band, bucket) —
-    shuffle-partitioned, quadratic only within a bucket, NO broadcast of
-    the corpus — then embeddings join back BY ID (arrays never ride the
-    band shuffle; the minhash lesson), exact cosines rank per node, and
-    the per-node top-k symmetrizes to u<v edges exactly like
-    :func:`knn_edges`. Recall < 1 by construction (a true neighbor in
-    no shared band is missed); tests/test_graph.py measures it against
-    the exact builder.
-
-    ``band_bits=None`` (the default) derives the band width from a
-    corpus count: ``max(4, ceil(log2(n / 256)))`` — one eager count job
-    at build time, in exchange for bucket occupancy that stays ~constant
-    as the corpus grows (the log2 prescription SCALE_r5.md measured).
-    Pass an explicit int to pin the geometry (oracle-comparable runs).
-
-    Skew controls (DEFAULT-ON since round 6 — the 100-TB-safe call is
-    the zero-argument call; pass ``max_bucket=None, ring_cap=None`` to
-    get the uncapped build):
-
-    ``max_bucket`` alone — skip buckets larger than the cap entirely
-    (members keep their other bands). Blunt; loses all candidates from
-    the skipped band.
-
-    ``ring_cap`` alone — BOUNDED ring candidate generation everywhere:
-    members of each (band, bucket) are ranked by a deterministic hash
-    and each member pairs only with the next ``ring_cap`` positions.
-    The quadratic within-bucket self-join becomes a pure equi-join on
-    (band, bucket, position) whose output is <= members x ring_cap rows
-    — LINEAR in bucket size, and the blow-up never materializes (vs
-    max_bucket, which must first count the bucket it then throws away).
-    With ring_cap >= the largest bucket the output is IDENTICAL to the
-    uncapped build (tests pin this); below that it SAMPLES candidates
-    (hash order ~ random permutation), which measurably costs recall on
-    a diverse corpus — use the hybrid below instead.
-
-    ``max_bucket`` + ``ring_cap`` (the recommended skew posture) —
-    buckets within max_bucket keep the EXACT within-bucket join; buckets
-    above it are RING-SAMPLED instead of skipped. Exactness is preserved
-    everywhere except genuine hot buckets. Rings are ordered by a
-    continuous per-band random projection, which makes the sampling
-    LOSSLESS for the duplicate-concentration shape that creates hot
-    buckets in practice (the measured 100x corpus): exact/near copies
-    project (near-)identically, sort consecutively, and any ring cap >=
-    the copy-group size finds every duplicate pair. For a DIVERSE hot
-    bucket (clustered-but-distinct vectors) the ring is a partial
-    sample — measured here: no 1-D ordering localizes true kNN inside a
-    64-dim mega-bucket — so the first lever there is more band_bits
-    (~log2(n/target_occupancy)); the ring bounds the cost of whatever
-    skew remains. Always strictly better recall than skipping, at the
-    same bounded candidate count (<= members x ring_cap per bucket).
-    """
-    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD, dot_sql, norm_sql
+    """Distinct candidate pairs (ida < idb) from banded random-hyperplane
+    LSH over ``base`` (columns: id, embedding) — the shared candidate
+    engine behind :func:`knn_edges_ann` and (since round 6)
+    ``operators/similarity.cosine_dedup_pairs``. Hybrid skew controls
+    default-on; ``band_bits=None`` auto-derives from a count. See
+    :func:`knn_edges_ann` for the full semantics discussion."""
+    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD
 
     if band_bits is None:
-        # One count job at build time; the plan below is built against
-        # the derived geometry. Uses the raw row count (zero-norm rows
-        # are rare and only make buckets slightly roomier).
-        band_bits = derive_band_bits(vectors.count())
+        band_bits = derive_band_bits(base.count())
 
     def plane_bits_sql(planes: list[int]) -> str:
         bits = []
@@ -411,9 +356,7 @@ def knn_edges_ann(
         return " + ".join(bits)
 
     def band_bucket_sql(band: int) -> str:
-        return plane_bits_sql(
-            [band * band_bits + b for b in range(band_bits)]
-        )
+        return plane_bits_sql([band * band_bits + b for b in range(band_bits)])
 
     def plane_dot_sql(j_expr: str) -> str:
         # Raw (unsigned) projection onto the deterministic +/-1
@@ -430,11 +373,6 @@ def knn_edges_ann(
             "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
-    base = vectors.select(
-        F.col("vec_id").alias("id"),
-        "embedding",
-        F.expr(norm_sql("embedding")).alias("nrm"),
-    ).filter(F.col("nrm") > 0)
     banded = base.select(
         "id",
         F.explode(
@@ -449,6 +387,7 @@ def knn_edges_ann(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkt")
+
     def exact_pairs(members: DataFrame) -> DataFrame:
         a = members.alias("a")
         b = members.alias("b")
@@ -519,9 +458,9 @@ def knn_edges_ann(
         # THIRD of a 200k corpus), making the within-bucket self-join
         # quadratic exactly where the hash is least discriminative. The
         # bucket-size table is buckets-sized (tiny) and broadcasts.
-        # DEFAULT-ON since round 6; the registered query's DuckDB oracle
-        # mirrors the hybrid exactly (queries/graph.py), so the capped
-        # semantics are oracle-checked, not just bounded.
+        # DEFAULT-ON since round 6; the registered queries' DuckDB
+        # oracles mirror the hybrid exactly, so the capped semantics are
+        # oracle-checked, not just bounded.
         sizes = banded.groupBy("band", "bkt").agg(F.count("*").alias("__bsz"))
         sized = banded.join(F.broadcast(sizes), ["band", "bkt"])
         small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
@@ -529,16 +468,89 @@ def knn_edges_ann(
         if ring_cap is not None:
             # Hybrid: exact join inside sane buckets, ring-sample the
             # hot ones instead of dropping them.
-            cand = exact_pairs(small).unionByName(
+            return exact_pairs(small).unionByName(
                 ring_pairs(hot, ring_cap)
             ).distinct()
-        else:
-            # Skip hot buckets; members keep their other n_bands-1 bands.
-            cand = exact_pairs(small).distinct()
-    elif ring_cap is not None:
-        cand = ring_pairs(banded, ring_cap).distinct()
-    else:
-        cand = exact_pairs(banded).distinct()
+        # Skip hot buckets; members keep their other n_bands-1 bands.
+        return exact_pairs(small).distinct()
+    if ring_cap is not None:
+        return ring_pairs(banded, ring_cap).distinct()
+    return exact_pairs(banded).distinct()
+
+
+def knn_edges_ann(
+    vectors: DataFrame,
+    k: int = 3,
+    n_bands: int = 4,
+    band_bits: int | None = None,
+    max_bucket: int | None = KNN_ANN_MAX_BUCKET,
+    ring_cap: int | None = KNN_ANN_RING_CAP,
+) -> DataFrame:
+    """The SCALE path for the kNN graph build: banded random-hyperplane
+    LSH candidate generation instead of the brute-force cross product.
+
+    Each vector hashes to ``n_bands`` band buckets (``band_bits``
+    deterministic hyperplane signs per band — same integer sign pattern
+    as operators/similarity.py); candidate pairs share at least one
+    band. Candidates self-join as an EQUI-join on (band, bucket) —
+    shuffle-partitioned, quadratic only within a bucket, NO broadcast of
+    the corpus — then embeddings join back BY ID (arrays never ride the
+    band shuffle; the minhash lesson), exact cosines rank per node, and
+    the per-node top-k symmetrizes to u<v edges exactly like
+    :func:`knn_edges`. Recall < 1 by construction (a true neighbor in
+    no shared band is missed); tests/test_graph.py measures it against
+    the exact builder.
+
+    ``band_bits=None`` (the default) derives the band width from a
+    corpus count: ``max(4, ceil(log2(n / 256)))`` — one eager count job
+    at build time, in exchange for bucket occupancy that stays ~constant
+    as the corpus grows (the log2 prescription SCALE_r5.md measured).
+    Pass an explicit int to pin the geometry (oracle-comparable runs).
+
+    Skew controls (DEFAULT-ON since round 6 — the 100-TB-safe call is
+    the zero-argument call; pass ``max_bucket=None, ring_cap=None`` to
+    get the uncapped build):
+
+    ``max_bucket`` alone — skip buckets larger than the cap entirely
+    (members keep their other bands). Blunt; loses all candidates from
+    the skipped band.
+
+    ``ring_cap`` alone — BOUNDED ring candidate generation everywhere:
+    members of each (band, bucket) are ranked by a deterministic hash
+    and each member pairs only with the next ``ring_cap`` positions.
+    The quadratic within-bucket self-join becomes a pure equi-join on
+    (band, bucket, position) whose output is <= members x ring_cap rows
+    — LINEAR in bucket size, and the blow-up never materializes (vs
+    max_bucket, which must first count the bucket it then throws away).
+    With ring_cap >= the largest bucket the output is IDENTICAL to the
+    uncapped build (tests pin this); below that it SAMPLES candidates
+    (hash order ~ random permutation), which measurably costs recall on
+    a diverse corpus — use the hybrid below instead.
+
+    ``max_bucket`` + ``ring_cap`` (the recommended skew posture) —
+    buckets within max_bucket keep the EXACT within-bucket join; buckets
+    above it are RING-SAMPLED instead of skipped. Exactness is preserved
+    everywhere except genuine hot buckets. Rings are ordered by a
+    continuous per-band random projection, which makes the sampling
+    LOSSLESS for the duplicate-concentration shape that creates hot
+    buckets in practice (the measured 100x corpus): exact/near copies
+    project (near-)identically, sort consecutively, and any ring cap >=
+    the copy-group size finds every duplicate pair. For a DIVERSE hot
+    bucket (clustered-but-distinct vectors) the ring is a partial
+    sample — measured here: no 1-D ordering localizes true kNN inside a
+    64-dim mega-bucket — so the first lever there is more band_bits
+    (~log2(n/target_occupancy)); the ring bounds the cost of whatever
+    skew remains. Always strictly better recall than skipping, at the
+    same bounded candidate count (<= members x ring_cap per bucket).
+    """
+    from .similarity import dot_sql, norm_sql
+
+    base = vectors.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.expr(norm_sql("embedding")).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    cand = banded_srp_candidates(base, n_bands, band_bits, max_bucket, ring_cap)
     va = base.select(
         F.col("id").alias("ida"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),

@@ -198,43 +198,51 @@ def cosine_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = 4,
+    band_bits: int | None = None,
     max_bucket: int | None = COSINE_DEDUP_MAX_BUCKET,
     ring_cap: int | None = COSINE_DEDUP_RING_CAP,
     collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos_sim >= threshold)
-    within LSH buckets — the scale path: candidate generation is a bucket
-    equi-join, never an all-pairs cross product.
+    via BANDED random-hyperplane LSH candidates — the scale path:
+    candidate generation is a (band, bucket) equi-join, never an
+    all-pairs cross product.
 
     Round-6 hardening (the knn_edges_ann / minhash lessons, applied):
 
+    * Candidates come from the SAME banded engine as the ANN graph build
+      (operators/graph.banded_srp_candidates): ``n_bands`` bands of
+      ``band_bits`` planes (auto-derived from a corpus count by
+      default), hybrid ``max_bucket``+``ring_cap`` skew controls
+      DEFAULT-ON. Banding matters for RECALL, not just cost: a single
+      16-plane bucket hash keeps a cos=0.9 pair with probability ~0.08
+      (p_plane^16, p_plane = 1 - theta/pi ~ 0.857) and even a
+      cos=0.9999 pair only ~0.96 — measured 0.655 duplicate recall on
+      the 100x near-copy corpus. Four 4-bit bands keep a 0.9 pair with
+      ~0.95 and a near-1.0 pair with ~1-1e-9, and each band's ring has
+      a DIFFERENT projection ordering, so a hot-bucket pair missed in
+      one band's ring is caught in another's.
     * ``collapse_identical`` (default on): bit-identical vectors collapse
       to a min-id representative FIRST (one hash window — arrays leave
-      the plan right after). The bucket join runs over distinct vectors
-      only; member pairs expand back afterwards (intra-group pairs get
-      the rep's self-cosine — the same double the naive path computes,
-      since cos(v, v) is one value per vector — and cross-group pairs
-      inherit the rep-pair cosine, exact because members equal reps).
-      Output is identical to the naive path; the quadratic verify cost
-      now depends on DISTINCT vectors, not raw rows — the shape that
-      melted the 100x duplicate-replicated corpus (SCALE_r5.md).
-    * Candidates are (id, bucket) only; embeddings join back BY ID after
-      pair generation, so the 64-float arrays never ride the bucket-join
-      shuffle (previously a.v/b.v shipped through it).
-    * ``max_bucket`` + ``ring_cap`` (DEFAULT-ON): buckets up to
-      max_bucket distinct vectors keep the exact within-bucket join;
-      hotter buckets rank members by a continuous random projection
-      (plane index LSH_PLANES — the first plane the bucket hash doesn't
-      use) and pair each member with the next ring_cap positions —
-      candidate output linear in bucket size. Near-identical vectors
-      project near-identically and sort adjacent, so duplicate recall in
-      hot buckets survives the sampling (measured 1.000 in SCALE_r5.md's
-      hybrid row); genuinely diverse hot buckets are sampled, as with
-      any LSH recall/cost trade. Pass ``None`` for both to get the
-      uncapped quadratic join (identical output whenever no bucket
-      exceeds the cap — the registered oracle relies on this at test
-      scale).
+      the plan right after). Banding + verification run over distinct
+      vectors only; member pairs expand back afterwards (intra-group
+      pairs get the rep's self-cosine — the same double the naive path
+      computes, since cos(v, v) is one value per vector — and
+      cross-group pairs inherit the rep-pair cosine, exact because
+      members equal reps). Output is identical to the naive path; the
+      verify cost depends on DISTINCT vectors, not raw rows.
+    * Candidates are (id, band, bucket) only; embeddings join back BY ID
+      after pair generation, so the float arrays never ride the
+      bucket-join shuffle.
     """
+    from .graph import banded_srp_candidates
+
+    if (max_bucket is None) != (ring_cap is None):
+        raise ValueError(
+            "cosine_dedup_pairs: pass max_bucket AND ring_cap (hybrid) or "
+            "neither (uncapped); skip-only mode drops duplicates silently"
+        )
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -253,66 +261,13 @@ def cosine_dedup_pairs(
     else:
         reps = base
 
-    bucketed = reps.select(
-        "id", F.expr(bucket_sql("v")).alias("bucket")
-    )
-
-    def exact_pairs(members: DataFrame) -> DataFrame:
-        a, b = members.alias("a"), members.alias("b")
-        return a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-
-    def ring_pairs(members: DataFrame, cap: int) -> DataFrame:
-        if cap < 1:
-            raise ValueError(f"ring_cap must be >= 1, got {cap}")
-        wpos = Window.partitionBy("bucket").orderBy("proj", "id")
-        wall = Window.partitionBy("bucket")
-        pos = (
-            members.join(reps.select("id", "v"), "id")
-            .withColumn("proj", F.expr(hyperplane_sign_sql(LSH_PLANES, "v")))
-            .withColumn("pos", F.row_number().over(wpos))
-            .withColumn("maxpos", F.max("pos").over(wall))
-        )
-        left = pos.select(
-            "bucket",
-            F.col("id").alias("lid"),
-            F.explode(
-                F.when(
-                    F.col("pos") < F.col("maxpos"),
-                    F.sequence(
-                        F.col("pos") + 1,
-                        F.least(F.col("pos") + F.lit(cap), F.col("maxpos")),
-                    ),
-                )
-            ).alias("tpos"),
-        )
-        right = pos.select(
-            "bucket", F.col("id").alias("rid"), F.col("pos").alias("tpos")
-        )
-        return left.join(right, ["bucket", "tpos"]).select(
-            F.least("lid", "rid").alias("id_a"),
-            F.greatest("lid", "rid").alias("id_b"),
-        )
-
-    if max_bucket is not None and ring_cap is not None:
-        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("__bsz"))
-        sized = bucketed.join(F.broadcast(sizes), "bucket")
-        small = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
-        hot = sized.filter(F.col("__bsz") > max_bucket).drop("__bsz")
-        cand = exact_pairs(small).unionByName(ring_pairs(hot, ring_cap))
-    elif max_bucket is None and ring_cap is None:
-        cand = exact_pairs(bucketed)
-    else:
-        raise ValueError(
-            "cosine_dedup_pairs: pass max_bucket AND ring_cap (hybrid) or "
-            "neither (uncapped); skip-only mode drops duplicates silently"
-        )
-    # No distinct needed: each vector lives in exactly ONE bucket (single
-    # 16-plane hash, unlike the banded knn join), and a bucket is either
-    # small or hot, never both.
+    cand = banded_srp_candidates(
+        reps.select("id", F.col("v").alias("embedding")),
+        n_bands=n_bands,
+        band_bits=band_bits,
+        max_bucket=max_bucket,
+        ring_cap=ring_cap,
+    ).select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
 
     va = reps.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

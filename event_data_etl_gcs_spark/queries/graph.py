@@ -145,25 +145,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges(spark, sf_dir).select("u", "v"))
 
 
-def _duck_ann_edges_sql(
-    k: int = K_NN,
+def duck_banded_cand_ctes(
     n_bands: int = 4,
     band_bits: int = 4,
     max_bucket: int | None = None,
     ring_cap: int | None = None,
 ) -> str:
-    """DuckDB mirror of operators/graph.py knn_edges_ann: same
-    deterministic hyperplanes (duck_hyperplane_sign ≡ the Spark sign
-    expression, left-to-right fold), same banded candidate equi-join,
-    same exact-cosine per-node top-k and u<v symmetrization.
+    """CTE chain ``base, valid, banded, ..., cand`` mirroring
+    operators/graph.banded_srp_candidates over the embeddings table —
+    shared by the knn_graph_edges_ann and embedding_dedup oracles.
 
-    With ``max_bucket``+``ring_cap`` the mirror reproduces the hybrid
-    skew posture bit-for-bit: buckets with <= max_bucket members keep
-    the exact within-bucket join; hot buckets rank members by the same
-    continuous per-band random projection (plane index band +
-    n_bands*band_bits — identical double fold in both engines) and pair
-    each member with the next ring_cap positions. The ring's BETWEEN
-    range join here is output-equivalent to Spark's clamped
+    Same deterministic hyperplanes (duck_hyperplane_sign ≡ the Spark
+    sign expression, left-to-right fold), same banded candidate
+    equi-join. With ``max_bucket``+``ring_cap`` the mirror reproduces
+    the hybrid skew posture bit-for-bit: buckets with <= max_bucket
+    members keep the exact within-bucket join; hot buckets rank members
+    by the same continuous per-band random projection (plane index
+    band + n_bands*band_bits — identical double fold in both engines)
+    and pair each member with the next ring_cap positions. The ring's
+    BETWEEN range join here is output-equivalent to Spark's clamped
     explode+equi-join spelling (positions past the bucket end simply
     never match)."""
     from ..operators.similarity import duck_hyperplane_sign
@@ -196,21 +196,37 @@ def _duck_ann_edges_sql(
             "ON l.band = r.band AND l.bkt = r.bkt "
             f"AND r.pos > l.pos AND r.pos <= l.pos + {ring_cap}), "
             "cand AS (SELECT DISTINCT ida, idb FROM "
-            "(SELECT * FROM small_pairs UNION ALL SELECT * FROM ring_pairs)), "
+            "(SELECT * FROM small_pairs UNION ALL SELECT * FROM ring_pairs))"
         )
     elif max_bucket is None and ring_cap is None:
         cand = (
             "cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb FROM banded a "
-            "JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id), "
+            "JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)"
         )
     else:
         raise ValueError("mirror supports hybrid (both caps) or uncapped (neither)")
     return (
-        "WITH base AS (SELECT vec_id AS id, embedding, "
+        "base AS (SELECT vec_id AS id, embedding, "
         f"{duck_norm('embedding')} AS nrm FROM embeddings), "
         "valid AS (SELECT * FROM base WHERE nrm > 0), "
         f"banded AS ({banded}), "
         f"{cand}"
+    )
+
+
+def _duck_ann_edges_sql(
+    k: int = K_NN,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    ring_cap: int | None = None,
+) -> str:
+    """DuckDB mirror of operators/graph.py knn_edges_ann: the shared
+    banded candidate chain + exact-cosine per-node top-k and u<v
+    symmetrization."""
+    return (
+        "WITH "
+        f"{duck_banded_cand_ctes(n_bands, band_bits, max_bucket, ring_cap)}, "
         "scored AS (SELECT ida, idb, "
         f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
         "FROM cand JOIN valid va ON va.id = cand.ida "

@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    COSINE_DEDUP_MAX_BUCKET,
+    COSINE_DEDUP_RING_CAP,
     brute_force_topk,
     cosine_dedup_pairs,
     dot_sql,
@@ -226,84 +228,66 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, cents, k=TOP_K, n_probe=3)
 
 
+def _duck_cosine_dedup_sql(
+    threshold: float,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    ring_cap: int | None = None,
+) -> str:
+    """DuckDB mirror of the banded cosine_dedup_pairs: the SAME shared
+    candidate chain as the knn_graph_edges_ann oracle
+    (queries/graph.duck_banded_cand_ctes — banded buckets, hybrid
+    max_bucket/ring_cap with per-band continuous-projection rings),
+    then the threshold verify with embeddings joined back by id. No
+    collapse CTE: the embeddings tables hold no bit-identical vectors
+    at any SF (verified), so rep == row — collapse equivalence on
+    duplicate-bearing corpora is pinned Spark-side in
+    tests/test_similarity.py."""
+    from .graph import duck_banded_cand_ctes
+
+    return (
+        "WITH "
+        f"{duck_banded_cand_ctes(n_bands, band_bits, max_bucket, ring_cap)} "
+        "SELECT cand.ida AS id_a, cand.idb AS id_b, "
+        f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
+        "FROM cand JOIN valid va ON va.id = cand.ida "
+        "JOIN valid vb ON vb.id = cand.idb "
+        f"WHERE {duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) "
+        f">= {threshold}"
+    )
+
+
 @query(
     "embedding_dedup",
-    oracle=f"""
-WITH vecs AS (
-  SELECT vec_id AS id, embedding AS v, {duck_norm('embedding')} AS nrm,
-         {duck_bucket('embedding')} AS bucket
-  FROM embeddings
-  WHERE {duck_norm('embedding')} > 0
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
-FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.id < b.id
-WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.9
-""",
+    # Mirrors the DEFAULT call: banded candidates (auto band_bits
+    # resolves to 4 at every test SF), hybrid caps mirrored bit-for-bit
+    # — at sf0.1 the 725-member hot bucket engages the ring.
+    oracle=_duck_cosine_dedup_sql(
+        0.9,
+        max_bucket=COSINE_DEDUP_MAX_BUCKET,
+        ring_cap=COSINE_DEDUP_RING_CAP,
+    ),
     doc=(
-        "Embedding-cosine near-duplicate pairs within LSH buckets "
-        "(cos >= 0.9) — candidate generation never goes quadratic."
+        "Embedding-cosine near-duplicate pairs via banded SRP LSH "
+        "(cos >= 0.9): same candidate engine as the ANN graph build — "
+        "banding for RECALL (a single wide bucket hash keeps a 0.9 "
+        "pair with p~0.08; four 4-bit bands keep it with p~0.95), "
+        "hybrid hot-bucket caps for bounded cost, arrays join back by "
+        "id. Candidate generation never goes quadratic."
     ),
 )
 def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Default call = round-6 bounded posture (collapse-identical +
-    # max_bucket/ring_cap hybrid). The oracle above stays the simple
-    # quadratic spelling because at every test SF no 16-plane bucket
-    # exceeds the 512 default cap (max 191 at sf0.1) and the embeddings
-    # tables contain no bit-identical vectors, so the bounded build's
-    # output is IDENTICAL to the naive one (pinned in
-    # tests/test_similarity.py on corpora where neither holds).
+    # Default call = round-6 bounded banded posture (collapse-identical
+    # + max_bucket/ring_cap hybrid); the oracle mirrors it exactly.
     return cosine_dedup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.9)
-
-
-def _duck_cosine_dedup_capped_sql(
-    threshold: float, max_bucket: int, ring_cap: int
-) -> str:
-    """DuckDB mirror of the hybrid cosine_dedup_pairs candidate path:
-    exact join inside buckets of <= max_bucket members, continuous-
-    projection ring (plane index LSH_PLANES, row_number ordered by
-    (proj, id)) inside hot ones. No collapse CTE: the embeddings tables
-    hold no bit-identical vectors at any SF (verified), so rep == row —
-    collapse equivalence on duplicate-bearing corpora is pinned Spark-
-    side in tests/test_similarity.py."""
-    from ..operators.similarity import LSH_PLANES, duck_hyperplane_sign
-
-    return f"""
-WITH vecs AS (
-  SELECT vec_id AS id, embedding AS v, {duck_norm('embedding')} AS nrm,
-         {duck_bucket('embedding')} AS bucket
-  FROM embeddings
-  WHERE {duck_norm('embedding')} > 0
-), sized AS (
-  SELECT id, v, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM vecs
-), small_pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b FROM sized a
-  JOIN sized b ON a.bucket = b.bucket AND a.id < b.id
-  WHERE a.bsz <= {max_bucket}
-), pos AS (
-  SELECT id, bucket, row_number() OVER (
-    PARTITION BY bucket ORDER BY {duck_hyperplane_sign(LSH_PLANES, 'v')}, id
-  ) AS pos
-  FROM sized WHERE bsz > {max_bucket}
-), ring_pairs AS (
-  SELECT least(l.id, r.id) AS id_a, greatest(l.id, r.id) AS id_b
-  FROM pos l JOIN pos r ON l.bucket = r.bucket
-   AND r.pos > l.pos AND r.pos <= l.pos + {ring_cap}
-), cand AS (
-  SELECT id_a, id_b FROM small_pairs UNION ALL SELECT id_a, id_b FROM ring_pairs
-)
-SELECT cand.id_a, cand.id_b,
-       {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_sim
-FROM cand JOIN vecs a ON a.id = cand.id_a JOIN vecs b ON b.id = cand.id_b
-WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {threshold}
-"""
 
 
 @query(
     "embedding_dedup_capped",
-    # max_bucket=16 < the 49-member sf0.01 hot bucket: the ring path
+    # max_bucket=64 < the 192-member sf0.01 hot bucket: the ring path
     # actually runs at the driver's gate, hash-exact vs the mirror.
-    oracle=_duck_cosine_dedup_capped_sql(0.9, max_bucket=16, ring_cap=8),
+    oracle=_duck_cosine_dedup_sql(0.9, max_bucket=64, ring_cap=32),
     doc=(
         "Embedding near-dup pairs under the bounded hybrid posture with "
         "caps small enough to engage at gate scale: candidate output in "
@@ -313,7 +297,7 @@ WHERE {duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {threshold}
 )
 def embedding_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_dedup_pairs(emb, threshold=0.9, max_bucket=16, ring_cap=8)
+    return cosine_dedup_pairs(emb, threshold=0.9, max_bucket=64, ring_cap=32)
 
 
 @query(

@@ -98,3 +98,15 @@ def test_streaming_ivf_ingest_matches_rebuild(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+    # and the raw CELL ASSIGNMENTS themselves are identical (not just
+    # the query answers): streamed-ingest per-batch assignment against
+    # frozen centroids == one-shot batch assignment, vector for vector
+    streamed_cells = {
+        (r.vec_id, r.cell) for r in spark.read.parquet(idx).select("vec_id", "cell").collect()
+    }
+    batch_cells = {
+        (r.vec_id, r.cell)
+        for r in build_ivf_index(emb, cents).select("vec_id", "cell").collect()
+    }
+    assert streamed_cells == batch_cells and len(streamed_cells) > 0
