@@ -304,6 +304,11 @@ KNN_ANN_RING_CAP = 128
 # uniform corpus (band_bits = log2(n / occupancy), floor 4 so tiny
 # corpora keep the pre-round-6 geometry and its pinned oracles).
 KNN_ANN_TARGET_OCCUPANCY = 256
+# Candidate join-back broadcasts the vector table when the corpus is at
+# most this many rows (~64 MB of float32 at 64 dims): the pairs-sized
+# candidate table then never shuffles. A billion-row corpus exceeds the
+# bound and keeps the correct shuffle join.
+JOINBACK_BROADCAST_MAX_ROWS = 250_000
 
 
 def derive_band_bits(n: int, target_occupancy: int = KNN_ANN_TARGET_OCCUPANCY) -> int:
@@ -550,7 +555,19 @@ def knn_edges_ann(
         "embedding",
         F.expr(norm_sql("embedding")).alias("nrm"),
     ).filter(F.col("nrm") > 0)
+    n = None
+    if band_bits is None:
+        n = base.count()
+        band_bits = derive_band_bits(n)
     cand = banded_srp_candidates(base, n_bands, band_bits, max_bucket, ring_cap)
+    # Join-back physical strategy: the candidate table is pairs-sized
+    # (tens of millions of skinny rows at 100x) while the vector table
+    # is corpus-sized; when the corpus fits a broadcast
+    # (JOINBACK_BROADCAST_MAX_ROWS, ~64 MB of float32 at 64 dims) the
+    # two join-backs skip shuffling the candidate table twice. Beyond
+    # the bound — the real 100 TB corpus — the shuffle join is correct
+    # and this hint stays off. Plan-only: output is unchanged.
+    bcast = n is not None and n <= JOINBACK_BROADCAST_MAX_ROWS
     va = base.select(
         F.col("id").alias("ida"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -560,8 +577,8 @@ def knn_edges_ann(
         F.col("nrm").alias("nb"),
     )
     scored = (
-        cand.join(va, "ida")
-        .join(vb, "idb")
+        cand.join(F.broadcast(va) if bcast else va, "ida")
+        .join(F.broadcast(vb) if bcast else vb, "idb")
         .select(
             "ida",
             "idb",

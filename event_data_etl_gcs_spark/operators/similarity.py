@@ -191,6 +191,9 @@ def lsh_bucket_topk(
 # same measured operating point as operators/graph.py knn_edges_ann).
 COSINE_DEDUP_MAX_BUCKET = 512
 COSINE_DEDUP_RING_CAP = 128
+# Closure-expansion CC budget: near-dup components are near-cliques
+# (diameter 1-2); ring chains add a few hops. Loud error beyond.
+MAX_CC_ITERATIONS = 20
 
 
 def cosine_dedup_pairs(
@@ -203,6 +206,8 @@ def cosine_dedup_pairs(
     max_bucket: int | None = COSINE_DEDUP_MAX_BUCKET,
     ring_cap: int | None = COSINE_DEDUP_RING_CAP,
     collapse_identical: bool = True,
+    expand_components: bool = True,
+    max_component: int = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos_sim >= threshold)
     via BANDED random-hyperplane LSH candidates — the scale path:
@@ -234,7 +239,16 @@ def cosine_dedup_pairs(
       verify cost depends on DISTINCT vectors, not raw rows.
     * Candidates are (id, band, bucket) only; embeddings join back BY ID
       after pair generation, so the float arrays never ride the
-      bucket-join shuffle.
+      bucket-join shuffle (and the vector table broadcasts under
+      JOINBACK_BROADCAST_MAX_ROWS — plan-only).
+    * ``expand_components`` (default on): connected components of the
+      pass-1 pairs, then EVERY within-component pair exactly verified.
+      Ring sampling finds each near-dup group's chain but can miss far
+      pairs under interleaving (measured 0.84-0.93 pair recall at 100x
+      however the caps were tuned); the closure recovers the clique
+      from the chain at a verify cost equal to the output's own size.
+      ``max_component`` bounds the quadratic expansion with a loud
+      error (threshold graphs can chain beyond a clique).
     """
     from .graph import banded_srp_candidates
 
@@ -261,6 +275,12 @@ def cosine_dedup_pairs(
     else:
         reps = base
 
+    n = None
+    if band_bits is None:
+        from .graph import derive_band_bits
+
+        n = reps.count()
+        band_bits = derive_band_bits(n)
     cand = banded_srp_candidates(
         reps.select("id", F.col("v").alias("embedding")),
         n_bands=n_bands,
@@ -269,24 +289,74 @@ def cosine_dedup_pairs(
         ring_cap=ring_cap,
     ).select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
 
+    # Same join-back physical strategy as knn_edges_ann: broadcast the
+    # rep vector table under JOINBACK_BROADCAST_MAX_ROWS so the
+    # pairs-sized candidate table never shuffles; plan-only.
+    from .graph import JOINBACK_BROADCAST_MAX_ROWS
+
+    bcast = n is not None and n <= JOINBACK_BROADCAST_MAX_ROWS
     va = reps.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     vb = reps.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    rep_pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(va) if bcast else va, "id_a")
+            .join(F.broadcast(vb) if bcast else vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+
+    rep_pairs = verify(cand)
+
+    if expand_components:
+        # COMPONENT-CLOSURE EXPANSION (round 6, default-on): ring
+        # sampling in hot buckets finds the CHAIN of a near-dup group
+        # (adjacent copies sort consecutively in every band's
+        # projection) but can miss far pairs when other groups
+        # interleave — measured pair recall 0.84-0.93 on the 100x
+        # near-copy corpus however the caps were tuned. The closure
+        # recovers the CLIQUE from the chain: connected components of
+        # the pass-1 pairs, then EVERY within-component pair is
+        # exactly verified. For true duplicate groups the verify cost
+        # equals the output's own size (C(group, 2) — inherent to a
+        # pair-emitting contract), and measured recall goes to ~1.0.
+        # Components of a threshold graph can chain beyond a clique;
+        # max_component bounds the quadratic expansion loudly.
+        from .graph import connected_components
+
+        comp = connected_components(
+            rep_pairs.select("id_a", "id_b"), max_iterations=MAX_CC_ITERATIONS
+        )
+        big = (
+            comp.groupBy("component")
+            .count()
+            .filter(F.col("count") > max_component)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"cosine_dedup_pairs: a near-dup component exceeds "
+                f"max_component={max_component} (size {big[0]['count']}): "
+                "the all-pairs expansion would be quadratic in it. Raise "
+                "max_component if the output size is intended, or lower "
+                "the threshold chain by raising `threshold`."
+            )
+        ca = comp.select(F.col("node").alias("id_a"), "component")
+        cb = comp.select(F.col("node").alias("id_b"), "component")
+        cand2 = ca.join(cb, "component").filter(
+            F.col("id_a") < F.col("id_b")
+        ).select("id_a", "id_b")
+        rep_pairs = verify(cand2)
 
     if not collapse_identical:
         return rep_pairs.select("id_a", "id_b", "cos_sim")

@@ -239,22 +239,37 @@ def _duck_cosine_dedup_sql(
     candidate chain as the knn_graph_edges_ann oracle
     (queries/graph.duck_banded_cand_ctes — banded buckets, hybrid
     max_bucket/ring_cap with per-band continuous-projection rings),
-    then the threshold verify with embeddings joined back by id. No
-    collapse CTE: the embeddings tables hold no bit-identical vectors
-    at any SF (verified), so rep == row — collapse equivalence on
+    pass-1 threshold verify, then the COMPONENT-CLOSURE expansion as a
+    recursive reachability CTE (min-label components of the pass-1
+    pair graph -> every within-component pair re-verified exactly —
+    the same dedup_clusters oracle pattern). No collapse CTE: the
+    embeddings tables hold no bit-identical vectors at any SF
+    (verified), so rep == row — collapse equivalence on
     duplicate-bearing corpora is pinned Spark-side in
     tests/test_similarity.py."""
     from .graph import duck_banded_cand_ctes
 
+    cos = f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm)"
     return (
-        "WITH "
-        f"{duck_banded_cand_ctes(n_bands, band_bits, max_bucket, ring_cap)} "
-        "SELECT cand.ida AS id_a, cand.idb AS id_b, "
-        f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
+        "WITH RECURSIVE "
+        f"{duck_banded_cand_ctes(n_bands, band_bits, max_bucket, ring_cap)}, "
+        "p1 AS (SELECT cand.ida AS a, cand.idb AS b "
         "FROM cand JOIN valid va ON va.id = cand.ida "
         "JOIN valid vb ON vb.id = cand.idb "
-        f"WHERE {duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) "
-        f">= {threshold}"
+        f"WHERE {cos} >= {threshold}), "
+        "cedges AS (SELECT a AS u, b AS v FROM p1 "
+        "UNION SELECT b AS u, a AS v FROM p1), "
+        "reach AS (SELECT u AS node, u AS component FROM cedges "
+        "UNION SELECT e.u AS node, r.component FROM cedges e "
+        "JOIN reach r ON e.v = r.node), "
+        "comp AS (SELECT node, MIN(component) AS component "
+        "FROM reach GROUP BY node), "
+        "cand2 AS (SELECT x.node AS ida, y.node AS idb FROM comp x "
+        "JOIN comp y ON x.component = y.component AND x.node < y.node) "
+        f"SELECT cand2.ida AS id_a, cand2.idb AS id_b, {cos} AS cos_sim "
+        "FROM cand2 JOIN valid va ON va.id = cand2.ida "
+        "JOIN valid vb ON vb.id = cand2.idb "
+        f"WHERE {cos} >= {threshold}"
     )
 
 
