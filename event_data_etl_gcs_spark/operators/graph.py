@@ -33,13 +33,18 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().cache()
 
+    # localCheckpoint (not cache) per generation: ``labels`` appears
+    # TWICE in each iteration's plan (own labels ∪ neighbor labels), so
+    # without lineage truncation the logical plan tree DOUBLES per round
+    # — measured: a 2 GB plan string at depth ~20 on an 8M-edge ring
+    # chain (cache avoids recomputation but not plan growth; the same
+    # lesson pagerank learned in round 3).
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
 
     changed = 0
     for _ in range(max_iterations):
@@ -53,7 +58,7 @@ def connected_components(
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -64,7 +69,6 @@ def connected_components(
             )
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -333,6 +333,12 @@ def cosine_dedup_pairs(
         # max_component bounds the quadratic expansion loudly.
         from .graph import connected_components
 
+        # Truncate lineage before the iterative CC: each CC round (and
+        # the size guard, and the expansion) would otherwise re-derive
+        # the full banded-candidate + verify plan — measured OOM at
+        # 100x from the accumulated plans/broadcasts. The checkpointed
+        # frame is pairs-sized (two longs + a double per row).
+        rep_pairs = rep_pairs.localCheckpoint(eager=True)
         comp = connected_components(
             rep_pairs.select("id_a", "id_b"), max_iterations=MAX_CC_ITERATIONS
         )

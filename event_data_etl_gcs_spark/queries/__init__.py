@@ -77,6 +77,7 @@ set_priority([
     # perceptual image dedup, video frame stats, z-order layout math
     "bpe_train_merges", "bpe_encode_stats", "bpe_vocab_after_training",
     "training_corpus_v2_stats", "knn_graph_edges_ann",
+    "knn_graph_edges_ann_capped", "embedding_dedup_capped",
     "multimodal_image_dhash_dedup", "multimodal_video_frame_stats",
     "zorder_layout_stats", "hdr_quantile_sketch",
     "ngram_docfreq_filter", "clean_text_normalize", "redact_pii",

@@ -79,6 +79,8 @@ def synthesize_gaussian(spark) -> str:
 
 def main() -> None:
     os.makedirs(R6, exist_ok=True)
+    # 100x probes hold pair-scale shuffles + broadcasts in one local JVM
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     from pyspark.sql import functions as F
 
     from event_data_etl_gcs_spark.operators.graph import knn_edges_ann
