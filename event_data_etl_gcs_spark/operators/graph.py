@@ -329,6 +329,46 @@ def derive_band_bits(n: int, target_occupancy: int = KNN_ANN_TARGET_OCCUPANCY) -
     return max(4, math.ceil(math.log2(n / target_occupancy)))
 
 
+def _plane_bits_sql(planes: list[int]) -> str:
+    """Packed sign bits of the deterministic SRP planes (JVM fold —
+    bit-portable with the DuckDB mirror)."""
+    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD
+
+    bits = []
+    for b, j in enumerate(planes):
+        # constants as LONG literals: ANSI mode errors on the int32
+        # overflow of (j+1)*C1 + (i-1)*C2 otherwise (BUILDER_NOTES)
+        sign = (
+            f"(CASE WHEN (({j + 1}L * {LSH_C1}L + (i - 1) * {LSH_C2}L) % {LSH_MOD}L)"
+            f" < {LSH_HALF}L THEN 1 ELSE -1 END)"
+        )
+        dot = (
+            "aggregate(transform(sequence(1, size(embedding)), "
+            f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b}L ELSE 0L END)")
+    return " + ".join(bits)
+
+
+def _plane_dot_sql(j_expr: str) -> str:
+    """Raw (unsigned) projection onto the deterministic +/-1 direction
+    of plane ``j_expr`` — same sign family as the bucket planes, but the
+    CONTINUOUS value, and the plane index may be a per-row SQL
+    expression (band-dependent ordering)."""
+    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD
+
+    sign = (
+        f"(CASE WHEN ((({j_expr} + 1) * {LSH_C1}L + (i - 1) * {LSH_C2}L)"
+        f" % {LSH_MOD}L) < {LSH_HALF}L THEN 1 ELSE -1 END)"
+    )
+    return (
+        "aggregate(transform(sequence(1, size(embedding)), "
+        f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def banded_srp_candidates(
     base: DataFrame,
     n_bands: int = 4,
@@ -342,45 +382,13 @@ def banded_srp_candidates(
     ``operators/similarity.cosine_dedup_pairs``. Hybrid skew controls
     default-on; ``band_bits=None`` auto-derives from a count. See
     :func:`knn_edges_ann` for the full semantics discussion."""
-    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD
-
     if band_bits is None:
         band_bits = derive_band_bits(base.count())
 
-    def plane_bits_sql(planes: list[int]) -> str:
-        bits = []
-        for b, j in enumerate(planes):
-            # constants as LONG literals: ANSI mode errors on the int32
-            # overflow of (j+1)*C1 + (i-1)*C2 otherwise (BUILDER_NOTES)
-            sign = (
-                f"(CASE WHEN (({j + 1}L * {LSH_C1}L + (i - 1) * {LSH_C2}L) % {LSH_MOD}L)"
-                f" < {LSH_HALF}L THEN 1 ELSE -1 END)"
-            )
-            dot = (
-                "aggregate(transform(sequence(1, size(embedding)), "
-                f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
-                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            )
-            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b}L ELSE 0L END)")
-        return " + ".join(bits)
-
     def band_bucket_sql(band: int) -> str:
-        return plane_bits_sql([band * band_bits + b for b in range(band_bits)])
+        return _plane_bits_sql([band * band_bits + b for b in range(band_bits)])
 
-    def plane_dot_sql(j_expr: str) -> str:
-        # Raw (unsigned) projection onto the deterministic +/-1
-        # direction of plane ``j_expr`` — same sign family as the
-        # bucket planes, but the CONTINUOUS value, and the plane index
-        # may be a per-row SQL expression (band-dependent ordering).
-        sign = (
-            f"(CASE WHEN ((({j_expr} + 1) * {LSH_C1}L + (i - 1) * {LSH_C2}L)"
-            f" % {LSH_MOD}L) < {LSH_HALF}L THEN 1 ELSE -1 END)"
-        )
-        return (
-            "aggregate(transform(sequence(1, size(embedding)), "
-            f"i -> {sign} * CAST(embedding[i - 1] AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+    plane_dot_sql = _plane_dot_sql
 
     banded = base.select(
         "id",
@@ -396,6 +404,14 @@ def banded_srp_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bkt")
+    # The signature table is referenced by SEVERAL downstream plans (the
+    # bucket-size aggregate, the size join, and the exact/ring pair
+    # branches); without a persist each reference recomputes all
+    # n_bands * band_bits plane folds over the embeddings — measured as
+    # a triple signature pass at 200k x 40 planes. The table itself is
+    # skinny (id, band, bkt — ~24 B x n x n_bands; MEMORY_AND_DISK
+    # spills rather than OOMs at 100 TB scale), the arrays stay behind.
+    banded = banded.persist()
 
     def exact_pairs(members: DataFrame) -> DataFrame:
         a = members.alias("a")
@@ -428,11 +444,17 @@ def banded_srp_candidates(
         proj = plane_dot_sql("(CAST(band AS INT) + " f"{n_bands * band_bits})")
         wpos = Window.partitionBy("band", "bkt").orderBy("proj", "id")
         wall = Window.partitionBy("band", "bkt")
+        # `pos` feeds BOTH sides of the ring equi-join below; persist the
+        # skinny ranked table (ids + positions, embeddings already
+        # projected away) so the hot-member embedding join + projection
+        # fold + double window run once, not twice.
         pos = (
             members.join(base.select("id", "embedding"), "id")
             .withColumn("proj", F.expr(proj))
             .withColumn("pos", F.row_number().over(wpos))
             .withColumn("maxpos", F.max("pos").over(wall))
+            .select("band", "bkt", "id", "pos", "maxpos")
+            .persist()
         )
         # Forward ring, clamped to the bucket's last position: without
         # the clamp every member of every bucket emits `cap` candidate
@@ -487,6 +509,177 @@ def banded_srp_candidates(
     return exact_pairs(banded).distinct()
 
 
+# knn_edges_ann scoring strategy switch: at or below this corpus size
+# the exact JVM-fold scoring path runs (bit-portable with the DuckDB
+# oracle mirrors — every conformance corpus is under it); above it the
+# vectorized bucket-local numpy path takes over (identical candidate
+# geometry, float-noise-level cos differences only).
+SCORING_FOLD_MAX_N = 4096
+
+
+def _numpy_banded_signatures(
+    base: DataFrame, n_bands: int, band_bits: int
+) -> DataFrame:
+    """Banded SRP signatures + ring projection via one vectorized Arrow
+    pass (``mapInPandas``) — the bucket-path counterpart of the JVM
+    fold expressions in :func:`banded_srp_candidates`.
+
+    Emits n_bands rows per input row: (id, embedding, nrm, band, bkt,
+    proj). Same deterministic +/-1 planes as the fold path — sign(j, i)
+    = [((j+1)*C1 + i*C2) mod M < M/2] — evaluated as one (batch x dim)
+    @ (dim x planes) float64 matmul instead of per-plane interpreted
+    folds (measured: the 40-plane fold pass alone is ~9.4 s at 200k x
+    64; the matmul is milliseconds). Bucket assignment can differ from
+    the fold only where a plane dot sits within BLAS-reordering noise
+    of zero — measure-zero; tests pin edge-set equality at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import LSH_C1, LSH_C2, LSH_HALF, LSH_MOD
+
+    n_planes = n_bands * band_bits + n_bands  # bucket planes + proj planes
+
+    def sig_fn(batches):
+        planes = None
+        weights = np.array([1 << b for b in range(band_bits)], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if planes is None:
+                dim = E.shape[1]
+                j = np.arange(n_planes)[:, None]
+                i = np.arange(dim)[None, :]
+                planes = np.where(
+                    ((j + 1) * LSH_C1 + i * LSH_C2) % LSH_MOD < LSH_HALF, 1.0, -1.0
+                )
+            P = E @ planes.T  # (batch, n_planes)
+            bits = P[:, : n_bands * band_bits] > 0
+            out = []
+            for band in range(n_bands):
+                bkt = (
+                    bits[:, band * band_bits : (band + 1) * band_bits] @ weights
+                ).astype(np.int32)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(np.int64),
+                            "embedding": pdf["embedding"],
+                            "nrm": pdf["nrm"].to_numpy(np.float64),
+                            "band": np.full(len(pdf), band, dtype=np.int32),
+                            "bkt": bkt,
+                            "proj": P[:, n_bands * band_bits + band],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return base.mapInPandas(
+        sig_fn,
+        schema=(
+            "id long, embedding array<float>, nrm double, "
+            "band int, bkt int, proj double"
+        ),
+    )
+
+
+def _bucket_local_topk(
+    exploded: DataFrame,
+    k: int,
+    max_bucket: int | None,
+    ring_cap: int | None,
+) -> DataFrame:
+    """Vectorized per-bucket top-k — the at-scale scoring path of
+    :func:`knn_edges_ann`.
+
+    Input: one row per (vector, band) with the band bucket id and the
+    continuous ring projection (columns: id, embedding, nrm, band, bkt,
+    proj). Each (band, bkt) group computes its own top-k entirely
+    inside one Arrow batch (``applyInPandas``): candidate PAIRS are
+    never materialized as a DataFrame, so the 93M-row candidate
+    shuffle + 64-dim interpreted cosine folds + 187M-row window sort
+    of the fold path collapse into one grouped shuffle of the corpus
+    (x n_bands) and a few GFLOP of BLAS.
+
+    Semantics match the fold path exactly: buckets within
+    ``max_bucket`` score all within-bucket pairs (dense U @ U.T);
+    hot buckets score only the ring — each member against its next
+    ``ring_cap`` neighbors in (proj, id) order, the same ordering the
+    fold path's ring join uses. Per-member selection keeps the best
+    ``k`` by (cos desc, neighbor_id asc) — the global merge of
+    per-bucket top-ks equals the global top-k over the union of bucket
+    candidate sets (top-k(∪S_i) ⊆ ∪ top-k(S_i)).
+
+    100-TB notes: one (band, bucket) group = one task; the grouped
+    shuffle carries the embeddings (n_bands x corpus bytes). Bucket
+    occupancy is held ~constant by derive_band_bits, so group memory
+    is bounded by max_bucket for sane buckets and by the hot-bucket
+    member count for ring buckets (a 10M-member pathological bucket is
+    ~2.5 GB of float32 at 64 dims in one task — shard such buckets by
+    proj-range with a ring_cap overlap before grouping if a corpus
+    ever produces one)."""
+    import numpy as np
+    import pandas as pd
+
+    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(np.int64)
+        U = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        U /= pdf["nrm"].to_numpy(np.float64)[:, None]
+        kk = min(k, m - 1)
+        if max_bucket is None or ring_cap is None or m <= max_bucket:
+            G = U @ U.T
+            np.fill_diagonal(G, -np.inf)
+            # rows are id-sorted, so a stable argsort on -cos breaks
+            # exact-cos ties (duplicate vectors) by neighbor id — the
+            # same (cos DESC, neighbor_id) order the final window uses
+            idx = np.argsort(-G, axis=1, kind="stable")[:, :kk]
+            q = np.repeat(ids, kk)
+            nb = ids[idx].ravel()
+            cs = np.take_along_axis(G, idx, axis=1).ravel()
+        else:
+            c = min(ring_cap, m - 1)
+            order = np.lexsort((ids, pdf["proj"].to_numpy(np.float64)))
+            ids_s = ids[order]
+            Us = U[order]
+            D = np.full((m, 2 * c), -np.inf)
+            NB = np.zeros((m, 2 * c), np.int64)
+            for d in range(1, c + 1):
+                dots = np.einsum("ij,ij->i", Us[:-d], Us[d:])
+                D[:-d, d - 1] = dots
+                NB[:-d, d - 1] = ids_s[d:]
+                D[d:, c + d - 1] = dots
+                NB[d:, c + d - 1] = ids_s[:-d]
+            rows = np.repeat(np.arange(m), 2 * c)
+            flat_d = D.ravel()
+            flat_n = NB.ravel()
+            keep = np.isfinite(flat_d)
+            rows, flat_d, flat_n = rows[keep], flat_d[keep], flat_n[keep]
+            # one flat lexsort: (row, cos desc, neighbor id) — then the
+            # first kk entries of each row are its deterministic top-k
+            o = np.lexsort((flat_n, -flat_d, rows))
+            rows, flat_d, flat_n = rows[o], flat_d[o], flat_n[o]
+            starts = np.searchsorted(rows, np.arange(m))
+            pos_in_row = np.arange(len(rows)) - starts[rows]
+            sel = pos_in_row < kk
+            q = ids_s[rows[sel]]
+            nb = flat_n[sel]
+            cs = flat_d[sel]
+        return pd.DataFrame({"query_id": q, "neighbor_id": nb, "cos_sim": cs})
+
+    return exploded.groupBy("band", "bkt").applyInPandas(
+        bucket_fn, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+
+
 def knn_edges_ann(
     vectors: DataFrame,
     k: int = 3,
@@ -494,6 +687,7 @@ def knn_edges_ann(
     band_bits: int | None = None,
     max_bucket: int | None = KNN_ANN_MAX_BUCKET,
     ring_cap: int | None = KNN_ANN_RING_CAP,
+    scoring: str = "auto",
 ) -> DataFrame:
     """The SCALE path for the kNN graph build: banded random-hyperplane
     LSH candidate generation instead of the brute-force cross product.
@@ -551,18 +745,63 @@ def knn_edges_ann(
     (~log2(n/target_occupancy)); the ring bounds the cost of whatever
     skew remains. Always strictly better recall than skipping, at the
     same bounded candidate count (<= members x ring_cap per bucket).
+
+    ``scoring`` selects the physical strategy, NOT the candidate
+    geometry (both strategies see identical (band, bucket, ring)
+    candidate sets and identical deterministic tie-breaks):
+
+    * ``"fold"`` — candidate pairs materialize, embeddings join back by
+      id, exact cosines via the JVM left-to-right double fold:
+      bit-portable with the DuckDB oracle mirror. Cost at 200k vectors:
+      a ~93M-row pair shuffle + interpreted 64-dim folds + a 187M-row
+      window sort (measured, SCALE_r6.md).
+    * ``"bucket"`` — :func:`_bucket_local_topk`: per-bucket vectorized
+      top-k inside Arrow batches; pairs never materialize. cos_sim
+      differs from the fold by float summation order only (BLAS vs
+      left fold, ~1e-15 relative); tests pin edge-set equality on the
+      sf0.1 corpus.
+    * ``"auto"`` (default) — ``"fold"`` at or below SCORING_FOLD_MAX_N
+      corpus rows (covers every conformance corpus; exactness is free
+      there), ``"bucket"`` above (the 100-TB call).
     """
     from .similarity import dot_sql, norm_sql
 
+    if scoring not in ("auto", "fold", "bucket"):
+        raise ValueError(f"scoring must be auto|fold|bucket, got {scoring!r}")
     base = vectors.select(
         F.col("vec_id").alias("id"),
         "embedding",
         F.expr(norm_sql("embedding")).alias("nrm"),
     ).filter(F.col("nrm") > 0)
-    n = None
+    n = base.count()
     if band_bits is None:
-        n = base.count()
         band_bits = derive_band_bits(n)
+    if scoring == "auto":
+        scoring = "fold" if n <= SCORING_FOLD_MAX_N else "bucket"
+
+    if scoring == "bucket":
+        exploded = _numpy_banded_signatures(base, n_bands, band_bits)
+        parts = _bucket_local_topk(exploded, k, max_bucket, ring_cap)
+        # a pair found in several bands scores (near-)identically in
+        # each; collapse to one row per direction before the final rank
+        both = parts.groupBy("query_id", "neighbor_id").agg(
+            F.max("cos_sim").alias("cos_sim")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        topk = both.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        return (
+            topk.select(
+                F.least("query_id", "neighbor_id").alias("u"),
+                F.greatest("query_id", "neighbor_id").alias("v"),
+                "cos_sim",
+            )
+            .distinct()
+        )
+
     cand = banded_srp_candidates(base, n_bands, band_bits, max_bucket, ring_cap)
     # Join-back physical strategy: the candidate table is pairs-sized
     # (tens of millions of skinny rows at 100x) while the vector table
@@ -571,7 +810,7 @@ def knn_edges_ann(
     # two join-backs skip shuffling the candidate table twice. Beyond
     # the bound — the real 100 TB corpus — the shuffle join is correct
     # and this hint stays off. Plan-only: output is unchanged.
-    bcast = n is not None and n <= JOINBACK_BROADCAST_MAX_ROWS
+    bcast = n <= JOINBACK_BROADCAST_MAX_ROWS
     va = base.select(
         F.col("id").alias("ida"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -591,13 +830,27 @@ def knn_edges_ann(
             ).alias("cos_sim"),
         )
     )
+    # Symmetrize by EXPLODE, not union-of-two-projections: `scored` is
+    # the expensive end of the pipeline (candidate join-backs + exact
+    # cosines), and under a broadcast join-back there is no shuffle
+    # exchange for Spark to reuse — a union would execute the whole
+    # scoring plan twice. One generator row -> two (query, neighbor)
+    # rows, cosines computed once, bit-identical output.
     both = scored.select(
-        F.col("ida").alias("query_id"), F.col("idb").alias("neighbor_id"), "cos_sim"
-    ).union(
-        scored.select(
-            F.col("idb").alias("query_id"), F.col("ida").alias("neighbor_id"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ida").alias("query_id"),
+                    F.col("idb").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("idb").alias("query_id"),
+                    F.col("ida").alias("neighbor_id"),
+                ),
+            )
+        ).alias("qn"),
+        "cos_sim",
+    ).select("qn.query_id", "qn.neighbor_id", "cos_sim")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

@@ -199,12 +199,26 @@ def main() -> None:
             f"\n- **knn_ann, realistic skew (Gaussian mixture, 64 clusters, "
             f"power-law sizes): {gauss_ratio:.1f}x wall at 100x data** with "
             "the zero-argument defaults (auto band_bits 4 -> 10, hybrid "
-            "caps idle to engaged). VERDICT r5 asked for <= 5x on a "
-            "realistic corpus with defaults.\n"
+            "caps idle to engaged, and the scoring strategy auto-switching "
+            "from the oracle-exact JVM fold at 1x to the bucket-local "
+            "vectorized top-k above SCORING_FOLD_MAX_N=4096). VERDICT r5 "
+            "asked for <= 5x on a realistic corpus with defaults.\n"
+            "- The bucket-local scorer (operators/graph.py "
+            "_bucket_local_topk) is the round-6 structural fix: candidate "
+            "PAIRS never materialize — each (band, bucket) group computes "
+            "its top-k in one Arrow batch (numpy signatures via one "
+            "matmul, dense U@U.T inside sane buckets, proj-ordered ring "
+            "dots inside hot ones). The fold path measured at 100x: 93.4M "
+            "candidate pairs, a 187M-row window sort with 7.5 GB spill, "
+            "146.6 s min-of-2 (best case; 193 s fresh-session). The "
+            "bucket path produces the IDENTICAL 512,409 edges (and "
+            "edge-set equality is pytest-pinned at sf0.1 where the 725-"
+            "member hot bucket engages the ring) in ~20 s — 7.4x faster.\n"
             f"- knn_ann, replica-inflated worst case: {tk100:.1f} s bounded "
             "with defaults (vs SCALE_r5's >9 min uncapped / 161 s with "
-            "the then-opt-in hybrid at band_bits=8; auto band_bits=10 "
-            "shrinks hot buckets before the ring even engages).\n"
+            "the then-opt-in hybrid at band_bits=8, and 165 s with the "
+            "round-6 fold defaults; identical 396,914 edges across "
+            "strategies).\n"
             f"- cosine_dedup_pairs defaults at 100x: {td100:.1f} s, "
             f"{dres['pairs']:,} pairs, duplicate recall "
             f"**{recall:.4f}** of the {expected_intra:,} known intra-group "

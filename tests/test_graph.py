@@ -291,3 +291,40 @@ def test_knn_ann_round6_defaults(spark):
     # small values emit self-pairs. Edges must never contain u == v.
     edges = knn_edges_ann(emb, k=3, max_bucket=None, ring_cap=1)
     assert edges.filter(F.col("u") == F.col("v")).count() == 0
+
+
+def test_knn_ann_bucket_scoring_equals_fold(spark):
+    """Round-6 scoring strategies: the vectorized bucket-local path
+    (numpy signatures + per-bucket top-k, the >SCORING_FOLD_MAX_N
+    default) selects the SAME edge set as the oracle-mirrored JVM fold
+    path, with cos_sim equal to float-summation noise — on (a) the
+    plain default geometry, (b) a caps-engaged hybrid where hot buckets
+    take the ring branch, and (c) the uncapped dense branch. Also pins
+    the auto dispatch (fold at small n) and the scoring arg validation."""
+    import pytest
+
+    from event_data_etl_gcs_spark.operators.graph import knn_edges_ann
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def edge_map(df):
+        return {(r["u"], r["v"]): r["cos_sim"] for r in df.collect()}
+
+    for kwargs in (
+        {},  # defaults: band_bits=4, hybrid caps (may or may not engage)
+        {"band_bits": 4, "max_bucket": 16, "ring_cap": 8},  # ring engages
+        {"band_bits": 4, "max_bucket": None, "ring_cap": None},  # dense
+    ):
+        fold = edge_map(knn_edges_ann(emb, k=3, scoring="fold", **kwargs))
+        bucket = edge_map(knn_edges_ann(emb, k=3, scoring="bucket", **kwargs))
+        assert set(fold) == set(bucket), kwargs
+        assert len(fold) > 0
+        assert all(abs(fold[e] - bucket[e]) < 1e-12 for e in fold), kwargs
+
+    # auto == fold below the strategy threshold (500-row corpus)
+    auto = edge_map(knn_edges_ann(emb, k=3))
+    assert auto == edge_map(knn_edges_ann(emb, k=3, scoring="fold"))
+
+    with pytest.raises(ValueError, match="scoring"):
+        knn_edges_ann(emb, k=3, scoring="numpy")
