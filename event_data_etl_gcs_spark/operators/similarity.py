@@ -67,12 +67,15 @@ def hyperplane_sign_sql(j: int, vec: str) -> str:
     literal — (j+1)*C1 + d*C2 overflows int32 (ANSI mode would error).
     """
     base = (j + 1) * LSH_C1
+    # fold the sequence DIRECTLY (no intermediate transform() array):
+    # same elements in the same left-to-right order — bit-identical to
+    # the previous transform+aggregate spelling and the DuckDB mirror —
+    # but one fewer 64-element array allocation per plane per row
     return (
-        f"aggregate(transform(sequence(1, size({vec})), d -> "
-        f"CASE WHEN ({base}L + CAST(d - 1 AS BIGINT) * {LSH_C2}L) % {LSH_MOD} < {LSH_HALF} "
+        f"aggregate(sequence(1, size({vec})), CAST(0 AS DOUBLE), (acc, d) -> "
+        f"acc + (CASE WHEN ({base}L + CAST(d - 1 AS BIGINT) * {LSH_C2}L) % {LSH_MOD} < {LSH_HALF} "
         f"THEN CAST(element_at({vec}, d) AS DOUBLE) "
-        f"ELSE -CAST(element_at({vec}, d) AS DOUBLE) END), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        f"ELSE -CAST(element_at({vec}, d) AS DOUBLE) END))"
     )
 
 
