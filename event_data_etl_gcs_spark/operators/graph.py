@@ -635,7 +635,15 @@ def _bucket_local_topk(
         U = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         U /= pdf["nrm"].to_numpy(np.float64)[:, None]
         kk = min(k, m - 1)
-        if max_bucket is None or ring_cap is None or m <= max_bucket:
+        # branch parity with the fold engine: dense when uncapped or
+        # within max_bucket; ring when a ring_cap applies (pure-ring
+        # mode rings EVERY bucket); skip-only mode drops hot buckets
+        dense = (max_bucket is None and ring_cap is None) or (
+            max_bucket is not None and m <= max_bucket
+        )
+        if not dense and ring_cap is None:
+            return empty  # skip-only mode: hot bucket dropped entirely
+        if dense:
             G = U @ U.T
             np.fill_diagonal(G, -np.inf)
             # rows are id-sorted, so a stable argsort on -cos breaks
@@ -678,6 +686,77 @@ def _bucket_local_topk(
     return exploded.groupBy("band", "bkt").applyInPandas(
         bucket_fn, schema="query_id long, neighbor_id long, cos_sim double"
     )
+
+
+def _bucket_local_threshold_pairs(
+    exploded: DataFrame,
+    threshold: float,
+    max_bucket: int | None,
+    ring_cap: int | None,
+) -> DataFrame:
+    """Vectorized per-bucket THRESHOLD pairs (id_a < id_b, cos >=
+    threshold) — the at-scale pass-1 of
+    ``operators/similarity.cosine_dedup_pairs``, sibling of
+    :func:`_bucket_local_topk` (same input contract and candidate
+    geometry: dense within sane buckets, proj-ordered ring within hot
+    ones). Non-qualifying candidate pairs never leave the numpy batch;
+    the only shuffle after the grouped one is the cross-band dedupe of
+    the (output-sized) qualifying pairs."""
+    import numpy as np
+    import pandas as pd
+
+    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+        if m < 2:
+            return empty
+        ids = pdf["id"].to_numpy(np.int64)
+        U = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        U /= pdf["nrm"].to_numpy(np.float64)[:, None]
+        dense = (max_bucket is None and ring_cap is None) or (
+            max_bucket is not None and m <= max_bucket
+        )
+        if not dense and ring_cap is None:
+            return empty  # skip-only mode: hot bucket dropped entirely
+        if dense:
+            order = np.argsort(ids, kind="mergesort")
+            ids_o = ids[order]
+            G = U[order] @ U[order].T
+            iu, ju = np.triu_indices(m, k=1)
+            cs = G[iu, ju]
+            sel = cs >= threshold
+            a, b, cs = ids_o[iu[sel]], ids_o[ju[sel]], cs[sel]
+        else:
+            c = min(ring_cap, m - 1)
+            order = np.lexsort((ids, pdf["proj"].to_numpy(np.float64)))
+            ids_s = ids[order]
+            Us = U[order]
+            outs_a, outs_b, outs_c = [], [], []
+            for d in range(1, c + 1):
+                dots = np.einsum("ij,ij->i", Us[:-d], Us[d:])
+                sel = dots >= threshold
+                if sel.any():
+                    la, lb = ids_s[:-d][sel], ids_s[d:][sel]
+                    outs_a.append(np.minimum(la, lb))
+                    outs_b.append(np.maximum(la, lb))
+                    outs_c.append(dots[sel])
+            if not outs_a:
+                return empty
+            a = np.concatenate(outs_a)
+            b = np.concatenate(outs_b)
+            cs = np.concatenate(outs_c)
+        return pd.DataFrame({"id_a": a, "id_b": b, "cos_sim": cs})
+
+    parts = exploded.groupBy("band", "bkt").applyInPandas(
+        bucket_fn, schema="id_a long, id_b long, cos_sim double"
+    )
+    # a pair can qualify in several bands with (near-)identical cosines;
+    # one row per pair, deterministic value
+    return parts.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def knn_edges_ann(

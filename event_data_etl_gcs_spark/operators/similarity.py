@@ -211,6 +211,7 @@ def cosine_dedup_pairs(
     collapse_identical: bool = True,
     expand_components: bool = True,
     max_component: int = 10_000,
+    scoring: str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos_sim >= threshold)
     via BANDED random-hyperplane LSH candidates — the scale path:
@@ -278,26 +279,46 @@ def cosine_dedup_pairs(
     else:
         reps = base
 
-    n = None
-    if band_bits is None:
-        from .graph import derive_band_bits
+    from .graph import SCORING_FOLD_MAX_N, derive_band_bits
 
-        n = reps.count()
+    if scoring not in ("auto", "fold", "bucket"):
+        raise ValueError(f"scoring must be auto|fold|bucket, got {scoring!r}")
+    n = reps.count()
+    if band_bits is None:
         band_bits = derive_band_bits(n)
-    cand = banded_srp_candidates(
-        reps.select("id", F.col("v").alias("embedding")),
-        n_bands=n_bands,
-        band_bits=band_bits,
-        max_bucket=max_bucket,
-        ring_cap=ring_cap,
-    ).select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
+    if scoring == "auto":
+        # same strategy switch as knn_edges_ann: the JVM fold is
+        # bit-portable with the DuckDB mirror and costs nothing at
+        # conformance scale; above the bound, pass-1 runs bucket-local
+        # (threshold pairs emitted straight out of numpy batches —
+        # non-duplicates never materialize). cos_sim differs from the
+        # fold by float summation order only; the closure expansion and
+        # the collapse bookkeeping below are strategy-independent.
+        scoring = "fold" if n <= SCORING_FOLD_MAX_N else "bucket"
+    if scoring == "bucket":
+        from .graph import _bucket_local_threshold_pairs, _numpy_banded_signatures
+
+        exploded = _numpy_banded_signatures(
+            reps.select("id", F.col("v").alias("embedding"), "nrm"),
+            n_bands,
+            band_bits,
+        )
+        cand = None
+    else:
+        cand = banded_srp_candidates(
+            reps.select("id", F.col("v").alias("embedding")),
+            n_bands=n_bands,
+            band_bits=band_bits,
+            max_bucket=max_bucket,
+            ring_cap=ring_cap,
+        ).select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"))
 
     # Same join-back physical strategy as knn_edges_ann: broadcast the
     # rep vector table under JOINBACK_BROADCAST_MAX_ROWS so the
     # pairs-sized candidate table never shuffles; plan-only.
     from .graph import JOINBACK_BROADCAST_MAX_ROWS
 
-    bcast = n is not None and n <= JOINBACK_BROADCAST_MAX_ROWS
+    bcast = n <= JOINBACK_BROADCAST_MAX_ROWS
     va = reps.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -318,7 +339,12 @@ def cosine_dedup_pairs(
             .filter(F.col("cos_sim") >= threshold)
         )
 
-    rep_pairs = verify(cand)
+    if scoring == "bucket":
+        rep_pairs = _bucket_local_threshold_pairs(
+            exploded, threshold, max_bucket, ring_cap
+        )
+    else:
+        rep_pairs = verify(cand)
 
     if expand_components:
         # COMPONENT-CLOSURE EXPANSION (round 6, default-on): ring

@@ -224,7 +224,12 @@ def main() -> None:
             f"**{recall:.4f}** of the {expected_intra:,} known intra-group "
             "near-dup pairs (target >= 0.99: near-copies sort "
             "consecutively under the continuous projection, so "
-            "ring_cap=128 > group size 100 finds every pair).\n"
+            "ring_cap=128 > group size 100 finds every pair). Pass-1 "
+            "also runs bucket-local above SCORING_FOLD_MAX_N since "
+            "round 6 (threshold pairs emitted straight from numpy "
+            "batches; the fold pass-1 alone measured 151.7 s of the "
+            "old 162.5 s warm total, same 9,900,000 pairs both ways; "
+            "planted-duplicate parity is pytest-pinned).\n"
             f"- training_corpus_v2_stats with a text-disjoint benchmark "
             f"pool: 1x {v1res} in {tv1:.1f} s -> 100x {v100res} in "
             f"{tv100:.1f} s — non-empty at both scales (the r5 probe "

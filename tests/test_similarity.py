@@ -90,3 +90,41 @@ def test_cap_argument_validation(spark):
         cosine_dedup_pairs(
             emb, max_bucket=0, ring_cap=0
         ).collect()
+
+
+def test_cosine_dedup_bucket_scoring_equals_fold(spark):
+    """Round-6 scoring strategies for cosine_dedup_pairs: the
+    bucket-local pass-1 (threshold pairs emitted straight from numpy
+    batches) finds the SAME pair set as the oracle-mirrored fold path
+    on a duplicate-rich corpus, for both the default geometry and a
+    caps-engaged hybrid where hot buckets take the ring branch."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 40 groups x 8 near-copies (cos >> 0.9 within a group) + 80 loners
+    for g in range(40):
+        center = rng.normal(0, 1, 16)
+        for _ in range(8):
+            v = center + rng.normal(0, 0.02, 16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(80):
+        rows.append((vid, [float(x) for x in rng.normal(0, 1, 16)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pair_map(scoring, **kwargs):
+        out = cosine_dedup_pairs(df, threshold=0.9, scoring=scoring, **kwargs)
+        return {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out.collect()}
+
+    for kwargs in ({}, {"band_bits": 4, "max_bucket": 12, "ring_cap": 6}):
+        fold = pair_map("fold", **kwargs)
+        bucket = pair_map("bucket", **kwargs)
+        assert set(fold) == set(bucket), kwargs
+        assert len(fold) >= 40 * 8 * 7 // 2  # every intra-group pair
+        assert all(abs(fold[p] - bucket[p]) < 1e-12 for p in fold), kwargs
+
+    with pytest.raises(ValueError, match="scoring"):
+        cosine_dedup_pairs(df, scoring="numpy").collect()
