@@ -216,10 +216,18 @@ SHOW = [
     ),
     (
         "knn_graph_edges_ann",
-        "ANN graph build: banded signatures explode map-side, candidates "
+        "ANN graph build (fold strategy — what every conformance-scale "
+        "corpus runs): banded signatures explode map-side, candidates "
         "come from an EQUI-join on (band, bucket) -- no corpus broadcast, "
         "no cross join -- embeddings join back by id, and the per-node "
-        "top-k is a WindowGroupLimit-pruned rank.",
+        "top-k is a WindowGroupLimit-pruned rank. Skew controls "
+        "(max_bucket + ring_cap hybrid, auto band_bits) are DEFAULT-ON "
+        "since round 6; above SCORING_FOLD_MAX_N corpus rows the default "
+        "call switches to the bucket-local scorer (_bucket_local_topk): "
+        "one grouped shuffle on (band, bucket), per-bucket vectorized "
+        "top-k inside Arrow batches (candidate pairs never materialize), "
+        "then a 2.4M-row merge rank — measured 146.6 s -> 20.4 s at the "
+        "100x Gaussian probe with bit-identical edges (SCALE_r6.md).",
     ),
 ]
 

