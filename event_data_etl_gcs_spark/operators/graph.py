@@ -515,6 +515,12 @@ def banded_srp_candidates(
 # vectorized bucket-local numpy path takes over (identical candidate
 # geometry, float-noise-level cos differences only).
 SCORING_FOLD_MAX_N = 4096
+# Bound on the flat candidate table a single ring block materializes
+# inside the bucket-local scorer (entries, not bytes; ~3 int64/float64
+# arrays of this length live at once). Keeps a pathological
+# multi-million-member hot bucket's task memory at a few hundred MB
+# instead of member_count x 2*ring_cap.
+RING_BLOCK_ENTRIES = 16_000_000
 
 
 def _numpy_banded_signatures(
@@ -621,6 +627,8 @@ def _bucket_local_topk(
     import numpy as np
     import pandas as pd
 
+    ring_block_entries = RING_BLOCK_ENTRIES  # driver-side read (testable)
+
     def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         empty = pd.DataFrame(
@@ -658,29 +666,58 @@ def _bucket_local_topk(
             order = np.lexsort((ids, pdf["proj"].to_numpy(np.float64)))
             ids_s = ids[order]
             Us = U[order]
-            D = np.full((m, 2 * c), -np.inf)
-            NB = np.zeros((m, 2 * c), np.int64)
-            for d in range(1, c + 1):
-                dots = np.einsum("ij,ij->i", Us[:-d], Us[d:])
-                D[:-d, d - 1] = dots
-                NB[:-d, d - 1] = ids_s[d:]
-                D[d:, c + d - 1] = dots
-                NB[d:, c + d - 1] = ids_s[:-d]
-            rows = np.repeat(np.arange(m), 2 * c)
-            flat_d = D.ravel()
-            flat_n = NB.ravel()
-            keep = np.isfinite(flat_d)
-            rows, flat_d, flat_n = rows[keep], flat_d[keep], flat_n[keep]
-            # one flat lexsort: (row, cos desc, neighbor id) — then the
-            # first kk entries of each row are its deterministic top-k
-            o = np.lexsort((flat_n, -flat_d, rows))
-            rows, flat_d, flat_n = rows[o], flat_d[o], flat_n[o]
-            starts = np.searchsorted(rows, np.arange(m))
-            pos_in_row = np.arange(len(rows)) - starts[rows]
-            sel = pos_in_row < kk
-            q = ids_s[rows[sel]]
-            nb = flat_n[sel]
-            cs = flat_d[sel]
+            # Blocked ring scan: a flat (member x 2*cap) candidate
+            # table would be the bucket's memory hazard at pathological
+            # sizes (10M members x cap 128 = 20 GB of float64), so
+            # members are processed in row blocks bounded by
+            # RING_BLOCK_ENTRIES candidate entries. Every ring pair
+            # (p, p+d) is computed exactly once — in the block that
+            # owns query row p — and emitted for BOTH directions; a
+            # query's candidates therefore span at most two blocks'
+            # emissions, and the global (query, neighbor) merge + rank
+            # downstream makes the union equal to the unblocked top-k
+            # (tests pin equality under a tiny forced block size).
+            blk = max(1, ring_block_entries // (2 * c))
+            out_q, out_n, out_c = [], [], []
+            for s in range(0, m, blk):
+                e = min(s + blk, m)
+                rows_l, dots_l, nbs_l = [], [], []
+                for d in range(1, c + 1):
+                    p_end = min(e, m - d)  # pairs (p, p+d), p in [s, p_end)
+                    if p_end <= s:
+                        break
+                    dots = np.einsum(
+                        "ij,ij->i", Us[s:p_end], Us[s + d : p_end + d]
+                    )
+                    p = np.arange(s, p_end)
+                    rows_l.append(p)  # forward: query p, neighbor p+d
+                    dots_l.append(dots)
+                    nbs_l.append(ids_s[s + d : p_end + d])
+                    rows_l.append(p + d)  # backward: query p+d, neighbor p
+                    dots_l.append(dots)
+                    nbs_l.append(ids_s[s:p_end])
+                if not rows_l:
+                    continue
+                rows = np.concatenate(rows_l)
+                flat_d = np.concatenate(dots_l)
+                flat_n = np.concatenate(nbs_l)
+                # flat lexsort (row, cos desc, neighbor id): the first
+                # kk entries per row are its deterministic block top-k
+                o = np.lexsort((flat_n, -flat_d, rows))
+                rows, flat_d, flat_n = rows[o], flat_d[o], flat_n[o]
+                uniq, starts = np.unique(rows, return_index=True)
+                first_of_row = np.zeros(len(rows), np.int64)
+                first_of_row[starts] = starts
+                first_of_row = np.maximum.accumulate(first_of_row)
+                sel = np.arange(len(rows)) - first_of_row < kk
+                out_q.append(ids_s[rows[sel]])
+                out_n.append(flat_n[sel])
+                out_c.append(flat_d[sel])
+            if not out_q:
+                return empty
+            q = np.concatenate(out_q)
+            nb = np.concatenate(out_n)
+            cs = np.concatenate(out_c)
         return pd.DataFrame({"query_id": q, "neighbor_id": nb, "cos_sim": cs})
 
     return exploded.groupBy("band", "bkt").applyInPandas(

@@ -328,3 +328,22 @@ def test_knn_ann_bucket_scoring_equals_fold(spark):
 
     with pytest.raises(ValueError, match="scoring"):
         knn_edges_ann(emb, k=3, scoring="numpy")
+
+
+def test_knn_ann_bucket_ring_blocking_identity(spark, monkeypatch):
+    """The blocked ring scan inside the bucket-local scorer (memory
+    bound for pathological hot buckets) is output-invariant: forcing a
+    tiny block budget (many blocks per bucket, block size down to a few
+    rows) yields the same edges as the effectively-unblocked default."""
+    from event_data_etl_gcs_spark.operators import graph as G
+
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kwargs = dict(
+        k=3, band_bits=4, max_bucket=8, ring_cap=5, scoring="bucket"
+    )  # tiny caps: most buckets go down the ring branch
+    baseline = sorted(map(tuple, G.knn_edges_ann(emb, **kwargs).collect()))
+    monkeypatch.setattr(G, "RING_BLOCK_ENTRIES", 40)  # blk = 40//10 = 4 rows
+    blocked = sorted(map(tuple, G.knn_edges_ann(emb, **kwargs).collect()))
+    assert blocked == baseline and len(baseline) > 0
