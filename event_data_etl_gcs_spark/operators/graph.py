@@ -589,6 +589,37 @@ def _numpy_banded_signatures(
     )
 
 
+def _topk_set_mask(D, NB, kk: int):
+    """Boolean mask selecting, per row of ``D``, the top-``kk`` entries
+    by (value desc, neighbor id asc) — as a SET, in O(R*C) partition
+    passes instead of a per-entry lexsort (the global merge downstream
+    re-ranks, so intra-bucket output order is irrelevant; only WHICH
+    candidates survive matters, and exact-value ties — duplicate
+    vectors — must resolve to the LOWEST neighbor ids to match the
+    fold path's global (cos DESC, id ASC) rank).
+
+    D: (R, C) float64, -inf padding for absent entries. NB: (R, C)
+    int64 neighbor ids (padding arbitrary)."""
+    import numpy as np
+
+    R, C = D.shape
+    kk = min(kk, C)
+    # per-row boundary = kk-th largest value
+    b = -np.partition(-D, kk - 1, axis=1)[:, kk - 1 : kk]
+    strict = D > b
+    # ties AT the boundary: take the `need` smallest neighbor ids
+    finite_eq = (D == b) & np.isfinite(D)
+    need = (kk - strict.sum(axis=1)).astype(np.int64)
+    big = np.iinfo(np.int64).max
+    nidq = np.where(finite_eq, NB, big)
+    small = np.sort(np.partition(nidq, kk - 1, axis=1)[:, :kk], axis=1)
+    thr = np.take_along_axis(
+        small, np.maximum(need - 1, 0)[:, None], axis=1
+    )
+    take_eq = finite_eq & (NB <= thr) & (need[:, None] > 0)
+    return strict | take_eq
+
+
 def _bucket_local_topk(
     exploded: DataFrame,
     k: int,
@@ -654,13 +685,12 @@ def _bucket_local_topk(
         if dense:
             G = U @ U.T
             np.fill_diagonal(G, -np.inf)
-            # rows are id-sorted, so a stable argsort on -cos breaks
-            # exact-cos ties (duplicate vectors) by neighbor id — the
-            # same (cos DESC, neighbor_id) order the final window uses
-            idx = np.argsort(-G, axis=1, kind="stable")[:, :kk]
-            q = np.repeat(ids, kk)
-            nb = ids[idx].ravel()
-            cs = np.take_along_axis(G, idx, axis=1).ravel()
+            NB = np.broadcast_to(ids, (m, m))
+            mask = _topk_set_mask(G, NB, kk)
+            qi, nj = np.nonzero(mask)
+            q = ids[qi]
+            nb = ids[nj]
+            cs = G[qi, nj]
         else:
             c = min(ring_cap, m - 1)
             order = np.lexsort((ids, pdf["proj"].to_numpy(np.float64)))
@@ -681,7 +711,12 @@ def _bucket_local_topk(
             out_q, out_n, out_c = [], [], []
             for s in range(0, m, blk):
                 e = min(s + blk, m)
-                rows_l, dots_l, nbs_l = [], [], []
+                # rows touched by this block's pairs: queries p in
+                # [s, e) (forward) and p+d up to e-1+c (backward)
+                hi = min(e + c, m)
+                R = hi - s
+                D = np.full((R, 2 * c), -np.inf)
+                NB = np.zeros((R, 2 * c), np.int64)
                 for d in range(1, c + 1):
                     p_end = min(e, m - d)  # pairs (p, p+d), p in [s, p_end)
                     if p_end <= s:
@@ -689,30 +724,16 @@ def _bucket_local_topk(
                     dots = np.einsum(
                         "ij,ij->i", Us[s:p_end], Us[s + d : p_end + d]
                     )
-                    p = np.arange(s, p_end)
-                    rows_l.append(p)  # forward: query p, neighbor p+d
-                    dots_l.append(dots)
-                    nbs_l.append(ids_s[s + d : p_end + d])
-                    rows_l.append(p + d)  # backward: query p+d, neighbor p
-                    dots_l.append(dots)
-                    nbs_l.append(ids_s[s:p_end])
-                if not rows_l:
-                    continue
-                rows = np.concatenate(rows_l)
-                flat_d = np.concatenate(dots_l)
-                flat_n = np.concatenate(nbs_l)
-                # flat lexsort (row, cos desc, neighbor id): the first
-                # kk entries per row are its deterministic block top-k
-                o = np.lexsort((flat_n, -flat_d, rows))
-                rows, flat_d, flat_n = rows[o], flat_d[o], flat_n[o]
-                uniq, starts = np.unique(rows, return_index=True)
-                first_of_row = np.zeros(len(rows), np.int64)
-                first_of_row[starts] = starts
-                first_of_row = np.maximum.accumulate(first_of_row)
-                sel = np.arange(len(rows)) - first_of_row < kk
-                out_q.append(ids_s[rows[sel]])
-                out_n.append(flat_n[sel])
-                out_c.append(flat_d[sel])
+                    rr = np.arange(s - s, p_end - s)
+                    D[rr, d - 1] = dots  # forward: query p
+                    NB[rr, d - 1] = ids_s[s + d : p_end + d]
+                    D[rr + d, c + d - 1] = dots  # backward: query p+d
+                    NB[rr + d, c + d - 1] = ids_s[s:p_end]
+                mask = _topk_set_mask(D, NB, kk)
+                qi, cj = np.nonzero(mask)
+                out_q.append(ids_s[qi + s])
+                out_n.append(NB[qi, cj])
+                out_c.append(D[qi, cj])
             if not out_q:
                 return empty
             q = np.concatenate(out_q)

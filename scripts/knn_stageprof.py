@@ -30,7 +30,7 @@ def main() -> None:
             "spark.eventLog.dir": f"file:{LOGDIR}",
         },
     )
-    gdf = spark.read.parquet("/tmp/spark_graft_scale_r6/gauss200000.parquet")
+    gdf = spark.read.parquet("/tmp/spark_graft_scale_r6/gauss1000000.parquet")
     t0 = time.perf_counter()
     n = knn_edges_ann(gdf, k=3).count()
     wall = time.perf_counter() - t0
