@@ -225,9 +225,11 @@ SHOW = [
         "since round 6; above SCORING_FOLD_MAX_N corpus rows the default "
         "call switches to the bucket-local scorer (_bucket_local_topk): "
         "one grouped shuffle on (band, bucket), per-bucket vectorized "
-        "top-k inside Arrow batches (candidate pairs never materialize), "
-        "then a 2.4M-row merge rank — measured 146.6 s -> 20.4 s at the "
-        "100x Gaussian probe with bit-identical edges (SCALE_r6.md).",
+        "top-k inside Arrow batches (candidate pairs never materialize; "
+        "selection is partition-based set extraction, no per-entry "
+        "sorts), then a small merge rank — measured 146.6 s -> 7.4 s at "
+        "the 100x Gaussian probe with bit-identical edges, 49 s at "
+        "500x/1M vectors (SCALE_r6.md).",
     ),
 ]
 
