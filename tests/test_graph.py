@@ -347,3 +347,30 @@ def test_knn_ann_bucket_ring_blocking_identity(spark, monkeypatch):
     monkeypatch.setattr(G, "RING_BLOCK_ENTRIES", 40)  # blk = 40//10 = 4 rows
     blocked = sorted(map(tuple, G.knn_edges_ann(emb, **kwargs).collect()))
     assert blocked == baseline and len(baseline) > 0
+
+
+def test_topk_set_mask_property():
+    """_topk_set_mask == brute-force (value desc, neighbor asc) top-k
+    selection, over randomized shapes including exact-value ties
+    (duplicate vectors), -inf padding, rows with fewer than k finite
+    entries, and k >= row width. Pure numpy — no Spark."""
+    import numpy as np
+
+    from event_data_etl_gcs_spark.operators.graph import _topk_set_mask
+
+    rng = np.random.default_rng(123)
+    for trial in range(200):
+        R = int(rng.integers(1, 12))
+        C = int(rng.integers(1, 20))
+        kk = int(rng.integers(1, 8))
+        # few distinct values -> lots of exact ties
+        D = rng.choice([-np.inf, 0.1, 0.5, 0.5, 0.9], size=(R, C))
+        NB = rng.permutation(R * C * 3)[: R * C].reshape(R, C).astype(np.int64)
+        mask = _topk_set_mask(D, NB, kk)
+        for r in range(R):
+            finite = [
+                (-D[r, j], NB[r, j], j) for j in range(C) if np.isfinite(D[r, j])
+            ]
+            expect = {j for _, _, j in sorted(finite)[: min(kk, C)]}
+            got = set(np.nonzero(mask[r])[0])
+            assert got == expect, (trial, r, D[r], NB[r], kk)
