@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..operators.dedup import minhash_incremental_pairs
@@ -169,6 +170,115 @@ def run_streaming_pq_ingest(
         pack_codes(pq_append_batch(batch_df, codebook)).write.mode(
             "append"
         ).parquet(f"{index_dir}/codes")
+
+    q = (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()
+
+
+VECTOR_INDEX_SCHEMA = "id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE"
+TOPK_STATE_SCHEMA = "query_id LONG, neighbor_id LONG, cos_sim DOUBLE"
+
+
+def knn_maintain_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    k: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 4,
+) -> None:
+    """One increment of streaming kNN-graph maintenance (see
+    operators/graph.knn_topk_append_batch for the semantics and the
+    batch-split-invariance contract).
+
+    State layout under ``index_dir``:
+
+    * ``vectors/batch_id=N/`` — the vector index, appended per batch
+      via a dynamic partition OVERWRITE of this batch's own partition:
+      a foreachBatch replay rewrites the same partition instead of
+      duplicating rows (replay-idempotent), and the candidate join
+      reads existing vectors as ``batch_id != current`` so a replay
+      after a partial commit scores the same candidate set.
+    * ``topk/`` — the directed top-k state, a full functional rewrite
+      per batch (state = f(prior state, batch): recomputing is
+      idempotent). Edge-count-bounded at n x k rows; at 100 TB rewrite
+      only the touched query_ids via MERGE/replace instead.
+    """
+    from ..operators.graph import knn_topk_append_batch
+
+    spark = batch_df.sparkSession
+    vec_path = os.path.join(index_dir, "vectors")
+    topk_path = os.path.join(index_dir, "topk")
+    has_vecs = os.path.exists(vec_path) and any(
+        n.startswith("batch_id=") for n in os.listdir(vec_path)
+    )
+    if has_vecs:
+        existing_vecs = (
+            spark.read.parquet(vec_path)
+            .filter(F.col("batch_id") != batch_id)
+            .select("id", "embedding", "nrm")
+        )
+    else:
+        existing_vecs = spark.createDataFrame([], VECTOR_INDEX_SCHEMA)
+    if os.path.exists(os.path.join(topk_path, "_SUCCESS")):
+        existing_topk = spark.read.parquet(topk_path)
+    else:
+        existing_topk = spark.createDataFrame([], TOPK_STATE_SCHEMA)
+
+    updated, new_vecs = knn_topk_append_batch(
+        batch_df,
+        existing_vecs,
+        existing_topk,
+        k=k,
+        n_bands=n_bands,
+        band_bits=band_bits,
+    )
+    # the rewrite is derived from the state it replaces — materialize
+    # (and cut the plan) BEFORE overwriting what it reads
+    updated = updated.localCheckpoint(eager=True)
+    new_vecs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(vec_path)
+    updated.write.mode("overwrite").parquet(topk_path)
+
+
+def run_streaming_knn_maintenance(
+    spark: SparkSession,
+    emb_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming kNN-graph maintenance: each arriving embedding batch
+    joins the persisted banded-signature candidate space, is exactly
+    cosine-scored against its bucket matches, and the directed top-k
+    state is re-ranked — completing the incremental-ANN story alongside
+    the MinHash near-dedup index, the IVF cell ingest and the PQ code
+    ingest. The final state is invariant to how the corpus was split
+    into batches, and its edge derivation equals the uncapped batch
+    build (both pytest-pinned)."""
+    schema = spark.read.parquet(emb_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        knn_maintain_batch(
+            batch_df, batch_id, index_dir, k=k, n_bands=n_bands,
+            band_bits=band_bits,
+        )
 
     q = (
         raw.writeStream.trigger(availableNow=True)

@@ -154,3 +154,77 @@ def test_fact_append_is_exactly_once_across_replay(spark, tmp_path):
     assert spark.read.parquet(p).count() == 5
     idempotent_append(df, p, batch_id=1)
     assert spark.read.parquet(p).count() == 10
+
+
+def test_streaming_knn_maintenance_equals_batch_build(spark, tmp_path):
+    """Streaming kNN-graph maintenance: (a) the final directed top-k
+    state is IDENTICAL however the corpus is split into batches (1 file
+    vs 4 files); (b) its u<v edge derivation equals the uncapped batch
+    build (fold scoring, same pinned band geometry); (c) a replayed
+    increment leaves the state unchanged (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.operators.graph import (
+        knn_edges_ann,
+        knn_topk_to_edges,
+    )
+    from event_data_etl_gcs_spark.streaming.neardedup import (
+        knn_maintain_batch,
+        run_streaming_knn_maintenance,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def state(split_dir: str, index_dir: str, n_files: int):
+        emb.repartition(n_files).write.mode("overwrite").parquet(split_dir)
+        run_streaming_knn_maintenance(
+            spark,
+            split_dir,
+            index_dir,
+            str(tmp_path / (index_dir.rsplit("/", 1)[-1] + "_ckpt")),
+            k=3,
+            band_bits=4,
+            max_files_per_trigger=1,
+        )
+        return spark.read.parquet(f"{index_dir}/topk")
+
+    one = state(str(tmp_path / "src1"), str(tmp_path / "idx1"), 1)
+    four = state(str(tmp_path / "src4"), str(tmp_path / "idx4"), 4)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in df.collect()
+        )
+
+    assert rows(one) == rows(four) and len(rows(one)) > 0
+
+    streamed_edges = sorted(map(tuple, knn_topk_to_edges(four).collect()))
+    batch_edges = sorted(
+        map(
+            tuple,
+            knn_edges_ann(
+                spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+                k=3,
+                band_bits=4,
+                max_bucket=None,
+                ring_cap=None,
+                scoring="fold",
+            ).collect(),
+        )
+    )
+    assert streamed_edges == batch_edges
+
+    # replay the LAST batch id against the committed state: overwrite of
+    # the same vectors/batch_id partition + functional topk rewrite ->
+    # state unchanged
+    idx = str(tmp_path / "idx4")
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    last_bid = vecs.agg(F.max("batch_id")).collect()[0][0]
+    replay_batch = vecs.filter(F.col("batch_id") == last_bid).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    before = rows(spark.read.parquet(f"{idx}/topk"))
+    knn_maintain_batch(replay_batch, int(last_bid), idx, k=3, band_bits=4)
+    assert rows(spark.read.parquet(f"{idx}/topk")) == before
