@@ -190,6 +190,39 @@ def write_zordered(
     out.write.mode(mode).parquet(path)
 
 
+def _path_render(p) -> str | None:
+    """Render a collected partition VALUE the way Spark renders it in a
+    hive path (before %-escaping). ``str()`` alone diverges for
+    booleans — Spark writes ``col=true`` but ``str(True)`` is
+    ``'True'`` — so a fully-vacated boolean partition directory would
+    never match and its stale rows resurface on the next read
+    (ADVICE r6). Floats use ``repr`` (Python ``str`` == ``repr`` on
+    py3 floats, both shortest-round-trip like Java's Double.toString
+    for the plain-decimal range partition values fall in)."""
+    if p is None:
+        return None
+    if isinstance(p, bool):
+        return "true" if p else "false"
+    return str(p)
+
+
+def _partition_match(partition_col: str, values: list):
+    """Row-level predicate matching the given partition values —
+    INCLUDING null. A bare ``isin(values)`` never matches NULL (SQL
+    three-valued logic), so when the null partition is affected the
+    sub-scan would silently exclude its rows: they'd be missing from
+    the rewrite AND from the survivor set, and the whole
+    ``__HIVE_DEFAULT_PARTITION__`` directory would then be rmtree'd —
+    destroying non-matching rows (ADVICE r6, data loss)."""
+    from pyspark.sql import functions as F
+
+    non_null = [v for v in values if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
 def _vacated_partition_dirs(
     table_dir: str, partition_col: str, parts: list
 ) -> list[str]:
@@ -200,7 +233,9 @@ def _vacated_partition_dirs(
     null as __HIVE_DEFAULT_PARTITION__, so a raw ``col=value`` string
     misses those directories, leaving stale rows that resurface on the
     next read. Matching on the DECODED value sidesteps the escaping
-    table entirely."""
+    table entirely; collected values go through :func:`_path_render`
+    so types whose Python ``str()`` diverges from Spark's rendering
+    (booleans) still match."""
     from urllib.parse import unquote
 
     prefix = partition_col + "="
@@ -217,7 +252,7 @@ def _vacated_partition_dirs(
         by_value[val] = os.path.join(table_dir, e)
     out = []
     for p in parts:
-        key = None if p is None else str(p)
+        key = _path_render(p)
         if key in by_value:
             out.append(by_value[key])
     return out
@@ -254,7 +289,7 @@ def delete_where(
     ]
     if not affected:
         return 0
-    sub = df.filter(F.col(partition_col).isin(affected))
+    sub = df.filter(_partition_match(partition_col, affected))
     n_before = sub.count()
     keep = sub.filter(f"NOT ({predicate})")
     n_after = keep.count()
@@ -336,7 +371,7 @@ def merge_into(
     ]
     if not affected:
         return (0, 0)
-    sub = target.filter(F.col(partition_col).isin(affected))
+    sub = target.filter(_partition_match(partition_col, affected))
     if validate_source_keys:
         tdup = (
             sub.groupBy(*key_cols)
@@ -397,7 +432,7 @@ def update_where(
     ]
     if not affected:
         return 0
-    sub = df.filter(F.col(partition_col).isin(affected))
+    sub = df.filter(_partition_match(partition_col, affected))
     n_updated = sub.filter(predicate).count()
     match = F.expr(predicate)
     updated = sub.withColumns(

@@ -255,6 +255,95 @@ def test_merge_rejects_duplicate_target_keys(spark, tmp_path):
         merge_into(spark, d, src, ["event_id"], "day")
 
 
+def test_delete_null_partition_keeps_nonmatching_null_rows(spark, tmp_path):
+    """ADVICE r6 (data loss): when the predicate touches a row in the
+    NULL partition, `isin(affected)` never matches NULL, so before the
+    fix the null partition's rows were excluded from the rewrite AND
+    the survivor set — and the whole __HIVE_DEFAULT_PARTITION__
+    directory was rmtree'd, destroying its non-matching rows."""
+    d = str(tmp_path / "nullpart")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, None), (4, 40, None)],
+        "id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+    assert os.path.isdir(os.path.join(d, "day=__HIVE_DEFAULT_PARTITION__"))
+
+    deleted = delete_where(spark, d, "val = 20", "day")
+    assert deleted == 1
+    # the null partition survives with its other rows intact
+    assert os.path.isdir(os.path.join(d, "day=__HIVE_DEFAULT_PARTITION__"))
+    back = spark.read.parquet(d)
+    got = {(r["id"], r["day"]) for r in back.collect()}
+    assert got == {(1, "a"), (3, None), (4, None)}
+
+
+def test_delete_fully_vacated_null_partition_removed(spark, tmp_path):
+    d = str(tmp_path / "nullpart_vacate")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, None)],
+        "id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+
+    deleted = delete_where(spark, d, "day IS NULL", "day")
+    assert deleted == 2
+    assert not os.path.isdir(os.path.join(d, "day=__HIVE_DEFAULT_PARTITION__"))
+    back = spark.read.parquet(d)
+    assert [(r["id"], r["day"]) for r in back.collect()] == [(1, "a")]
+
+
+def test_update_null_partition_rows(spark, tmp_path):
+    from event_data_etl_gcs_spark.sources.parquet_sink import update_where
+
+    d = str(tmp_path / "nullpart_upd")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, None)],
+        "id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+
+    updated = update_where(spark, d, "val >= 20", {"val": "val + 1"}, "day")
+    assert updated == 2
+    back = {r["id"]: (r["val"], r["day"]) for r in spark.read.parquet(d).collect()}
+    assert back == {1: (10, "a"), 2: (21, None), 3: (31, None)}
+
+
+def test_merge_into_null_partition(spark, tmp_path):
+    """MERGE whose source updates a key living in the null partition and
+    inserts a new null-partition row: the null partition is rewritten
+    (not destroyed) and its unmatched rows survive."""
+    from event_data_etl_gcs_spark.sources.parquet_sink import merge_into
+
+    d = str(tmp_path / "nullpart_merge")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, None)],
+        "event_id long, val long, day string",
+    ).write.mode("overwrite").partitionBy("day").parquet(d)
+
+    src = spark.createDataFrame(
+        [(2, 99, None), (9, 900, None)],
+        "event_id long, val long, day string",
+    )
+    n_upd, n_ins = merge_into(spark, d, src, ["event_id"], "day")
+    assert (n_upd, n_ins) == (1, 1)
+    back = {r["event_id"]: (r["val"], r["day"]) for r in spark.read.parquet(d).collect()}
+    assert back == {1: (10, "a"), 2: (99, None), 3: (30, None), 9: (900, None)}
+
+
+def test_path_render_boolean_and_null():
+    """ADVICE r6: Spark renders a boolean partition value as
+    'true'/'false' in the hive path, but str(True) is 'True' — a
+    vacated boolean partition dir would never match. (Note: Spark's
+    partition-type inference reads bool partitions back as STRING, so
+    only source-side collected values — merge_into's src_parts — ever
+    surface Python bools here.)"""
+    from event_data_etl_gcs_spark.sources.parquet_sink import _path_render
+
+    assert _path_render(True) == "true"
+    assert _path_render(False) == "false"
+    assert _path_render(None) is None
+    assert _path_render(7) == "7"
+    assert _path_render("a:b") == "a:b"
+
+
 def test_read_hdr_quantiles_before_any_commit_is_loud(spark, tmp_path):
     import pytest
 
