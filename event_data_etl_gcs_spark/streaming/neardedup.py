@@ -205,12 +205,26 @@ def knn_maintain_batch(
       reads existing vectors as ``batch_id != current`` so a replay
       after a partial commit scores the same candidate set.
     * ``topk/`` — the directed top-k state, a full functional rewrite
-      per batch (state = f(prior state, batch): recomputing is
-      idempotent). Edge-count-bounded at n x k rows; at 100 TB rewrite
-      only the touched query_ids via MERGE/replace instead.
+      per batch committed through the crash-atomic generation pattern
+      of :mod:`.sketches` (``gen=N`` data first, manifest pointer last,
+      ``os.replace`` atomic): a crash mid-rewrite leaves the previous
+      generation readable, so a foreachBatch replay folds the batch
+      into the REAL prior state instead of silently resetting to empty
+      — the in-place ``_SUCCESS``-gated overwrite this replaced could
+      permanently drop all prior neighbors on a crash between delete
+      and commit (ADVICE r6). Edge-count-bounded at n x k rows; at
+      100 TB rewrite only the touched query_ids via MERGE/replace
+      instead.
     """
     from ..operators.graph import knn_topk_append_batch
+    from .sketches import commit_state, read_state
 
+    # Same lesson as merge_into's source checkpoint: a batch frame
+    # LAZILY derived from the index itself (a replay re-fed from
+    # vectors/, tests do exactly this) would be re-read AFTER its own
+    # partition is overwritten below. One eager batch-sized checkpoint
+    # closes the read-overwrite hazard for any batch provenance.
+    batch_df = batch_df.localCheckpoint(eager=True)
     spark = batch_df.sparkSession
     vec_path = os.path.join(index_dir, "vectors")
     topk_path = os.path.join(index_dir, "topk")
@@ -225,9 +239,8 @@ def knn_maintain_batch(
         )
     else:
         existing_vecs = spark.createDataFrame([], VECTOR_INDEX_SCHEMA)
-    if os.path.exists(os.path.join(topk_path, "_SUCCESS")):
-        existing_topk = spark.read.parquet(topk_path)
-    else:
+    existing_topk = read_state(spark, topk_path, TOPK_STATE_SCHEMA)
+    if existing_topk is None:
         existing_topk = spark.createDataFrame([], TOPK_STATE_SCHEMA)
 
     updated, new_vecs = knn_topk_append_batch(
@@ -238,15 +251,37 @@ def knn_maintain_batch(
         n_bands=n_bands,
         band_bits=band_bits,
     )
-    # the rewrite is derived from the state it replaces — materialize
-    # (and cut the plan) BEFORE overwriting what it reads
-    updated = updated.localCheckpoint(eager=True)
+    # Vector index first (a replay overwrites the same batch_id
+    # partition, which `updated` never reads — it filters batch_id !=
+    # current); then the state generation. A crash between the two
+    # replays the batch against the OLD topk gen + the committed
+    # vectors, reproducing the same new generation. The old generation
+    # stays on disk untouched while gen N+1 is built, so `updated` can
+    # read it lazily during the write — no checkpoint-before-overwrite
+    # dance (commit_state's contract).
     new_vecs.withColumn("batch_id", F.lit(batch_id)).write.mode(
         "overwrite"
     ).option("partitionOverwriteMode", "dynamic").partitionBy(
         "batch_id"
     ).parquet(vec_path)
-    updated.write.mode("overwrite").parquet(topk_path)
+    commit_state(updated, topk_path)
+
+
+def read_knn_topk(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Current committed directed top-k state of a streaming kNN index
+    (query_id, neighbor_id, cos_sim). Raises if no generation has
+    committed yet."""
+    from .sketches import read_state
+
+    state = read_state(
+        spark, os.path.join(index_dir, "topk"), TOPK_STATE_SCHEMA
+    )
+    if state is None:
+        raise FileNotFoundError(
+            f"no committed kNN top-k state under {index_dir!r}: run "
+            "run_streaming_knn_maintenance over at least one batch first"
+        )
+    return state
 
 
 def run_streaming_knn_maintenance(
