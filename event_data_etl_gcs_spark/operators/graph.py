@@ -19,6 +19,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Cached-intermediate accounting (ADVICE r6): banded_srp_candidates (and
+# cosine_dedup_pairs' member map) persist skinny tables consumed by several
+# branches of ONE build, but the build's result is returned LAZILY — the
+# builder cannot unpersist before its caller materializes. Instead every
+# such frame is registered here and the PREVIOUS build's caches are
+# released on the next public entry (knn_edges_ann / cosine_dedup_pairs),
+# bounding accumulated executor storage at one build's worth in
+# long-lived drivers and streaming loops. Unpersisting is always safe:
+# an older still-lazy result simply recomputes if materialized later.
+# ---------------------------------------------------------------------------
+_ANN_CACHES: list[DataFrame] = []
+
+
+def _track_ann_cache(df: DataFrame) -> DataFrame:
+    _ANN_CACHES.append(df)
+    return df
+
+
+def release_ann_caches() -> None:
+    """Unpersist every intermediate cached by prior ANN/embedding-dedup
+    builds. Called automatically at each public build entry; callers
+    that materialized their result and want the executor storage back
+    immediately may also call it directly."""
+    while _ANN_CACHES:
+        df = _ANN_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing to release
+
 
 def connected_components(
     edges: DataFrame,
@@ -411,7 +442,8 @@ def banded_srp_candidates(
     # a triple signature pass at 200k x 40 planes. The table itself is
     # skinny (id, band, bkt — ~24 B x n x n_bands; MEMORY_AND_DISK
     # spills rather than OOMs at 100 TB scale), the arrays stay behind.
-    banded = banded.persist()
+    # Tracked for release on the next build (see _ANN_CACHES above).
+    banded = _track_ann_cache(banded.persist())
 
     def exact_pairs(members: DataFrame) -> DataFrame:
         a = members.alias("a")
@@ -448,7 +480,7 @@ def banded_srp_candidates(
         # skinny ranked table (ids + positions, embeddings already
         # projected away) so the hot-member embedding join + projection
         # fold + double window run once, not twice.
-        pos = (
+        pos = _track_ann_cache(
             members.join(base.select("id", "embedding"), "id")
             .withColumn("proj", F.expr(proj))
             .withColumn("pos", F.row_number().over(wpos))
@@ -1069,6 +1101,7 @@ def knn_edges_ann(
 
     if scoring not in ("auto", "fold", "bucket"):
         raise ValueError(f"scoring must be auto|fold|bucket, got {scoring!r}")
+    release_ann_caches()  # previous build's tracked intermediates
     base = vectors.select(
         F.col("vec_id").alias("id"),
         "embedding",

@@ -254,13 +254,14 @@ def cosine_dedup_pairs(
       ``max_component`` bounds the quadratic expansion with a loud
       error (threshold graphs can chain beyond a clique).
     """
-    from .graph import banded_srp_candidates
+    from .graph import banded_srp_candidates, release_ann_caches
 
     if (max_bucket is None) != (ring_cap is None):
         raise ValueError(
             "cosine_dedup_pairs: pass max_bucket AND ring_cap (hybrid) or "
             "neither (uncapped); skip-only mode drops duplicates silently"
         )
+    release_ann_caches()  # previous build's tracked intermediates
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -272,7 +273,11 @@ def cosine_dedup_pairs(
         mem = base.withColumn(
             "rep_id", F.min("id").over(Window.partitionBy("v"))
         )
-        mem_ids = mem.select("id", "rep_id").cache()
+        from .graph import _track_ann_cache
+
+        # consumed by four lazy references in the returned expansion
+        # plan; tracked for release on the next build (ADVICE r6)
+        mem_ids = _track_ann_cache(mem.select("id", "rep_id").cache())
         reps = mem.filter(F.col("id") == F.col("rep_id")).select(
             "id", "v", "nrm"
         )

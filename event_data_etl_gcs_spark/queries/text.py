@@ -751,29 +751,55 @@ def code_switch_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _compression_expected_sql(sf_dir: str) -> str:
-    """Expected-table oracle (round 6): DEFLATE has no SQL form, so the
-    expected (doc_id, n_bytes, n_compressed) triples are precomputed
-    with DIRECT zlib calls over the parquet text — no Spark, no Arrow
-    batch path, just the compressor the query's contract names — and
-    pinned as a VALUES literal. The ratio division stays in SQL so no
-    float literal rides the comparison (same IEEE operands → same
-    double in both engines)."""
+    """Expected-table oracle: DEFLATE has no SQL form, so the expected
+    (doc_id, n_bytes, n_compressed) triples are precomputed with DIRECT
+    zlib calls over the parquet text — no Spark, no Arrow batch path,
+    just the compressor the query's contract names. The ratio division
+    stays in SQL so no float literal rides the comparison (same IEEE
+    operands → same double in both engines).
+
+    SCALE-ADAPTIVE since round 7 (ADVICE r6): rather than pinning a
+    VALUES literal to ONE corpus — silently wrong if the grading driver
+    evaluates the oracle at a different scale factor than the one this
+    SQL was materialized at — the expected rows for EVERY sibling
+    sf dir are emitted, keyed by (doc_id, md5-of-utf8-text), and the
+    SQL joins them against the live ``documents`` view. Whatever corpus
+    the driver registers, exactly its rows self-select (md5 pins the
+    content, so a doc_id reused across scale factors with different
+    text cannot mis-match); an entirely unknown corpus drops to zero
+    rows — a loud count mismatch instead of silently wrong values."""
+    import glob
+    import hashlib
+    import os
     import zlib
 
     import duckdb
 
-    rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
-    ).fetchall()
-    vals = []
-    for doc_id, text in rows:
-        raw = text.encode("utf-8")
-        vals.append(f"({doc_id},{len(raw)},{len(zlib.compress(raw, 6))})")
+    root = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    doc_files = sorted(glob.glob(os.path.join(root, "*", "documents.parquet")))
+    if not doc_files:
+        doc_files = [os.path.join(sf_dir, "documents.parquet")]
+    expected: dict[tuple[int, str], tuple[int, int]] = {}
+    for f in doc_files:
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM '{f}' ORDER BY doc_id"
+        ).fetchall()
+        for doc_id, text in rows:
+            raw = text.encode("utf-8")
+            key = (doc_id, hashlib.md5(raw).hexdigest())
+            expected[key] = (len(raw), len(zlib.compress(raw, 6)))
+    vals = ",".join(
+        f"({doc_id},'{md5}',{nb},{nc})"
+        for (doc_id, md5), (nb, nc) in sorted(expected.items())
+    )
     return (
-        "SELECT doc_id, n_bytes, n_compressed, "
-        "CASE WHEN n_bytes = 0 THEN CAST(1 AS DOUBLE) "
-        "ELSE CAST(n_compressed AS DOUBLE) / n_bytes END AS compression_ratio "
-        f"FROM (VALUES {','.join(vals)}) AS t(doc_id, n_bytes, n_compressed)"
+        "SELECT d.doc_id, e.n_bytes, e.n_compressed, "
+        "CASE WHEN e.n_bytes = 0 THEN CAST(1 AS DOUBLE) "
+        "ELSE CAST(e.n_compressed AS DOUBLE) / e.n_bytes END "
+        "AS compression_ratio "
+        f"FROM documents d JOIN (VALUES {vals}) "
+        "AS e(doc_id, md5_hex, n_bytes, n_compressed) "
+        "ON d.doc_id = e.doc_id AND md5(d.text) = e.md5_hex"
     )
 
 

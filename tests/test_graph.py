@@ -374,3 +374,35 @@ def test_topk_set_mask_property():
             expect = {j for _, _, j in sorted(finite)[: min(kk, C)]}
             got = set(np.nonzero(mask[r])[0])
             assert got == expect, (trial, r, D[r], NB[r], kk)
+
+
+def test_ann_cache_accounting_bounded(spark):
+    """ADVICE r6: the skinny intermediates persisted inside
+    banded_srp_candidates / cosine_dedup_pairs must not accumulate
+    across builds — each public entry releases the previous build's
+    tracked caches, bounding executor storage at one generation in
+    long-lived drivers and streaming loops."""
+    from event_data_etl_gcs_spark.operators import graph
+    from event_data_etl_gcs_spark.operators.similarity import cosine_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    graph.release_ann_caches()
+    graph.knn_edges_ann(emb, k=2, band_bits=4, scoring="fold").count()
+    first = list(graph._ANN_CACHES)
+    assert first, "the banded signature table should be tracked"
+    assert all(df.is_cached for df in first)
+
+    # second build releases the first build's caches at entry
+    graph.knn_edges_ann(emb, k=2, band_bits=4, scoring="fold").count()
+    assert all(not df.is_cached for df in first)
+    second = list(graph._ANN_CACHES)
+    assert all(df.is_cached for df in second)
+
+    # cosine_dedup_pairs shares the registry (mem_ids + candidate engine)
+    cosine_dedup_pairs(emb, threshold=0.95, scoring="fold").count()
+    assert all(not df.is_cached for df in second)
+    assert graph._ANN_CACHES and all(df.is_cached for df in graph._ANN_CACHES)
+
+    graph.release_ann_caches()
+    assert not graph._ANN_CACHES

@@ -337,3 +337,35 @@ def test_corpus_v2_invariants(spark):
         == 0
     )
     out.unpersist()
+
+
+def test_compression_oracle_is_scale_adaptive(spark):
+    """ADVICE r6: the expected-table oracle used to pin a VALUES literal
+    to the ONE corpus it was materialized at — silently wrong if the
+    grading driver evaluated it at another scale factor. It now emits
+    expected rows for every sibling sf dir keyed by (doc_id, md5 of
+    text) and joins the live documents view, so the SAME materialized
+    SQL is exact at every testdata scale."""
+    import duckdb
+    import pandas as pd
+
+    from event_data_etl_gcs_spark.queries import all_queries
+    from event_data_etl_gcs_spark.queries.registry import resolve_oracle
+
+    from .conftest import normalize
+
+    spec = all_queries()["compression_ratio_quality"]
+    sql = resolve_oracle(spec, "/root/testdata/sf0.01")  # one materialization
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        want = normalize(con.execute(sql).df())
+        con.close()
+        got = normalize(spec.fn(spark, f"/root/testdata/{sf}").toPandas())
+        assert len(want) == len(got) and len(got) > 0, sf
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, check_exact=True, obj=f"adaptive@{sf}"
+        )
