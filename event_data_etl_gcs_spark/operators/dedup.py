@@ -452,3 +452,149 @@ def fuzzy_pairs_levenshtein(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs: (id_a, id_b, containment)
+    with containment = |S_a ∩ S_b| / |S_a| >= threshold — the
+    doc-within-doc duplication signal symmetric Jaccard misses (a short
+    document quoted inside a long one has high containment but LOW
+    Jaccard, so MinHash-LSH's band collisions — tuned for Jaccard —
+    systematically under-sample exactly these pairs).
+
+    Candidates come from PREFIX FILTERING (the SSJoin/PPJoin family,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): order each doc's
+    shingles by ascending global document frequency (rarest first) and
+    emit only its first ``n_a - ceil(t * n_a) + 1`` as probe keys; a
+    container sharing >= ceil(t * n_a) of A's shingles CANNOT miss all
+    of them (pigeonhole), so the filter is EXACT — zero false
+    negatives, which is why the registered query's oracle is the plain
+    all-pairs form. The threshold is carried as a RATIONAL
+    (threshold_num / threshold_den) so the required-overlap count is
+    exact integer arithmetic — ``ceil(0.8 * n)`` in floating point can
+    round up past the true bound and silently drop true pairs.
+
+    Scale shape: one explode of the distinct shingle sets (skinny
+    (id, h) rows — the arrays never ride the probe join), one doc-freq
+    aggregate on h, one per-doc window for the prefix ranks, the
+    prefix-probe equi-join on h, then an id-join verify over candidate
+    pairs only. Probe postings are biased short by construction (each
+    doc probes with its RAREST shingles); a corpus whose documents are
+    built entirely from ubiquitous shingles degrades toward the
+    blocked quadratic — the same hot-bucket shape as LSH, with the
+    same remedy (raise k / cap postings at a measured recall cost).
+    """
+    from .graph import _track_ann_cache
+    from pyspark.sql import Window
+
+    sets = docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(shingle_hash_set_sql(text_col)).alias("s"),
+    ).filter(F.size("s") > 0)
+    # consumed by the posting explode AND both verify join-backs;
+    # tracked in the shared build-cache registry (ADVICE r6 bounding)
+    sets = _track_ann_cache(sets.cache())
+
+    if collapse_identical:
+        # The r2 minhash lesson, containment edition: exact-duplicate
+        # documents (the dominant shape in uncleaned crawl corpora)
+        # share a shingle SET — so every duplicate probes identical
+        # prefixes and the probe join degrades quadratically in the
+        # dup-group size. Collapse identical sets (keyed by the sorted
+        # array) to a min-id representative first: prefix filtering
+        # runs over DISTINCT sets, and member pairs expand back
+        # afterwards with exact values (identical sets ⇒ within-group
+        # containment is n/n = 1.0 exactly; cross-group pairs inherit
+        # the rep pair's division verbatim). Output identical to the
+        # uncollapsed build (pytest-pinned).
+        mem = sets.withColumn(
+            "rep_id", F.min("id").over(Window.partitionBy(F.sort_array("s")))
+        )
+        mem_ids = _track_ann_cache(mem.select("id", "rep_id").cache())
+        reps = mem.filter(F.col("id") == F.col("rep_id")).select("id", "s")
+    else:
+        reps = sets
+
+    post = reps.select("id", F.explode("s").alias("h"))
+    freq = post.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "h")
+    prefix = (
+        post.join(freq, "h")
+        .withColumn("n_a", F.count("*").over(Window.partitionBy("id")))
+        .withColumn("rn", F.row_number().over(w))
+        # required overlap = ceil(num * n / den), exactly, in integers
+        .filter(
+            F.col("rn")
+            <= F.expr(
+                f"n_a - (({threshold_num} * n_a + {threshold_den} - 1) "
+                f"DIV {threshold_den}) + 1"
+            )
+        )
+        .select("id", "h")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(post.alias("b"), "h")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = reps.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    vb = reps.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    thr = threshold_num / threshold_den
+    rep_pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.expr("size(array_intersect(sa, sb))").cast("double")
+                / F.expr("size(sa)")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(thr))
+    )
+    if not collapse_identical:
+        return rep_pairs
+
+    # Cross-group expansion: member sets equal their rep's set, so the
+    # rep pair's containment value applies verbatim to every member
+    # combination.
+    ma = mem_ids.select(F.col("rep_id").alias("id_a"), F.col("id").alias("m_a"))
+    mb = mem_ids.select(F.col("rep_id").alias("id_b"), F.col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            "containment",
+        )
+    )
+    if thr > 1.0:
+        return cross
+    # Within-group pairs: |S∩S| / |S| = 1.0 exactly (n/n is an exact
+    # IEEE division for any n), the same double the uncollapsed verify
+    # computes — qualifying whenever the threshold is <= 1.
+    x, y = mem_ids.alias("x"), mem_ids.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(intra)

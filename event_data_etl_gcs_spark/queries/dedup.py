@@ -665,3 +665,36 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_token_fraction"),
         )
     )
+
+
+from ..operators.text import duck_shingle_hash_set  # noqa: E402
+
+
+@query(
+    "dedup_containment",
+    oracle=(
+        "WITH sets AS (SELECT doc_id, "
+        f"{duck_shingle_hash_set('text')} AS s FROM documents), "
+        "ne AS (SELECT doc_id, s FROM sets WHERE len(s) > 0) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) "
+        "AS containment "
+        "FROM ne a JOIN ne b ON a.doc_id <> b.doc_id "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) "
+        ">= 0.8"
+    ),
+    doc=(
+        "Asymmetric shingle-containment pairs (|Sa∩Sb|/|Sa| >= 0.8): the "
+        "doc-within-doc duplication signal Jaccard misses. Spark side "
+        "runs EXACT prefix filtering (SSJoin/PPJoin: probe only each "
+        "doc's rarest n-ceil(t*n)+1 shingles — pigeonhole guarantees "
+        "zero false negatives), so the plain all-pairs oracle matches "
+        "it bit-for-bit while the plan stays candidate/verify-shaped "
+        "at scale."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold_num=4, threshold_den=5)

@@ -369,3 +369,100 @@ def test_compression_oracle_is_scale_adaptive(spark):
         pd.testing.assert_frame_equal(
             got, want, check_dtype=False, check_exact=True, obj=f"adaptive@{sf}"
         )
+
+
+def _brute_containment(texts, num=4, den=5):
+    """Python model: shingle-set containment over all ordered pairs."""
+    def shset(t):
+        toks = t.split()
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shset(t) for i, t in texts}
+    sets = {i: s for i, s in sets.items() if s}
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * den >= num * len(sa):
+                out.add((a, b))
+    return out
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """Prefix filtering must have ZERO false negatives (pigeonhole): the
+    filtered Spark build equals the brute-force python model on a
+    corpus engineered with doc-within-doc structure, including docs
+    whose rarest shingles are shared (the adversarial case for a buggy
+    prefix bound)."""
+    import random
+
+    from event_data_etl_gcs_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    texts = []
+    for i in range(40):
+        n = rng.randint(3, 25)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        t = " ".join(words)
+        # every third doc embeds the previous doc verbatim (containment ~1)
+        if i % 3 == 2 and texts:
+            t = texts[-1][1] + " " + t
+        texts.append((i, t))
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df).collect()
+    }
+    want = _brute_containment(texts)
+    assert got == want and want  # non-trivial corpus
+
+
+def test_containment_threshold_is_exact_rational(spark):
+    """ceil(0.8 * n) in floats can exceed the true integer bound; the
+    rational form cannot. n=5 with exactly 4 shared shingles sits ON
+    the boundary and must be kept."""
+    from event_data_etl_gcs_spark.operators.dedup import containment_pairs
+
+    # doc 0: 7 tokens -> 5 shingles; doc 1 embeds 6 of those tokens ->
+    # shares exactly 4 of doc 0's 5 shingles -> containment 0.8 exactly
+    a = "a b c d e f g"
+    b = "a b c d e f zzz yyy xxx"
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 0.8
+
+
+def test_containment_collapse_identical_is_plan_only(spark):
+    """collapse_identical must not change the output on a corpus heavy
+    with exact duplicates (within-group pairs at exactly 1.0, cross
+    pairs inheriting the rep division verbatim)."""
+    from event_data_etl_gcs_spark.operators.dedup import containment_pairs
+
+    base = [
+        (0, "a b c d e f g"),
+        (1, "a b c d e f g"),      # exact dup of 0
+        (2, "a b c d e f g"),      # exact dup of 0
+        (3, "a b c d e f zzz yyy xxx"),  # contains most of 0
+        (4, "q w e r t y u"),
+        (5, "u y t r e w q"),      # same tokens, different shingles
+    ]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+
+    def rows(collapse):
+        return sorted(
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in containment_pairs(
+                df, collapse_identical=collapse
+            ).collect()
+        )
+
+    on, off = rows(True), rows(False)
+    assert on == off and len(on) >= 8  # 3-dup group alone yields 6 pairs
