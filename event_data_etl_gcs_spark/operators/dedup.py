@@ -97,7 +97,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select("id", F.expr(minhash_signature_struct_sql("text")).alias("sig"))
         .select("id", F.col("sig.sh_hashes").alias("sh_hashes"), F.col("sig.mhs").alias("mhs"))
     )
-    return sig.cache()
+    # Tracked in the shared build-cache registry (ADVICE r6): sessions
+    # running many dedup builds — or the streaming corpus-ingest loop —
+    # previously accumulated one signature cache per call for the
+    # session lifetime. release_ann_caches() bounds that at one build.
+    from .graph import _track_ann_cache
+
+    return _track_ann_cache(sig.cache())
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,110 @@
+"""Streaming training-corpus ingest == the batch pipeline.
+
+The capstone contract: draining the documents backlog through the
+incremental pipeline (gate -> exact-dedup-vs-index -> near-dedup-vs-
+index -> decontamination), in doc_id-ordered batches, yields EXACTLY
+the batch pipeline's corpus — however the backlog is split into files —
+and a replayed increment leaves the state unchanged."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_ordered_files(spark, docs, docs_dir: str, n_files: int) -> None:
+    """Write the corpus as n_files parquet files covering ascending
+    doc_id ranges, with ascending mtimes — the file source then feeds
+    batches in id order (ids assigned at ingest: the natural shape)."""
+    os.makedirs(docs_dir, exist_ok=True)
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    bounds = [ids[i * len(ids) // n_files] for i in range(n_files)] + [
+        ids[-1] + 1
+    ]
+    for i in range(n_files):
+        part = docs.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1)
+        tmpd = os.path.join(docs_dir, f"_w{i}")
+        part.write.mode("overwrite").parquet(tmpd)
+        src = glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
+        dst = os.path.join(docs_dir, f"{i:05d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmpd)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+def _batch_reference(docs, bench):
+    from event_data_etl_gcs_spark.plans.training_corpus import (
+        decontaminate,
+        exact_dedup_keep_min,
+        near_dedup_keep_min,
+        quality_gate,
+    )
+
+    ref = decontaminate(
+        near_dedup_keep_min(exact_dedup_keep_min(quality_gate(docs))), bench
+    )
+    return ref.select("doc_id", "text", "lang", "source", "n_tokens")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_corpus_equals_batch_pipeline(spark, tmp_path):
+    from event_data_etl_gcs_spark.streaming.corpus import (
+        corpus_ingest_batch,
+        read_streamed_corpus,
+        run_streaming_corpus_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    want = _rows(_batch_reference(docs, bench))
+    assert want, "reference corpus must be non-empty"
+    # the reference must be non-trivial: every stage drops something
+    n_all = docs.count()
+    assert len(want) < n_all
+
+    def run(n_files: int, tag: str) -> list:
+        docs_dir = str(tmp_path / f"docs_{tag}")
+        index_dir = str(tmp_path / f"idx_{tag}")
+        _stage_ordered_files(spark, docs, docs_dir, n_files)
+        run_streaming_corpus_ingest(
+            spark,
+            docs_dir,
+            index_dir,
+            str(tmp_path / f"ckpt_{tag}"),
+            bench,
+            max_files_per_trigger=1,
+        )
+        return _rows(read_streamed_corpus(spark, index_dir))
+
+    got4 = run(4, "four")
+    assert got4 == want
+
+    # batch-split invariance: one big file -> same corpus
+    got1 = run(1, "one")
+    assert got1 == want
+
+    # replay idempotence: re-run the LAST batch id over its own file's
+    # rows against the committed state -> corpus unchanged
+    idx = str(tmp_path / "idx_four")
+    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    last_bid = int(corpus.agg(F.max("batch_id")).collect()[0][0])
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    bounds = [ids[i * len(ids) // 4] for i in range(4)] + [ids[-1] + 1]
+    replay = docs.filter(
+        (F.col("doc_id") >= bounds[last_bid])
+        & (F.col("doc_id") < bounds[last_bid + 1])
+    )
+    corpus_ingest_batch(replay, last_bid, idx, bench)
+    from event_data_etl_gcs_spark.streaming.corpus import read_streamed_corpus
+
+    assert _rows(read_streamed_corpus(spark, idx)) == want
