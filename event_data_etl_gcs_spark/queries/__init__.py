@@ -112,6 +112,8 @@ set_priority([
     "new_vs_returning_users", "revenue_concentration",
     "lateral_top_orders_per_customer", "langid_confusion_matrix",
     "trailing_wau", "stickiness_dau_mau",
+    # --- round-7 additions ----------------------------------------------
+    "dedup_containment",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -698,3 +698,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold_num=4, threshold_den=5)
+
+
+@query(
+    "dedup_containment_keep",
+    oracle=(
+        "WITH sets AS (SELECT doc_id, "
+        f"{duck_shingle_hash_set('text')} AS s FROM documents), "
+        "ne AS (SELECT doc_id, s FROM sets WHERE len(s) > 0), "
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+        "len(a.s) AS na, len(b.s) AS nb FROM ne a JOIN ne b "
+        "ON a.doc_id <> b.doc_id "
+        "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) "
+        ">= 0.8), "
+        "losers AS (SELECT DISTINCT ia FROM pairs "
+        "WHERE nb > na OR (nb = na AND ib < ia)) "
+        "SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles FROM ne "
+        "WHERE doc_id NOT IN (SELECT ia FROM losers)"
+    ),
+    doc=(
+        "Keep-the-container dedup policy on top of the containment "
+        "pairs: a doc contained (>= 0.8) in a STRICTLY LARGER shingle "
+        "set is dropped (ties keep the smaller id) — the policy that "
+        "removes quoted/subset documents while keeping the superset. "
+        "Deterministic: no doc pair can drop each other (larger-set or "
+        "smaller-id wins exactly one way)."
+    ),
+)
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+    from ..operators.text import shingle_hash_set_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.select(
+            "doc_id",
+            F.size(F.expr(shingle_hash_set_sql("text"))).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+    )
+    pairs = containment_pairs(docs, threshold_num=4, threshold_den=5)
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return sized.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.col("n_sh").cast("long").alias("n_shingles")
+    )

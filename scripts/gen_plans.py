@@ -231,6 +231,18 @@ SHOW = [
         "the 100x Gaussian probe with bit-identical edges, 49 s at "
         "500x/1M vectors (SCALE_r6.md).",
     ),
+    (
+        "dedup_containment",
+        "Asymmetric containment dedup via EXACT prefix filtering "
+        "(round 7): identical shingle sets collapse to a rep first "
+        "(one window keyed by the sorted set), each rep probes only "
+        "its rarest n-ceil(t*n)+1 shingles (doc-freq aggregate + one "
+        "per-doc window), candidates are a hash EQUI-join on the "
+        "shingle hash — no cross product anywhere — and the verify "
+        "joins the sets back by id for candidate pairs only. "
+        "Output-bound at 100x replication: 54.62M pairs in 21.4 s "
+        "with candidate work distinct-sized (SCALE_r7.md).",
+    ),
 ]
 
 KEY = re.compile(

@@ -58,3 +58,12 @@ def test_hll_rollup_partial_aggregates(spark):
     # merge — events never cross the wire raw
     assert "hll_sketch_agg" in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_containment_probe_is_equi_join(spark):
+    """dedup_containment (round 7): candidates must come from the
+    prefix-probe EQUI-join on the shingle hash — never a cross
+    product — and the verify stage joins sets back by id."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

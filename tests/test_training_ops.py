@@ -466,3 +466,28 @@ def test_containment_collapse_identical_is_plan_only(spark):
 
     on, off = rows(True), rows(False)
     assert on == off and len(on) >= 8  # 3-dup group alone yields 6 pairs
+
+
+def test_containment_keep_policy_drops_contained_doc(spark):
+    """Keep-the-container policy: the embedded (smaller) doc is dropped,
+    the container and unrelated docs survive; equal sets keep min id."""
+    from event_data_etl_gcs_spark.queries import get_query
+
+    import os
+    import tempfile
+
+    rows = [
+        (1, "a b c d e f g", "en", "s"),
+        (2, "a b c d e f g h i j k l m n o p", "en", "s"),  # contains 1
+        (3, "z y x w v u t", "en", "s"),                    # unrelated
+        (4, "z y x w v u t", "en", "s"),                    # == 3's set
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]
+        for r in get_query("dedup_containment_keep").fn(spark, d).collect()
+    }
+    assert got == {2, 3}
