@@ -89,8 +89,32 @@ def corpus_ingest_batch(
     index_dir: str,
     benchmark: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
+    index_mode: str = "all",
 ) -> None:
-    """One increment of the streaming corpus pipeline (see module doc)."""
+    """One increment of the streaming corpus pipeline (see module doc).
+
+    ``index_mode`` picks the signature-index membership — a genuine
+    semantics/scale tradeoff (measured in SCALE_r7.md):
+
+    * ``"all"`` (default): every exact-unique gated doc is indexed,
+      near-dup losers included — EXACT batch-pipeline keep-min parity
+      (chains drop their whole tail). Cost: a new member of a growing
+      near-dup family pairs against every prior member, so per-delivery
+      cost grows linearly with family size (total quadratic — the same
+      pair count the batch pipeline pays ONCE, paid incrementally).
+    * ``"survivors"``: only ACCEPTED (post-near-dedup, pre-decon) docs
+      are indexed — greedy online clustering, the standard production
+      ingest posture. Each family keeps one indexed representative, so
+      per-delivery cost stays FLAT. Divergence from batch keep-min is
+      confined to chains: a doc pairing ONLY with a rejected doc (not
+      with any survivor) is accepted here, dropped by the batch build.
+      The exact-dedup hash index always keeps all uniques (hash rows
+      are tiny and carry no quadratic hazard).
+    """
+    if index_mode not in ("all", "survivors"):
+        raise ValueError(
+            f"index_mode must be all|survivors, got {index_mode!r}"
+        )
     spark = batch_df.sparkSession
     hash_path = os.path.join(index_dir, "hashes")
     sig_path = os.path.join(index_dir, "sigs")
@@ -148,14 +172,17 @@ def corpus_ingest_batch(
         "doc_id", "text", "lang", "source", "n_tokens"
     )
 
+    sig_out = new_sig.select("id", "sh_hashes", "mhs")
+    if index_mode == "survivors":
+        sig_out = sig_out.join(
+            accepted.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
     # Materialize every output BEFORE the first state write: their plans
     # read the state directories being appended to, and parquet file
     # listing happens at execution time (the neardedup/merge_into
     # read-overwrite lesson).
     clean = clean.localCheckpoint(eager=True)
-    sig_rows = new_sig.select("id", "sh_hashes", "mhs").localCheckpoint(
-        eager=True
-    )
+    sig_rows = sig_out.localCheckpoint(eager=True)
     hash_rows = uniq.select("doc_id", "text_md5").localCheckpoint(eager=True)
 
     _append_state(hash_rows, hash_path, batch_id)
@@ -174,10 +201,12 @@ def run_streaming_corpus_ingest(
     benchmark: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
     max_files_per_trigger: int = 1,
+    index_mode: str = "all",
 ) -> None:
     """Drain the documents backlog through the incremental corpus
     pipeline (Available-Now trigger; re-running after new files land
-    processes only the new files)."""
+    processes only the new files). See :func:`corpus_ingest_batch` for
+    ``index_mode``."""
     schema = spark.read.parquet(docs_dir).schema
     raw = (
         spark.readStream.schema(schema)
@@ -188,7 +217,12 @@ def run_streaming_corpus_ingest(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         corpus_ingest_batch(
-            batch_df, batch_id, index_dir, bench, threshold=threshold
+            batch_df,
+            batch_id,
+            index_dir,
+            bench,
+            threshold=threshold,
+            index_mode=index_mode,
         )
 
     q = (

@@ -108,3 +108,38 @@ def test_streaming_corpus_equals_batch_pipeline(spark, tmp_path):
     from event_data_etl_gcs_spark.streaming.corpus import read_streamed_corpus
 
     assert _rows(read_streamed_corpus(spark, idx)) == want
+
+
+def test_index_mode_survivors_vs_all_chain_semantics(spark, tmp_path):
+    """index_mode: 'all' reproduces batch keep-min on chains (a doc
+    pairing only with a rejected doc still drops); 'survivors' keeps it
+    (greedy online clustering) with flat per-delivery cost. The chain
+    1~2, 2~3, 1!~3 (J=0.70/0.70/0.47 at threshold 0.5) separates them."""
+    from event_data_etl_gcs_spark.streaming.corpus import (
+        corpus_ingest_batch,
+        read_streamed_corpus,
+    )
+
+    words = [f"tok{i}" for i in range(60)]
+    t1, t2, t3 = (
+        " ".join(words[0:30]),
+        " ".join(words[5:35]),
+        " ".join(words[10:40]),
+    )
+    rows = [(1, t1), (2, t2), (3, t3)]
+    bench = spark.createDataFrame([], "text string")
+
+    def run(mode: str) -> set:
+        idx = str(tmp_path / f"chain_{mode}")
+        for i, (doc_id, text) in enumerate(rows):
+            b = spark.createDataFrame(
+                [(doc_id, text, "en", "s")],
+                "doc_id long, text string, lang string, source string",
+            )
+            corpus_ingest_batch(b, i, idx, bench, index_mode=mode)
+        return {
+            r["doc_id"] for r in read_streamed_corpus(spark, idx).collect()
+        }
+
+    assert run("all") == {1}          # == batch keep-min (2 and 3 drop)
+    assert run("survivors") == {1, 3}  # 3 pairs only with rejected 2
