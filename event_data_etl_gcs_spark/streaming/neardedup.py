@@ -322,3 +322,79 @@ def run_streaming_knn_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+CONTAINMENT_SETS_SCHEMA = "id LONG, s ARRAY<BIGINT>"
+CONTAINMENT_PREFIX_SCHEMA = "id LONG, h BIGINT"
+
+
+def containment_check_batch(
+    batch_docs: DataFrame,
+    state_dir: str,
+    pairs_path: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> None:
+    """One increment of streaming containment checking: pairs for
+    ``batch_docs`` vs the persisted set/prefix index at ``state_dir``
+    (created if absent), then index append — the containment face of
+    :func:`check_batch_against_index`. Exactness contract (the frozen-
+    prefix argument) and single-emission guarantee are pinned in
+    tests/test_training_ops.py::test_containment_incremental_union_equals_batch."""
+    from ..operators.dedup import containment_incremental_pairs
+    from ..operators.graph import release_ann_caches
+
+    spark = batch_docs.sparkSession
+    sets_path = os.path.join(state_dir, "sets")
+    prefix_path = os.path.join(state_dir, "prefix")
+    if os.path.exists(os.path.join(sets_path, "_SUCCESS")):
+        sets = spark.read.parquet(sets_path)
+        prefix = spark.read.parquet(prefix_path)
+    else:
+        sets = spark.createDataFrame([], CONTAINMENT_SETS_SCHEMA)
+        prefix = spark.createDataFrame([], CONTAINMENT_PREFIX_SCHEMA)
+    pairs, new_sets, new_prefix = containment_incremental_pairs(
+        batch_docs,
+        sets,
+        prefix,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+    )
+    # materialize before appending to what their plans read
+    pairs = pairs.localCheckpoint(eager=True)
+    new_sets = new_sets.localCheckpoint(eager=True)
+    new_prefix = new_prefix.localCheckpoint(eager=True)
+    pairs.write.mode("append").parquet(pairs_path)
+    new_sets.write.mode("append").parquet(sets_path)
+    new_prefix.write.mode("append").parquet(prefix_path)
+    release_ann_caches()  # per-batch set cache (bounded loop)
+
+
+def run_streaming_containment(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the documents backlog through the incremental containment
+    check (Available-Now trigger; re-runs process only new files)."""
+    schema = spark.read.parquet(docs_dir).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    state_dir = os.path.join(out_dir, "index")
+    pairs_path = os.path.join(out_dir, "pairs")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        containment_check_batch(batch_df, state_dir, pairs_path)
+
+    q = (
+        raw.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()

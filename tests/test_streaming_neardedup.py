@@ -110,3 +110,31 @@ def test_streaming_ivf_ingest_matches_rebuild(spark, tmp_path):
         for r in build_ivf_index(emb, cents).select("vec_id", "cell").collect()
     }
     assert streamed_cells == batch_cells and len(streamed_cells) > 0
+
+
+def test_streaming_containment_equals_batch(spark, tmp_path):
+    """Draining the backlog through the incremental containment check
+    yields exactly the full-corpus containment_pairs output, however
+    the backlog is split into files, with no duplicate emissions."""
+    from event_data_etl_gcs_spark.operators.dedup import containment_pairs
+    from event_data_etl_gcs_spark.streaming.neardedup import (
+        run_streaming_containment,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(docs).collect()
+    )
+    src = str(tmp_path / "docs_split")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "cont_out")
+    run_streaming_containment(
+        spark, src, out, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    ]
+    assert sorted(got) == want
+    assert len(got) == len(set(got))
