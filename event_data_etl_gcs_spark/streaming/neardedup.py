@@ -68,7 +68,12 @@ def check_batch_against_index(
         pairs.write.mode("append").parquet(pairs_path)
         new_sig.write.mode("append").parquet(sig_path)
     finally:
-        new_sig.unpersist()  # minhash_signatures caches per batch
+        # minhash_signatures caches per batch; the direct unpersist()
+        # this replaced was a no-op (it targeted a derived filter, not
+        # the persisted plan) — the registry tracks the real one.
+        from ..operators.graph import release_ann_caches
+
+        release_ann_caches()
 
 
 def run_streaming_near_dedup(
