@@ -165,3 +165,84 @@ def sequence_pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("end_bin"),
     )
+
+
+@query(
+    "contamination_report_by_source",
+    oracle=(
+        "WITH sh AS (SELECT doc_id, source, "
+        + duck_shingle_hash_set("text")
+        + " AS hs FROM documents), "
+        "bench AS (SELECT doc_id AS bench_id, hs AS bhs FROM sh "
+        "WHERE doc_id % 97 = 0), "
+        "train AS (SELECT doc_id AS train_id, source, hs AS ths FROM sh "
+        "WHERE doc_id % 97 <> 0), "
+        "hits AS (SELECT train_id, source, bench_id FROM train JOIN bench "
+        "ON len(list_intersect(ths, bhs)) >= 4), "
+        "tot AS (SELECT source, count(*) AS n_docs FROM train GROUP BY source) "
+        "SELECT tot.source, CAST(tot.n_docs AS BIGINT) AS n_docs, "
+        "CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated, "
+        "CAST(COALESCE(c.n_bench_hit, 0) AS BIGINT) AS n_bench_hit, "
+        "CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE) / tot.n_docs "
+        "AS contamination_rate "
+        "FROM tot LEFT JOIN (SELECT source, "
+        "count(DISTINCT train_id) AS n_contaminated, "
+        "count(DISTINCT bench_id) AS n_bench_hit "
+        "FROM hits GROUP BY source) c ON tot.source = c.source"
+    ),
+    doc=(
+        "Per-source contamination diagnostics — the governance rollup of "
+        "decontaminate_against_benchmark: for each training source, how "
+        "many docs leak eval content (>= 4 shared shingles with any "
+        "benchmark doc), how many distinct benchmark docs are hit, and "
+        "the contamination rate. Always non-empty (every source gets a "
+        "row, zeros included — the empty-frame canonicalizer trap). Same "
+        "broadcast-bench plan as the flag query; one extra per-source "
+        "aggregate."
+    ),
+)
+def contamination_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import shingle_hash_set_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.expr(shingle_hash_set_sql("text")).alias("hs")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode("hs").alias("h")
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_id"), "source", F.explode("hs").alias("h")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("train_id", "source", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 4)
+    )
+    tot = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    per_src = hits.groupBy("source").agg(
+        F.countDistinct("train_id").alias("n_contaminated"),
+        F.countDistinct("bench_id").alias("n_bench_hit"),
+    )
+    return (
+        tot.join(per_src, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.coalesce("n_bench_hit", F.lit(0))
+            .cast("long")
+            .alias("n_bench_hit"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_docs")
+            ).alias("contamination_rate"),
+        )
+    )

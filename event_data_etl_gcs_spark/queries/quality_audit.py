@@ -405,3 +405,50 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("nk").cast("double") * F.max("total"))
         ).alias("gini"),
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle=(
+        "WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "count(DISTINCT CAST(floor(value / 25.0) AS BIGINT)) AS l "
+        "FROM events GROUP BY event_type, day) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(min(l) AS BIGINT) AS min_l, "
+        "CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_below_l3, "
+        "CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*) AS frac_below_l3 "
+        "FROM g GROUP BY event_type"
+    ),
+    doc=(
+        "l-diversity audit — the k-anonymity companion: a group can "
+        "have plenty of members (k-anonymous) yet leak if they all "
+        "share one sensitive value. Per (event_type, day) "
+        "quasi-identifier group, l = distinct sensitive classes "
+        "(value bucketed by 25); per event type, the min l and the "
+        "fraction of groups below l=3. Two stacked two-phase "
+        "aggregates; exact integers, one portable division, one "
+        "portable float floor (same IEEE ops both engines)."
+    ),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.countDistinct(
+            F.floor(F.col("value") / 25.0).cast("long")
+        ).alias("l")
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_l3"),
+        (
+            F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("frac_below_l3"),
+    )
