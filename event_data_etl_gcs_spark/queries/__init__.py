@@ -113,7 +113,8 @@ set_priority([
     "lateral_top_orders_per_customer", "langid_confusion_matrix",
     "trailing_wau", "stickiness_dau_mau",
     # --- round-7 additions ----------------------------------------------
-    "dedup_containment",
+    "dedup_containment", "dedup_containment_keep", "l_diversity_audit",
+    "contamination_report_by_source",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
