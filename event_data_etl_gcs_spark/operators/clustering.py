@@ -193,3 +193,297 @@ def kmeans_iterate(
         cent_rows = [(r["cluster_id"], r["cvec"]) for r in new.collect()]
     cent_df = spark.createDataFrame(cent_rows, "cid BIGINT, cvec ARRAY<FLOAT>")
     return assign_clusters(emb, cent_df, id_col, vec_col)
+
+
+# =========================================================================
+# SemDeDup — cluster-scoped semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540). Complements the LSH copy-dedup path
+# (similarity.cosine_dedup_pairs): LSH banding targets the near-1.0
+# cosine band (copies / near-copies); SemDeDup targets the SEMANTIC band
+# (paraphrases, re-crawls, boilerplate variants) at much lower
+# thresholds, where hyperplane-LSH keep probability collapses. The
+# blocking structure is the k-means partition itself: pairwise cosines
+# are computed only WITHIN a cluster, exactly as the paper prescribes,
+# so cost is sum_c |c|^2, bounded by choosing k ~ n / target_cluster.
+# =========================================================================
+
+SEMDEDUP_THRESHOLD = 0.4
+# At 100 TB, k scales with the corpus (paper: 50k-100k clusters for
+# billions of docs) so |cluster| ~ TARGET stays flat; the loud guard
+# below fires when a fixed k meets a grown corpus.
+SEMDEDUP_TARGET_CLUSTER = 4_096
+SEMDEDUP_MAX_CLUSTER = 20_000
+
+
+def _semdedup_members(
+    emb: DataFrame,
+    k: int | None,
+    id_col: str,
+    vec_col: str,
+    collapse_identical: bool,
+):
+    """Shared SemDeDup front end: norm-filtered base, deterministic seed
+    centroids (k smallest-id nonzero vectors, WITH their norms), the
+    identical-vector collapse, and the rep-level cluster assignment.
+
+    Returns (base, cent, reps, mem_ids, members, n_reps); ``mem_ids`` is
+    None when the collapse is off. ``members`` — (id, cluster_id) for
+    every rep — is cached via the graph module's build-cache registry
+    (consumed by the size guard, the broadcast decision, and two lazy
+    plan references; released at the next public ANN/dedup build).
+    """
+    from .graph import _track_ann_cache, release_ann_caches
+    from .similarity import norm_sql
+
+    release_ann_caches()
+    base = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("nrm", F.expr(norm_sql("v")))
+        # zero-norm vectors: cosine undefined, engines disagree on 0/0
+        .filter(F.col("nrm") > 0)
+    )
+    if collapse_identical:
+        mem = base.withColumn(
+            "rep_id", F.min("id").over(Window.partitionBy("v"))
+        )
+        mem_ids = _track_ann_cache(mem.select("id", "rep_id").cache())
+        reps = mem.filter(F.col("id") == F.col("rep_id")).select(
+            "id", "v", "nrm"
+        )
+    else:
+        mem_ids = None
+        reps = base
+    if k is None:
+        n_base = base.count()
+        k = max(K_CLUSTERS, -(-n_base // SEMDEDUP_TARGET_CLUSTER))
+    cent = (
+        base.orderBy("id")
+        .limit(k)
+        .select(
+            F.col("id").alias("cid"),
+            F.col("v").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    assign = assign_clusters(
+        reps, cent.select("cid", "cvec"), id_col="id", vec_col="v"
+    )
+    members = _track_ann_cache(
+        assign.select(F.col("vec_id").alias("id"), "cluster_id").cache()
+    )
+    n_reps = members.count()
+    return base, cent, reps, mem_ids, members, n_reps
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int | None = K_CLUSTERS,
+    *,
+    max_cluster: int | None = SEMDEDUP_MAX_CLUSTER,
+    collapse_identical: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, id_a, id_b, cos_sim): within-cluster semantic-
+    duplicate pairs (id_a < id_b, cos_sim >= threshold).
+
+    Scale shape (the round-6 lessons, applied from day one):
+
+    * Candidates are the SKINNY within-cluster self-join — (cluster_id,
+      id) rows only; embeddings join back BY ID afterwards (broadcast
+      under JOINBACK_BROADCAST_MAX_ROWS), so float arrays never ride the
+      cluster-join shuffle.
+    * ``collapse_identical`` (default on): bit-identical vectors collapse
+      to a min-id rep BEFORE the quadratic join — a 100x-replicated
+      corpus pays the pair join on DISTINCT vectors (members inherit the
+      rep's cluster: assignment is a pure function of v). Intra-group
+      pairs carry the rep's self-cosine, cross-group pairs the rep-pair
+      cosine — the same doubles the naive path computes, so output is
+      identical (the cosine_dedup_pairs device, similarity.py:272).
+    * ``max_cluster`` guard: sum_c |c|^2 is the operator's inherent cost,
+      bounded by k; a cluster over the cap raises loudly with the
+      prescription (k ~ n / SEMDEDUP_TARGET_CLUSTER; pass k=None to
+      auto-derive) instead of silently running a quadratic join.
+    """
+    front = _semdedup_members(emb, k, id_col, vec_col, collapse_identical)
+    return _semdedup_pairs_body(front, threshold, max_cluster)
+
+
+def _semdedup_pairs_body(
+    front, threshold: float, max_cluster: int | None
+) -> DataFrame:
+    """Pair build over an already-constructed front end (so semdedup_keep
+    can share one front end — and one build-cache generation — between
+    the pair plan and the centroid-cosine plan)."""
+    from .graph import JOINBACK_BROADCAST_MAX_ROWS
+    from .similarity import dot_sql
+
+    base, cent, reps, mem_ids, members, n_reps = front
+    collapse_identical = mem_ids is not None
+    if max_cluster is not None:
+        big = (
+            members.groupBy("cluster_id")
+            .count()
+            .filter(F.col("count") > max_cluster)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"semdedup_pairs: cluster {big[0]['cluster_id']} has "
+                f"{big[0]['count']} members (> max_cluster={max_cluster}); "
+                "the within-cluster pair join would be quadratic in it. "
+                "Raise k (SemDeDup: k ~ n / target cluster size; pass "
+                "k=None to auto-derive) or raise max_cluster explicitly."
+            )
+    a = members.select("cluster_id", F.col("id").alias("id_a"))
+    b = members.select("cluster_id", F.col("id").alias("id_b"))
+    cand = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    bcast = n_reps <= JOINBACK_BROADCAST_MAX_ROWS
+    va = reps.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = reps.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    rep_pairs = (
+        cand.join(F.broadcast(va) if bcast else va, "id_a")
+        .join(F.broadcast(vb) if bcast else vb, "id_b")
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            (
+                F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    if not collapse_identical:
+        return rep_pairs
+    # Intra-group expansion: member pairs of an identical-vector group
+    # carry the rep's SELF-cosine and the rep's cluster.
+    self_cos = reps.select(
+        F.col("id").alias("rep_id"),
+        (F.expr(dot_sql("v", "v")) / (F.col("nrm") * F.col("nrm"))).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)
+    rep_cluster = members.select(
+        F.col("id").alias("rep_id"), "cluster_id"
+    )
+    x, y = mem_ids.alias("x"), mem_ids.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .join(self_cos.alias("s"), F.col("x.rep_id") == F.col("s.rep_id"))
+        .join(rep_cluster.alias("rc"), F.col("x.rep_id") == F.col("rc.rep_id"))
+        .select(
+            "cluster_id",
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    ma = mem_ids.select(F.col("rep_id").alias("id_a"), F.col("id").alias("m_a"))
+    mb = mem_ids.select(F.col("rep_id").alias("id_b"), F.col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "cluster_id",
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return intra.unionByName(cross)
+
+
+def semdedup_keep(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int | None = K_CLUSTERS,
+    *,
+    max_cluster: int | None = SEMDEDUP_MAX_CLUSTER,
+    collapse_identical: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, centroid_cos, kept): the SemDeDup keep
+    decision for every nonzero-norm vector.
+
+    Paper policy: within each semantic-duplicate group keep the member
+    with the LOWEST cosine to its cluster centroid (the most "novel"
+    exemplar). Spelled as pairwise domination so it is exactly SQL-
+    mirrorable without a transitive closure: v is pruned iff some
+    partner u with cos(v, u) >= threshold has strictly lower
+    centroid_cos (ties break toward the smaller id). For a clique of
+    duplicates this keeps exactly the argmin-centroid_cos member — the
+    paper's rule; for chains it is the conservative superset (every
+    pruned doc has a surviving near-duplicate witness).
+
+    centroid_cos is computed ONCE PER DISTINCT VECTOR (reps), members
+    inherit it (equal v => equal cosine); the corpus never shuffles —
+    the only join keys are ids and the k-row broadcast centroid table.
+    """
+    from .similarity import dot_sql
+
+    front = _semdedup_members(emb, k, id_col, vec_col, collapse_identical)
+    base, cent, reps, mem_ids, members, n_reps = front
+    pairs = _semdedup_pairs_body(front, threshold, max_cluster)
+    rep_ccos = (
+        reps.join(members.withColumnRenamed("id", "rid"),
+                  F.col("id") == F.col("rid"))
+        .join(F.broadcast(cent), F.col("cluster_id") == F.col("cid"))
+        .select(
+            F.col("id").alias("rep_id"),
+            "cluster_id",
+            (
+                F.expr(dot_sql("v", "cvec")) / (F.col("nrm") * F.col("cnrm"))
+            ).alias("centroid_cos"),
+        )
+    )
+    if collapse_identical:
+        ccos = mem_ids.join(rep_ccos, "rep_id").select(
+            F.col("id").alias("vec_id"), "cluster_id", "centroid_cos"
+        )
+    else:
+        ccos = rep_ccos.select(
+            F.col("rep_id").alias("vec_id"), "cluster_id", "centroid_cos"
+        )
+    sym = pairs.select(
+        F.col("id_a").alias("vid"), F.col("id_b").alias("other")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("other"))
+    )
+    cx = ccos.select(
+        F.col("vec_id").alias("vid"), F.col("centroid_cos").alias("c_v")
+    )
+    co = ccos.select(
+        F.col("vec_id").alias("other"), F.col("centroid_cos").alias("c_o")
+    )
+    pruned = (
+        sym.join(cx, "vid")
+        .join(co, "other")
+        .filter(
+            (F.col("c_o") < F.col("c_v"))
+            | ((F.col("c_o") == F.col("c_v")) & (F.col("other") < F.col("vid")))
+        )
+        .select(F.col("vid").alias("vec_id"))
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    return ccos.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        "centroid_cos",
+        F.when(F.col("__pruned").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
