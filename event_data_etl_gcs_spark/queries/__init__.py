@@ -39,6 +39,7 @@ from . import sketches  # noqa: E402,F401
 from . import features  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import semdedup  # noqa: E402,F401
+from . import lm_quality  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -117,6 +118,8 @@ set_priority([
     "dedup_containment", "dedup_containment_keep", "l_diversity_audit",
     "contamination_report_by_source",
     "semdedup_pairs", "semdedup_prune", "semdedup_cluster_stats",
+    "unigram_surprisal_scores", "dsir_importance_weights",
+    "dsir_select_topfrac",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

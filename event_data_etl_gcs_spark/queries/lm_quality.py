@@ -1,0 +1,292 @@
+"""Language-model-based data curation scores (round 7).
+
+Two published curation signals, re-expressed in the engine's portable
+(libm-free) arithmetic so both have EXACT DuckDB oracles:
+
+* ``unigram_surprisal_scores`` — the CCNet/FineWeb idea (score documents
+  by LM perplexity, drop the weird tail), with the LM the corpus's own
+  MLE unigram model. Classic perplexity runs through ln(); libm logs are
+  not bit-portable across engines (the BM25 lesson,
+  operators/text.py:591), so the score is the RECIPROCAL-PROBABILITY
+  MEAN: (1/n) * sum_i 1/p(w_i) — the 1-power-mean counterpart of the
+  geometric-mean perplexity (>= it by AM-GM, equal iff all tokens are
+  equiprobable). Every step is +, *, / on doubles with a pinned
+  order-of-evaluation: bit-identical across engines.
+
+* ``dsir_importance_weights`` — Data Selection via Importance Resampling
+  (Xie et al. 2023, arXiv:2302.03169): weight each raw-corpus document
+  by the likelihood ratio of hashed token features under a target
+  (benchmark) model vs the source model. The product-of-ratios (log
+  domain) form is libm-bound and under/overflows at document length;
+  the portable spelling is again the 1-power mean: (1/n) * sum_i
+  r(h(w_i)), r = smoothed target/source bucket-probability ratio. Same
+  preference direction (target-like tokens push the score up), exact
+  cross-engine.
+
+Target pool convention: ``doc_id % 97 = 0`` — the same held-out split
+``decontaminate_against_benchmark`` treats as the benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    char_hash_sql,
+    duck_char_hash,
+    duck_tokens,
+    tokens_sql,
+)
+from ..sources.catalog import load_table
+from .registry import query
+
+DSIR_BUCKETS = 4096
+DSIR_KEEP_DENOM = 5  # top 1/5 of each source stream
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+), tk AS MATERIALIZED (
+  SELECT doc_id, ti AS pos, toks[ti] AS tok
+  FROM base, unnest(range(1, len(toks) + 1)) AS r(ti)
+), vocab AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_total FROM tk
+), j AS (
+  SELECT t.doc_id, t.pos,
+         CAST(n.n_total AS DOUBLE) / CAST(v.c AS DOUBLE) AS val,
+         v.c AS c
+  FROM tk t JOIN vocab v USING (tok) CROSS JOIN n
+), g AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         list(val ORDER BY pos) AS vals,
+         MIN(c) AS min_tok_count
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), vals),
+                   (acc, x) -> acc + x) / CAST(n_tokens AS DOUBLE)
+         AS mean_inv_p,
+       min_tok_count
+FROM g
+"""
+
+
+@query(
+    "unigram_surprisal_scores",
+    oracle=_UNIGRAM_SQL,
+    doc=(
+        "Perplexity-style quality score from the corpus's own MLE "
+        "unigram model: per doc, the mean of 1/p(token) (order-pinned "
+        "double fold -> bit-exact), plus the rarest-token count. High "
+        "scores = rare-token-heavy outlier text, the tail a CCNet-style "
+        "filter drops. Spark shape: one explode, one token-keyed "
+        "aggregate for the model, one token-keyed join back, one doc "
+        "aggregate. The token join is the classic skew join (stopwords "
+        "are hot keys) — AQE skew-join splits them; the model table "
+        "itself stays distributed (never collected)."
+    ),
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.expr(tokens_sql("text")).alias("toks")
+    ).select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = tk.agg(F.count("*").alias("n_total"))
+    j = (
+        tk.join(vocab, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.col("n_total").cast("double") / F.col("c").cast("double")
+            ).alias("val"),
+            "c",
+        )
+    )
+    g = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("pos", "val"))).alias("pairs"),
+        F.min("c").alias("min_tok_count"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.expr(
+                "aggregate(transform(pairs, p -> p.val), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n_tokens").cast("double")
+        ).alias("mean_inv_p"),
+        "min_tok_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+_B = DSIR_BUCKETS
+
+_DSIR_CTES = f"""
+base AS MATERIALIZED (
+  SELECT doc_id, source, doc_id % 97 = 0 AS is_target,
+         {duck_tokens('text')} AS toks
+  FROM documents
+), tk AS MATERIALIZED (
+  SELECT doc_id, source, is_target, ti AS pos,
+         {duck_char_hash('toks[ti]')} % {_B} AS h
+  FROM base, unnest(range(1, len(toks) + 1)) AS r(ti)
+), bc AS MATERIALIZED (
+  SELECT h,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+  FROM tk GROUP BY h
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns FROM bc
+), r AS (
+  SELECT bc.h,
+         (CAST(bc.ct + 1 AS DOUBLE) / CAST(bc.cs + 1 AS DOUBLE))
+         * (CAST(tot.ns + {_B} AS DOUBLE) / CAST(tot.nt + {_B} AS DOUBLE))
+           AS ratio
+  FROM bc CROSS JOIN tot
+), j AS (
+  SELECT t.doc_id, t.source, t.pos, r.ratio
+  FROM tk t JOIN r USING (h) WHERE NOT t.is_target
+), w AS (
+  SELECT doc_id, source, COUNT(*) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(ratio ORDER BY pos)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_lr
+  FROM j GROUP BY doc_id, source
+)
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"WITH {_DSIR_CTES} SELECT doc_id, source, n_tokens, mean_lr FROM w",
+    doc=(
+        "DSIR importance weights: tokens hash into 4096 buckets "
+        "(portable polynomial hash); bucket counts under the target "
+        "(benchmark, doc_id % 97 = 0) and source pools give a smoothed "
+        "probability ratio per bucket; each raw-corpus doc scores the "
+        "order-pinned mean ratio over its tokens. The model is ONE "
+        "4096-row table (broadcastable at any corpus size — that is the "
+        "point of hashed features); the corpus is touched by one "
+        "explode, one bucket join against the broadcast model, one doc "
+        "aggregate. Libm-free power-mean spelling -> exact oracle."
+    ),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 97 == 0).alias("is_target"),
+        F.expr(tokens_sql("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_target",
+        F.posexplode(
+            F.expr(f"transform(toks, t -> {char_hash_sql('t')} % {_B})")
+        ).alias("pos", "h"),
+    )
+    bc = tk.groupBy("h").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cs"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cs").cast("bigint").alias("ns"),
+    )
+    r = bc.crossJoin(F.broadcast(tot)).select(
+        "h",
+        (
+            ((F.col("ct") + 1).cast("double") / (F.col("cs") + 1).cast("double"))
+            * (
+                (F.col("ns") + _B).cast("double")
+                / (F.col("nt") + _B).cast("double")
+            )
+        ).alias("ratio"),
+    )
+    j = (
+        tk.filter(~F.col("is_target"))
+        .join(F.broadcast(r), "h")
+        .select("doc_id", "source", "pos", "ratio")
+    )
+    return (
+        j.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sort_array(F.collect_list(F.struct("pos", "ratio"))).alias("pr"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.expr(
+                    "aggregate(transform(pr, p -> p.ratio), "
+                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_lr"),
+        )
+    )
+
+
+@query(
+    "dsir_select_topfrac",
+    oracle=(
+        f"WITH {_DSIR_CTES}, ranked AS ("
+        "SELECT doc_id, source, mean_lr, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY mean_lr DESC, doc_id) AS rk, "
+        "COUNT(*) OVER (PARTITION BY source) AS n_src FROM w) "
+        f"SELECT doc_id, source, mean_lr, rk FROM ranked "
+        f"WHERE rk <= (n_src + {DSIR_KEEP_DENOM - 1}) // {DSIR_KEEP_DENOM}"
+    ),
+    doc=(
+        "The DSIR selection step, deterministic variant: per source "
+        "stream keep the top 1/5 of documents by importance weight "
+        "(ties toward the smaller doc_id; the paper's Gumbel-noise "
+        "sampling is a seeded perturbation of exactly this ranking). "
+        "keep_n uses integer ceiling arithmetic ((n + 4) DIV 5) — no "
+        "float ceil at the boundary. One window over the weights table."
+    ),
+)
+def dsir_select_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = _dsir_weights(spark, sf_dir)
+    win = Window.partitionBy("source").orderBy(
+        F.col("mean_lr").desc(), F.col("doc_id")
+    )
+    ranked = w.select(
+        "doc_id",
+        "source",
+        "mean_lr",
+        F.row_number().over(win).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    keep_n = F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) DIV {DSIR_KEEP_DENOM}")
+    return ranked.filter(F.col("rk") <= keep_n).select(
+        "doc_id", "source", "mean_lr", "rk"
+    )
