@@ -158,6 +158,7 @@ def kmeans_iterate(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Full Lloyd iterations (fixed count) — the production path.
 
@@ -192,7 +193,10 @@ def kmeans_iterate(
         )
         cent_rows = [(r["cluster_id"], r["cvec"]) for r in new.collect()]
     cent_df = spark.createDataFrame(cent_rows, "cid BIGINT, cvec ARRAY<FLOAT>")
-    return assign_clusters(emb, cent_df, id_col, vec_col)
+    assignment = assign_clusters(emb, cent_df, id_col, vec_col)
+    if return_centroids:
+        return assignment, cent_df
+    return assignment
 
 
 # =========================================================================
@@ -221,10 +225,17 @@ def _semdedup_members(
     id_col: str,
     vec_col: str,
     collapse_identical: bool,
+    n_iter: int = 0,
 ):
     """Shared SemDeDup front end: norm-filtered base, deterministic seed
     centroids (k smallest-id nonzero vectors, WITH their norms), the
     identical-vector collapse, and the rep-level cluster assignment.
+
+    ``n_iter > 0`` trains the centroids with that many Lloyd rounds over
+    the reps first (quantized-mean recompute — deterministic), which is
+    what balances cluster sizes on clustered real-world corpora; the
+    registered conformance queries stay at n_iter=0 (seed assignment,
+    the oracle-mirrored form).
 
     Returns (base, cent, reps, mem_ids, members, n_reps); ``mem_ids`` is
     None when the collapse is off. ``members`` — (id, cluster_id) for
@@ -256,15 +267,27 @@ def _semdedup_members(
     if k is None:
         n_base = base.count()
         k = max(K_CLUSTERS, -(-n_base // SEMDEDUP_TARGET_CLUSTER))
-    cent = (
-        base.orderBy("id")
-        .limit(k)
-        .select(
-            F.col("id").alias("cid"),
-            F.col("v").alias("cvec"),
-            F.col("nrm").alias("cnrm"),
+    if n_iter > 0:
+        from .similarity import norm_sql
+
+        _, cent_df = kmeans_iterate(
+            reps, k, n_iter, id_col="id", vec_col="v", return_centroids=True
         )
-    )
+        cent = cent_df.select(
+            "cid",
+            "cvec",
+            F.expr(norm_sql("cvec")).alias("cnrm"),
+        )
+    else:
+        cent = (
+            base.orderBy("id")
+            .limit(k)
+            .select(
+                F.col("id").alias("cid"),
+                F.col("v").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
     assign = assign_clusters(
         reps, cent.select("cid", "cvec"), id_col="id", vec_col="v"
     )
@@ -284,6 +307,7 @@ def semdedup_pairs(
     collapse_identical: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 0,
 ) -> DataFrame:
     """(cluster_id, id_a, id_b, cos_sim): within-cluster semantic-
     duplicate pairs (id_a < id_b, cos_sim >= threshold).
@@ -306,8 +330,65 @@ def semdedup_pairs(
       prescription (k ~ n / SEMDEDUP_TARGET_CLUSTER; pass k=None to
       auto-derive) instead of silently running a quadratic join.
     """
-    front = _semdedup_members(emb, k, id_col, vec_col, collapse_identical)
+    front = _semdedup_members(
+        emb, k, id_col, vec_col, collapse_identical, n_iter=n_iter
+    )
     return _semdedup_pairs_body(front, threshold, max_cluster)
+
+
+def _cluster_local_candidate_pairs(
+    mv: DataFrame, select_threshold: float, block: int = 512
+) -> DataFrame:
+    """(cluster_id, id_a, id_b): within-cluster pairs whose numpy cosine
+    clears ``select_threshold`` — the at-scale SemDeDup candidate pass.
+
+    One shuffle (vectors keyed by cluster_id — the guarded max_cluster
+    bound keeps any one group's matrix small), then a blocked dense
+    U @ U.T per cluster so peak memory is block x |cluster| doubles
+    (512 x 20k x 8B = 82 MB at the guard limit), never |cluster|^2.
+    Non-qualifying pairs never leave the numpy batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster_id": pd.Series(dtype="int64"),
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
+        )
+        if m < 2:
+            return empty
+        cid = int(pdf["cluster_id"].iloc[0])
+        ids = pdf["id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        U = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        U /= pdf["nrm"].to_numpy(np.float64)[order][:, None]
+        outs_a, outs_b = [], []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            G = U[s:e] @ U.T  # (e-s) x m
+            # upper triangle only: global column index > global row index
+            rows, cols = np.nonzero(G >= select_threshold)
+            keep = cols > (rows + s)
+            if keep.any():
+                outs_a.append(ids[rows[keep] + s])
+                outs_b.append(ids[cols[keep]])
+        if not outs_a:
+            return empty
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        return pd.DataFrame(
+            {"cluster_id": np.full(len(a), cid, np.int64), "id_a": a, "id_b": b}
+        )
+
+    return mv.groupBy("cluster_id").applyInPandas(
+        fn, schema="cluster_id long, id_a long, id_b long"
+    )
 
 
 def _semdedup_pairs_body(
@@ -337,9 +418,33 @@ def _semdedup_pairs_body(
                 "Raise k (SemDeDup: k ~ n / target cluster size; pass "
                 "k=None to auto-derive) or raise max_cluster explicitly."
             )
-    a = members.select("cluster_id", F.col("id").alias("id_a"))
-    b = members.select("cluster_id", F.col("id").alias("id_b"))
-    cand = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    from .graph import SCORING_FOLD_MAX_N
+
+    if n_reps <= SCORING_FOLD_MAX_N:
+        # Conformance scale: skinny within-cluster all-pairs, every
+        # cosine from the JVM fold (bit-portable with the DuckDB mirror).
+        a = members.select("cluster_id", F.col("id").alias("id_a"))
+        b = members.select("cluster_id", F.col("id").alias("id_b"))
+        cand = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        # At scale the candidate matrix per cluster is dense numpy
+        # (blocked U @ U.T — the round-6 bucket-local lesson: interpreted
+        # zip_with folds over hundreds of millions of candidate pairs are
+        # the wall). numpy only SELECTS pairs, at threshold minus a slack
+        # far above the fold-vs-matmul summation discrepancy; the exact
+        # fold below re-scores and re-filters, so output doubles are
+        # bit-identical to the fold path at every scale.
+        mv = (
+            members.alias("mm")
+            .join(reps.alias("rr"), F.col("mm.id") == F.col("rr.id"))
+            .select(
+                F.col("mm.cluster_id").alias("cluster_id"),
+                F.col("rr.id").alias("id"),
+                F.col("rr.v").alias("v"),
+                F.col("rr.nrm").alias("nrm"),
+            )
+        )
+        cand = _cluster_local_candidate_pairs(mv, threshold - 1e-6)
     bcast = n_reps <= JOINBACK_BROADCAST_MAX_ROWS
     va = reps.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -413,6 +518,7 @@ def semdedup_keep(
     collapse_identical: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 0,
 ) -> DataFrame:
     """(vec_id, cluster_id, centroid_cos, kept): the SemDeDup keep
     decision for every nonzero-norm vector.
@@ -433,7 +539,9 @@ def semdedup_keep(
     """
     from .similarity import dot_sql
 
-    front = _semdedup_members(emb, k, id_col, vec_col, collapse_identical)
+    front = _semdedup_members(
+        emb, k, id_col, vec_col, collapse_identical, n_iter=n_iter
+    )
     base, cent, reps, mem_ids, members, n_reps = front
     pairs = _semdedup_pairs_body(front, threshold, max_cluster)
     rep_ccos = (

@@ -119,7 +119,7 @@ set_priority([
     "contamination_report_by_source",
     "semdedup_pairs", "semdedup_prune", "semdedup_cluster_stats",
     "unigram_surprisal_scores", "dsir_importance_weights",
-    "dsir_select_topfrac",
+    "dsir_select_topfrac", "doremi_domain_weights",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

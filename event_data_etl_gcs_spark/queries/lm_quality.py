@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dsir import DSIR_BUCKETS
 from ..operators.text import (
-    char_hash_sql,
     duck_char_hash,
     duck_tokens,
     tokens_sql,
@@ -41,7 +41,6 @@ from ..operators.text import (
 from ..sources.catalog import load_table
 from .registry import query
 
-DSIR_BUCKETS = 4096
 DSIR_KEEP_DENOM = 5  # top 1/5 of each source stream
 
 
@@ -194,62 +193,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import bucket_counts, ratio_table, score_docs, token_buckets
+
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id",
-        "source",
-        (F.col("doc_id") % 97 == 0).alias("is_target"),
-        F.expr(tokens_sql("text")).alias("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        "is_target",
-        F.posexplode(
-            F.expr(f"transform(toks, t -> {char_hash_sql('t')} % {_B})")
-        ).alias("pos", "h"),
-    )
-    bc = tk.groupBy("h").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cs"),
-    )
-    tot = bc.agg(
-        F.sum("ct").cast("bigint").alias("nt"),
-        F.sum("cs").cast("bigint").alias("ns"),
-    )
-    r = bc.crossJoin(F.broadcast(tot)).select(
-        "h",
-        (
-            ((F.col("ct") + 1).cast("double") / (F.col("cs") + 1).cast("double"))
-            * (
-                (F.col("ns") + _B).cast("double")
-                / (F.col("nt") + _B).cast("double")
-            )
-        ).alias("ratio"),
-    )
-    j = (
-        tk.filter(~F.col("is_target"))
-        .join(F.broadcast(r), "h")
-        .select("doc_id", "source", "pos", "ratio")
-    )
-    return (
-        j.groupBy("doc_id", "source")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.sort_array(F.collect_list(F.struct("pos", "ratio"))).alias("pr"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            (
-                F.expr(
-                    "aggregate(transform(pr, p -> p.ratio), "
-                    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-                / F.col("n_tokens").cast("double")
-            ).alias("mean_lr"),
-        )
-    )
+    tk = token_buckets(docs)
+    return score_docs(tk, ratio_table(bucket_counts(tk)))
 
 
 @query(
@@ -289,4 +237,119 @@ def dsir_select_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_n = F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) DIV {DSIR_KEEP_DENOM}")
     return ranked.filter(F.col("rk") <= keep_n).select(
         "doc_id", "source", "mean_lr", "rk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain weights
+# ---------------------------------------------------------------------------
+
+_DOREMI_SQL = f"""
+WITH u AS ({_UNIGRAM_SQL}), su AS (
+  SELECT d.source, u.doc_id, u.mean_inv_p
+  FROM u JOIN documents d USING (doc_id)
+), per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(mean_inv_p ORDER BY doc_id)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS source_mean
+  FROM su GROUP BY source
+), gstat AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(mean_inv_p ORDER BY doc_id)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS global_mean
+  FROM su
+), raw AS (
+  SELECT p.source, p.n_docs, p.source_mean,
+         (CAST(p.n_docs AS DOUBLE) / CAST(g.n_total AS DOUBLE))
+         * (p.source_mean / g.global_mean) AS w_raw
+  FROM per_src p CROSS JOIN gstat g
+), tot AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(w_raw ORDER BY source)),
+                     (acc, x) -> acc + x) AS z
+  FROM raw
+)
+SELECT r.source, r.n_docs, r.source_mean, r.w_raw / t.z AS weight
+FROM raw r CROSS JOIN tot t
+"""
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=_DOREMI_SQL,
+    doc=(
+        "DoReMi-style domain reweighting with a static proxy: each "
+        "source's sampling weight is its document share scaled by its "
+        "mean unigram-surprisal excess over the corpus mean, then "
+        "normalized. (The published method trains a proxy model and "
+        "exponentiates excess loss; this deterministic rational variant "
+        "— ratios instead of exp(), order-pinned folds — keeps the same "
+        "preference direction, upweighting surprising domains, with an "
+        "exact cross-engine oracle.) The per-source state is one row "
+        "per domain: trivially broadcastable at any corpus size."
+    ),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = unigram_surprisal_scores(spark, sf_dir)
+    su = u.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "doc_id", "mean_inv_p"
+    )
+    per_src = su.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "mean_inv_p"))).alias(
+            "pm"
+        ),
+    ).select(
+        "source",
+        "n_docs",
+        (
+            F.expr(
+                "aggregate(transform(pm, p -> p.mean_inv_p), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n_docs").cast("double")
+        ).alias("source_mean"),
+    )
+    glob = su.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "mean_inv_p"))).alias(
+            "pm"
+        ),
+    ).select(
+        "n_total",
+        (
+            F.expr(
+                "aggregate(transform(pm, p -> p.mean_inv_p), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n_total").cast("double")
+        ).alias("global_mean"),
+    )
+    raw = per_src.crossJoin(F.broadcast(glob)).select(
+        "source",
+        "n_docs",
+        "source_mean",
+        (
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+            * (F.col("source_mean") / F.col("global_mean"))
+        ).alias("w_raw"),
+    )
+    tot = raw.agg(
+        F.sort_array(F.collect_list(F.struct("source", "w_raw"))).alias("sw")
+    ).select(
+        F.expr(
+            "aggregate(transform(sw, p -> p.w_raw), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("z")
+    )
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "source_mean",
+        (F.col("w_raw") / F.col("z")).alias("weight"),
     )

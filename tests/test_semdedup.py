@@ -87,3 +87,17 @@ def test_keep_counts_consistent(spark):
     n_vec = load_table(spark, SF, "embeddings").count()
     assert keep.count() == n_vec  # no zero-norm vectors in the fixture
     assert keep.filter(F.col("kept") == 1).count() >= 1
+
+
+def test_numpy_candidate_path_matches_fold(spark, monkeypatch):
+    """Force the at-scale cluster-local numpy candidate pass and pin its
+    output (ids AND cosine doubles) to the fold path's: numpy only
+    selects, the JVM fold re-scores, so the paths are bit-identical."""
+    import event_data_etl_gcs_spark.operators.graph as g
+
+    emb = load_table(spark, SF, "embeddings")
+    cols = ["cluster_id", "id_a", "id_b", "cos_sim"]
+    want = _rows(semdedup_pairs(emb), cols)
+    monkeypatch.setattr(g, "SCORING_FOLD_MAX_N", 10)
+    got = _rows(semdedup_pairs(emb), cols)
+    assert got == want
