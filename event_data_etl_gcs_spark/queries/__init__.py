@@ -40,6 +40,7 @@ from . import features  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import semdedup  # noqa: E402,F401
 from . import lm_quality  # noqa: E402,F401
+from . import segdedup  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -120,6 +121,7 @@ set_priority([
     "semdedup_pairs", "semdedup_prune", "semdedup_cluster_stats",
     "unigram_surprisal_scores", "dsir_importance_weights",
     "dsir_select_topfrac", "doremi_domain_weights",
+    "segment_dedup_flags", "segment_dedup_reconstruct",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
