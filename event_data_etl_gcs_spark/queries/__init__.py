@@ -122,6 +122,7 @@ set_priority([
     "unigram_surprisal_scores", "dsir_importance_weights",
     "dsir_select_topfrac", "doremi_domain_weights",
     "segment_dedup_flags", "segment_dedup_reconstruct",
+    "hard_negative_mining",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

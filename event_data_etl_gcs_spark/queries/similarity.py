@@ -467,3 +467,104 @@ def ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return quantized_topk(emb, queries_df, k=TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (retrieval / embedding training)
+# ---------------------------------------------------------------------------
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding, {duck_norm('embedding')} AS nrm
+  FROM embeddings
+  WHERE {duck_norm('embedding')} > 0
+), q AS (
+  SELECT * FROM vecs WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         (c.label = q.label) AS same_label,
+         {duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_sim
+  FROM vecs c JOIN q ON c.vec_id <> q.vec_id
+), with_pos AS (
+  SELECT query_id, neighbor_id, same_label, cos_sim,
+         MAX(CASE WHEN same_label THEN cos_sim END)
+           OVER (PARTITION BY query_id) AS best_pos
+  FROM scored
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim, best_pos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM with_pos WHERE NOT same_label
+)
+SELECT query_id, neighbor_id, cos_sim, rank,
+       best_pos - cos_sim AS gap_to_positive
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=(
+        "Hard-negative mining for retrieval/embedding training (the "
+        "candidate-generation step of triplet/contrastive fine-tuning, "
+        "e.g. DPR/Sentence-BERT pipelines): for each query vector, the "
+        "top-k most-similar corpus vectors with a DIFFERENT label — "
+        "near misses the trained model must push away — plus the margin "
+        "to the query's best same-label positive (NULL when the query "
+        "has no positive). One broadcast of the query set against the "
+        "partitioned corpus; the positive-max and the negative ranking "
+        "share a single exchange on query_id (one unordered window + "
+        "one ordered window over the same partitioning), so mining "
+        "costs the same shuffle plan as plain brute-force top-k."
+    ),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm_sql("embedding")).alias("cnorm"),
+    ).filter(F.col("cnorm") > 0)
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qv"),
+            F.expr(norm_sql("embedding")).alias("qnorm"),
+        )
+        .filter(F.col("qnorm") > 0)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("c_label") == F.col("q_label")).alias("same_label"),
+            (
+                F.expr(dot_sql("qv", "cv")) / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+    per_q = Window.partitionBy("query_id")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn(
+            "best_pos",
+            F.max(F.when(F.col("same_label"), F.col("cos_sim"))).over(per_q),
+        )
+        .filter(~F.col("same_label"))
+        .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            (F.col("best_pos") - F.col("cos_sim")).alias("gap_to_positive"),
+        )
+    )
