@@ -11,6 +11,16 @@ from .neardedup import (
     run_streaming_knn_maintenance,
     run_streaming_near_dedup,
 )
+from .dsir import (
+    read_dsir_model,
+    run_streaming_dsir_maintenance,
+    score_against_model,
+)
+from .semdedup import (
+    read_semdedup_decisions,
+    run_streaming_semdedup,
+    semdedup_ingest_batch,
+)
 from .sessions import stateful_sessionize
 from .windowed import stateful_running_max, windowed_event_counts
 
@@ -25,6 +35,12 @@ __all__ = [
     "corpus_ingest_batch",
     "run_streaming_corpus_ingest",
     "read_streamed_corpus",
+    "run_streaming_dsir_maintenance",
+    "read_dsir_model",
+    "score_against_model",
+    "run_streaming_semdedup",
+    "semdedup_ingest_batch",
+    "read_semdedup_decisions",
     "stateful_sessionize",
     "stateful_running_max",
     "windowed_event_counts",
