@@ -1,0 +1,166 @@
+"""Training-corpus pipeline v3: the round-7 curation stages composed
+end-to-end — CCNet-style segment dedup, quality gate over the
+RECONSTRUCTED text, exact dedup, then DSIR importance selection.
+
+v1 (training_corpus_select) is gate -> exact -> MinHash near-dedup; v3
+is the orthogonal modern recipe: strip cross-document boilerplate at
+segment granularity FIRST (so the gate and the dedup see the cleaned
+text), then select the target-like top fraction per source stream with
+DSIR weights. Everything is deterministic, so the full composition has
+one exact DuckDB oracle.
+
+Scale shape: segment dedup adds one groupBy(segment) + one
+groupBy(doc_id) to the v1 plan; the DSIR stages add one explode, one
+4096-row broadcast join, and one doc-keyed aggregate — no corpus
+self-join anywhere in v3 (near-dedup stays in v1/v2, which already
+carry it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dsir import (
+    DSIR_BUCKETS,
+    bucket_counts,
+    ratio_table,
+    score_docs,
+    token_buckets,
+)
+from ..operators.text import duck_char_hash, duck_quality_select, duck_tokens
+from ..plans.training_corpus import (
+    MAX_PUNCT_RATIO,
+    MAX_STOPWORD_RATIO,
+    MIN_TOKENS,
+    exact_dedup_keep_min,
+    quality_gate,
+)
+from ..queries.lm_quality import DSIR_KEEP_DENOM
+from ..sources.catalog import load_table
+from .registry import query
+from .segdedup import _DUCK_SEGS, _DUCK_WINNERS, segment_dedup_reconstruct
+
+_B = DSIR_BUCKETS
+_QSEL = duck_quality_select()
+
+_V3_SQL = f"""
+WITH segs AS MATERIALIZED ({_DUCK_SEGS}),
+winners AS MATERIALIZED ({_DUCK_WINNERS}),
+recon AS (
+  SELECT doc_id, array_to_string(list(seg ORDER BY seg_pos), ' ') AS text
+  FROM winners GROUP BY doc_id
+),
+d3 AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.source, r.text, {duck_tokens('r.text')} AS toks
+  FROM documents d JOIN recon r USING (doc_id)
+),
+gated AS MATERIALIZED (
+  SELECT doc_id, lang, source, text
+  FROM d3
+  WHERE {_QSEL['n_tokens']} >= {MIN_TOKENS}
+    AND {_QSEL['stopword_ratio']} <= {MAX_STOPWORD_RATIO}
+    AND {_QSEL['punct_ratio']} <= {MAX_PUNCT_RATIO}
+),
+uniq AS MATERIALIZED (
+  SELECT g.doc_id, g.source, g.text
+  FROM gated g
+  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text) k
+    ON g.text = k.text AND g.doc_id = k.doc_id
+),
+dbase AS MATERIALIZED (
+  SELECT doc_id, source, doc_id % 97 = 0 AS is_target,
+         {duck_tokens('text')} AS toks
+  FROM uniq
+),
+dtk AS MATERIALIZED (
+  SELECT doc_id, source, is_target, dti AS pos,
+         {duck_char_hash('toks[dti]')} % {_B} AS h
+  FROM dbase, unnest(range(1, len(toks) + 1)) AS dr(dti)
+),
+dbc AS MATERIALIZED (
+  SELECT h,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+  FROM dtk GROUP BY h
+),
+dtot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns FROM dbc
+),
+dr2 AS (
+  SELECT dbc.h,
+         (CAST(dbc.ct + 1 AS DOUBLE) / CAST(dbc.cs + 1 AS DOUBLE))
+         * (CAST(dtot.ns + {_B} AS DOUBLE) / CAST(dtot.nt + {_B} AS DOUBLE))
+           AS ratio
+  FROM dbc CROSS JOIN dtot
+),
+dj AS (
+  SELECT t.doc_id, t.source, t.pos, dr2.ratio
+  FROM dtk t JOIN dr2 USING (h) WHERE NOT t.is_target
+),
+dw AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(ratio ORDER BY pos)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_lr
+  FROM dj GROUP BY doc_id, source
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, mean_lr,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY mean_lr DESC, doc_id) AS INTEGER) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM dw
+)
+SELECT doc_id, source, n_tokens, mean_lr, rk FROM ranked
+WHERE rk <= (n_src + {DSIR_KEEP_DENOM - 1}) // {DSIR_KEEP_DENOM}
+"""
+
+
+def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rec = segment_dedup_reconstruct(spark, sf_dir)
+    d3 = docs.select("doc_id", "lang", "source").join(
+        rec.filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        ),
+        "doc_id",
+    )
+    gated = quality_gate(d3).select("doc_id", "source", "text")
+    return exact_dedup_keep_min(gated)
+
+
+@query(
+    "training_corpus_v3_select",
+    oracle=_V3_SQL,
+    doc=(
+        "Training-corpus pipeline v3: segment-level exact dedup (strip "
+        "cross-document boilerplate, reconstruct the cleaned text) -> "
+        "quality gate over the RECONSTRUCTED text -> exact dedup -> "
+        "DSIR importance weights trained on the surviving corpus -> "
+        "keep the target-like top 1/5 per source stream. One exact "
+        "cross-engine oracle over the whole composition; the only "
+        "corpus-wide operations are two groupBys (segment, doc) plus "
+        "the DSIR explode/broadcast-join/aggregate — no self-join."
+    ),
+)
+def training_corpus_v3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uniq = _v3_unique_docs(spark, sf_dir)
+    tk = token_buckets(uniq)
+    w = score_docs(tk, ratio_table(bucket_counts(tk)))
+    win = Window.partitionBy("source").orderBy(
+        F.col("mean_lr").desc(), F.col("doc_id")
+    )
+    ranked = w.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_lr",
+        F.row_number().over(win).cast("int").alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return ranked.filter(
+        F.col("rk")
+        <= F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) div {DSIR_KEEP_DENOM}")
+    ).select("doc_id", "source", "n_tokens", "mean_lr", "rk")
