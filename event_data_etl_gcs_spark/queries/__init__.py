@@ -42,6 +42,7 @@ from . import semdedup  # noqa: E402,F401
 from . import lm_quality  # noqa: E402,F401
 from . import segdedup  # noqa: E402,F401
 from . import corpus_v3  # noqa: E402,F401
+from . import decontam_span  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -124,6 +125,7 @@ set_priority([
     "dsir_select_topfrac", "doremi_domain_weights",
     "segment_dedup_flags", "segment_dedup_reconstruct",
     "hard_negative_mining", "training_corpus_v3_select",
+    "span_decontaminate",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
