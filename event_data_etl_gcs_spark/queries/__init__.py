@@ -125,7 +125,8 @@ set_priority([
     "dsir_select_topfrac", "doremi_domain_weights",
     "segment_dedup_flags", "segment_dedup_reconstruct",
     "hard_negative_mining", "training_corpus_v3_select",
-    "span_decontaminate",
+    "span_decontaminate", "shard_assignment_token_balanced",
+    "shard_balance_stats",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

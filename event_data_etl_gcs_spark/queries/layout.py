@@ -110,3 +110,127 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dd").cast("long").alias("dd_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced training-shard assignment
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+SHARD_HASH_C = 2654435761  # Knuth multiplicative constant
+SHARD_HASH_P = 2147483647  # 2^31 - 1
+SHARD_BUCKETS = 64  # distributed prefix-sum granularity
+
+_SHARD_CTES = f"""
+t AS (
+  SELECT doc_id,
+         (doc_id * {SHARD_HASH_C}) % {SHARD_HASH_P} AS h,
+         CAST(len(CASE WHEN length(trim(text)) = 0
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(text), '\\s+') END)
+              AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t
+), cum AS (
+  SELECT doc_id, h, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum_before
+  FROM t
+), assigned AS (
+  SELECT c.doc_id, c.h, c.n_tokens, c.cum_before,
+         CAST(c.cum_before // ((tot.total + {N_SHARDS - 1}) // {N_SHARDS})
+              AS BIGINT) AS shard_id
+  FROM cum c CROSS JOIN tot
+)
+"""
+
+
+@query(
+    "shard_assignment_token_balanced",
+    oracle=f"WITH {_SHARD_CTES} "
+    "SELECT doc_id, n_tokens, cum_before, shard_id FROM assigned",
+    doc=(
+        "Token-balanced training-shard assignment: documents are laid "
+        "out in a deterministic hash order (a pre-shuffle — neighboring "
+        "doc_ids land in different shards), the exclusive running token "
+        "total is computed, and each doc goes to shard "
+        "floor(cum_before / ceil(total/N)) — shards fill to equal token "
+        "budgets, not equal doc counts. The cumulative sum is the "
+        "DISTRIBUTED prefix-sum (hash-range buckets: local windows per "
+        "bucket, then one tiny offsets window over bucket totals) — "
+        "never a single-partition global window. All-integer arithmetic "
+        "-> exact at any parallelism and cross-engine."
+    ),
+)
+def shard_assignment_token_balanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(SHARD_HASH_C)) % F.lit(SHARD_HASH_P)).alias("h"),
+        F.expr(
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    bwidth = SHARD_HASH_P // SHARD_BUCKETS + 1
+    tb = t.withColumn("__b", (F.col("h") / F.lit(bwidth)).cast("long"))
+    wl = (
+        Window.partitionBy("__b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tb.withColumn(
+        "__local", F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)).cast("long")
+    )
+    wo = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tb.groupBy("__b")
+        .agg(F.sum("n_tokens").cast("long").alias("__btot"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__btot").over(wo), F.lit(0)).cast("long")
+        )
+        .select("__b", "__off")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return (
+        local.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__local") + F.col("__off")).cast("bigint").alias("cum_before"),
+            F.expr(
+                f"CAST((__local + __off) div ((total + {N_SHARDS - 1}) "
+                f"div {N_SHARDS}) AS BIGINT)"
+            ).alias("shard_id"),
+        )
+    )
+
+
+@query(
+    "shard_balance_stats",
+    oracle=f"WITH {_SHARD_CTES} "
+    "SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens "
+    "FROM assigned GROUP BY shard_id",
+    doc=(
+        "Per-shard rollup of the token-balanced assignment: every shard "
+        "holds ~total/N tokens whatever the document-length distribution "
+        "— the property a packing-aware trainer needs from its shards."
+    ),
+)
+def shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = shard_assignment_token_balanced(spark, sf_dir)
+    return a.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
