@@ -126,7 +126,7 @@ set_priority([
     "segment_dedup_flags", "segment_dedup_reconstruct",
     "hard_negative_mining", "training_corpus_v3_select",
     "span_decontaminate", "shard_assignment_token_balanced",
-    "shard_balance_stats",
+    "shard_balance_stats", "curriculum_mix_schedule",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -353,3 +353,59 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_mean",
         (F.col("w_raw") / F.col("z")).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum mixing schedule (anneal natural -> DoReMi weights)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_EPOCHS = 4
+
+
+@query(
+    "curriculum_mix_schedule",
+    oracle=f"""
+WITH dw AS ({_DOREMI_SQL}), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM dw
+)
+SELECT e.epoch, dw.source,
+       (CAST(dw.n_docs AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+       + (CAST(e.epoch AS DOUBLE) / {CURRICULUM_EPOCHS})
+         * (dw.weight
+            - CAST(dw.n_docs AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+         AS mix_weight
+FROM dw CROSS JOIN tot
+CROSS JOIN (SELECT CAST(u.e AS INTEGER) AS epoch
+            FROM unnest(range(0, {CURRICULUM_EPOCHS + 1})) AS u(e)) e
+""",
+    doc=(
+        "Curriculum data-mixing schedule: per training epoch, linearly "
+        "anneal each source's sampling weight from its natural share "
+        "(epoch 0) to its DoReMi weight (final epoch) — the two-phase "
+        "pretraining recipe (start on the natural distribution, finish "
+        "on the quality-reweighted mix) as a deterministic table. "
+        "Output is epochs x sources rows: driver-side tiny at any "
+        "corpus size; all the heavy lifting is inside "
+        "doremi_domain_weights' one-pass aggregates."
+    ),
+)
+def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw = doremi_domain_weights(spark, sf_dir)
+    tot = dw.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    epochs = spark.range(CURRICULUM_EPOCHS + 1).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    nat = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    return (
+        dw.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(epochs))
+        .select(
+            "epoch",
+            "source",
+            (
+                nat
+                + (F.col("epoch").cast("double") / F.lit(CURRICULUM_EPOCHS))
+                * (F.col("weight") - nat)
+            ).alias("mix_weight"),
+        )
+    )
