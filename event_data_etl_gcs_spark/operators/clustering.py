@@ -391,6 +391,26 @@ def _cluster_local_candidate_pairs(
     )
 
 
+def _guard_cluster_size(members: DataFrame, max_cluster: int | None) -> None:
+    if max_cluster is None:
+        return
+    big = (
+        members.groupBy("cluster_id")
+        .count()
+        .filter(F.col("count") > max_cluster)
+        .limit(1)
+        .collect()
+    )
+    if big:
+        raise ValueError(
+            f"semdedup: cluster {big[0]['cluster_id']} has "
+            f"{big[0]['count']} members (> max_cluster={max_cluster}); "
+            "the within-cluster work would be quadratic in it. "
+            "Raise k (SemDeDup: k ~ n / target cluster size; pass "
+            "k=None to auto-derive) or raise max_cluster explicitly."
+        )
+
+
 def _semdedup_pairs_body(
     front, threshold: float, max_cluster: int | None
 ) -> DataFrame:
@@ -402,22 +422,7 @@ def _semdedup_pairs_body(
 
     base, cent, reps, mem_ids, members, n_reps = front
     collapse_identical = mem_ids is not None
-    if max_cluster is not None:
-        big = (
-            members.groupBy("cluster_id")
-            .count()
-            .filter(F.col("count") > max_cluster)
-            .limit(1)
-            .collect()
-        )
-        if big:
-            raise ValueError(
-                f"semdedup_pairs: cluster {big[0]['cluster_id']} has "
-                f"{big[0]['count']} members (> max_cluster={max_cluster}); "
-                "the within-cluster pair join would be quadratic in it. "
-                "Raise k (SemDeDup: k ~ n / target cluster size; pass "
-                "k=None to auto-derive) or raise max_cluster explicitly."
-            )
+    _guard_cluster_size(members, max_cluster)
     from .graph import SCORING_FOLD_MAX_N
 
     if n_reps <= SCORING_FOLD_MAX_N:
@@ -509,6 +514,178 @@ def _semdedup_pairs_body(
     return intra.unionByName(cross)
 
 
+def _cluster_local_keep_witness(
+    mvk: DataFrame, threshold: float, block: int = 512
+) -> DataFrame:
+    """Per-cluster witness scan for the keep decision (no pair output).
+
+    Input rows: (cluster_id, id, v, nrm, ccos, mmin) — one per REP, with
+    the JVM-fold centroid cosine and the rep's minimum member id (the
+    member-level tie-break key). Emits, per rep, one summary row
+    (other = -1, certain = 1 iff some partner with numpy cosine
+    >= threshold + slack dominates it) plus one row per UNCERTAIN
+    dominating partner (cosine within +-slack of the threshold, to be
+    re-scored exactly by the caller). Domination compares the exact JVM
+    doubles (ccos) and integer ids, so the only approximation is the
+    cosine-vs-threshold test — confined to the slack band.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr_hi = threshold + 1e-6
+    thr_lo = threshold - 1e-6
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "other": pd.Series(dtype="int64"),
+                "certain": pd.Series(dtype="int32"),
+            }
+        )
+        if m == 0:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(np.int64), kind="mergesort")
+        ids = pdf["id"].to_numpy(np.int64)[order]
+        U = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        U /= pdf["nrm"].to_numpy(np.float64)[order][:, None]
+        c = pdf["ccos"].to_numpy(np.float64)[order]
+        mm = pdf["mmin"].to_numpy(np.int64)[order]
+        certain = np.zeros(m, np.int32)
+        unc_i, unc_j = [], []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            G = U[s:e] @ U.T
+            # j dominates row r=(s+i) iff c[j] < c[r], or tie broken by
+            # the smaller min-member id
+            dom = (c[None, :] < c[s:e, None]) | (
+                (c[None, :] == c[s:e, None]) & (mm[None, :] < mm[s:e, None])
+            )
+            hit = (G >= thr_hi) & dom
+            certain[s:e] |= hit.any(axis=1).astype(np.int32)
+            band = (G >= thr_lo) & (G < thr_hi) & dom
+            rows, cols = np.nonzero(band)
+            if len(rows):
+                unc_i.append(ids[rows + s])
+                unc_j.append(ids[cols])
+        out = pd.DataFrame(
+            {
+                "id": ids,
+                "other": np.full(m, -1, np.int64),
+                "certain": certain,
+            }
+        )
+        if unc_i:
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "id": np.concatenate(unc_i),
+                            "other": np.concatenate(unc_j),
+                            "certain": np.zeros(
+                                sum(len(a) for a in unc_i), np.int32
+                            ),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
+
+    return mvk.groupBy("cluster_id").applyInPandas(
+        fn, schema="id long, other long, certain int"
+    )
+
+
+def _semdedup_pruned_scale(
+    front, rep_ccos: DataFrame, threshold: float, max_cluster: int | None
+) -> DataFrame:
+    """(vec_id, __pruned=1) rows via the witness scan — output-linear.
+
+    Exactness argument (vs the pairs-based fold spelling):
+      * the domination predicate uses the identical JVM-fold centroid
+        cosines and integer tie-break ids the fold path uses;
+      * the cosine-vs-threshold test is numpy only OUTSIDE the +-1e-6
+        slack band (orders of magnitude wider than the fold-vs-matmul
+        summation discrepancy); inside the band every dominating pair
+        is re-scored by the exact JVM fold before counting;
+      * member-level expansion: every non-minimum member of an
+        identical-vector group is dominated by the group minimum
+        (equal vector => equal centroid cosine, smaller id; the
+        group's self-cosine is 1 up to one ulp, and the threshold gate
+        below rejects thresholds within 1e-6 of 1 where that ulp could
+        flip the qualification), and the minimum member is pruned iff
+        its REP has a dominating partner with the min-member tie-break
+        — which is precisely what the witness scan computes.
+    Pinned bit-identical to the fold path by tests/test_semdedup.py.
+    """
+    from .similarity import dot_sql
+
+    base, cent, reps, mem_ids, members, n_reps = front
+    _guard_cluster_size(members, max_cluster)
+    if threshold >= 1 - 1e-6:
+        raise ValueError(
+            "semdedup_keep scale path requires threshold < 1 - 1e-6 "
+            "(the intra-group self-cosine qualification is only "
+            "ulp-safe below that); use k large enough to stay under "
+            "the fold gate for near-1 thresholds"
+        )
+    if mem_ids is not None:
+        mmin = mem_ids.groupBy("rep_id").agg(F.min("id").alias("mmin"))
+    else:
+        mmin = reps.select(F.col("id").alias("rep_id"), F.col("id").alias("mmin"))
+    mvk = (
+        members.alias("mm")
+        .join(reps.alias("rr"), F.col("mm.id") == F.col("rr.id"))
+        .join(rep_ccos.select("rep_id", "centroid_cos"),
+              F.col("mm.id") == F.col("rep_id"))
+        .join(mmin.withColumnRenamed("rep_id", "rep_id2"),
+              F.col("mm.id") == F.col("rep_id2"))
+        .select(
+            F.col("mm.cluster_id").alias("cluster_id"),
+            F.col("rr.id").alias("id"),
+            F.col("rr.v").alias("v"),
+            F.col("rr.nrm").alias("nrm"),
+            F.col("centroid_cos").alias("ccos"),
+            F.col("mmin").alias("mmin"),
+        )
+    )
+    ker = _cluster_local_keep_witness(mvk, threshold)
+    ker = ker.localCheckpoint(eager=True)
+    certain = ker.filter(
+        (F.col("other") == -1) & (F.col("certain") == 1)
+    ).select(F.col("id").alias("rep_id"))
+    unc = ker.filter(F.col("other") >= 0).select("id", "other")
+    va = reps.select(F.col("id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = reps.select(
+        F.col("id").alias("other"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    confirmed = (
+        unc.join(va, "id")
+        .join(vb, "other")
+        .filter(
+            F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id").alias("rep_id"))
+    )
+    rep_pruned = certain.unionByName(confirmed).distinct()
+    if mem_ids is not None:
+        mem = mem_ids.select("rep_id", "id")
+    else:
+        mem = reps.select(F.col("id").alias("rep_id"), "id")
+    flagged = (
+        mem.join(mmin, "rep_id")
+        .join(rep_pruned.withColumn("__rp", F.lit(1)), "rep_id", "left")
+        .filter((F.col("id") != F.col("mmin")) | (F.col("__rp") == 1))
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("__pruned", F.lit(1))
+    )
+    return flagged
+
+
 def semdedup_keep(
     emb: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
@@ -543,7 +720,6 @@ def semdedup_keep(
         emb, k, id_col, vec_col, collapse_identical, n_iter=n_iter
     )
     base, cent, reps, mem_ids, members, n_reps = front
-    pairs = _semdedup_pairs_body(front, threshold, max_cluster)
     rep_ccos = (
         reps.join(members.withColumnRenamed("id", "rid"),
                   F.col("id") == F.col("rid"))
@@ -564,28 +740,42 @@ def semdedup_keep(
         ccos = rep_ccos.select(
             F.col("rep_id").alias("vec_id"), "cluster_id", "centroid_cos"
         )
-    sym = pairs.select(
-        F.col("id_a").alias("vid"), F.col("id_b").alias("other")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("other"))
-    )
-    cx = ccos.select(
-        F.col("vec_id").alias("vid"), F.col("centroid_cos").alias("c_v")
-    )
-    co = ccos.select(
-        F.col("vec_id").alias("other"), F.col("centroid_cos").alias("c_o")
-    )
-    pruned = (
-        sym.join(cx, "vid")
-        .join(co, "other")
-        .filter(
-            (F.col("c_o") < F.col("c_v"))
-            | ((F.col("c_o") == F.col("c_v")) & (F.col("other") < F.col("vid")))
+    from .graph import SCORING_FOLD_MAX_N
+
+    if n_reps <= SCORING_FOLD_MAX_N:
+        # Conformance scale: the pairs-based spelling, exactly the
+        # DuckDB oracle's shape (member-level pairs -> domination).
+        pairs = _semdedup_pairs_body(front, threshold, max_cluster)
+        sym = pairs.select(
+            F.col("id_a").alias("vid"), F.col("id_b").alias("other")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("vid"), F.col("id_a").alias("other"))
         )
-        .select(F.col("vid").alias("vec_id"))
-        .distinct()
-        .withColumn("__pruned", F.lit(1))
-    )
+        cx = ccos.select(
+            F.col("vec_id").alias("vid"), F.col("centroid_cos").alias("c_v")
+        )
+        co = ccos.select(
+            F.col("vec_id").alias("other"), F.col("centroid_cos").alias("c_o")
+        )
+        pruned = (
+            sym.join(cx, "vid")
+            .join(co, "other")
+            .filter(
+                (F.col("c_o") < F.col("c_v"))
+                | ((F.col("c_o") == F.col("c_v")) & (F.col("other") < F.col("vid")))
+            )
+            .select(F.col("vid").alias("vec_id"))
+            .distinct()
+            .withColumn("__pruned", F.lit(1))
+        )
+    else:
+        # At scale the pair set is the wall, not the plan: the probe
+        # corpus (200k Gaussian, k=n/4096, threshold 0.4) qualifies
+        # ~0.5B pairs — but the KEEP decision only needs, per vector,
+        # the EXISTENCE of a dominating partner. The witness scan
+        # computes that existence cluster-locally in numpy without ever
+        # materializing qualifying pairs; output is one row per rep.
+        pruned = _semdedup_pruned_scale(front, rep_ccos, threshold, max_cluster)
     return ccos.join(pruned, "vec_id", "left").select(
         "vec_id",
         "cluster_id",

@@ -101,3 +101,43 @@ def test_numpy_candidate_path_matches_fold(spark, monkeypatch):
     monkeypatch.setattr(g, "SCORING_FOLD_MAX_N", 10)
     got = _rows(semdedup_pairs(emb), cols)
     assert got == want
+
+
+def test_witness_keep_path_matches_fold(spark, monkeypatch):
+    """Force the at-scale witness-scan keep path and pin its output
+    (all four columns, centroid_cos doubles included) to the
+    pairs-based fold path's — on the fixture corpus AND on a planted
+    replica corpus where the identical-vector collapse and min-member
+    tie-breaks are load-bearing."""
+    import event_data_etl_gcs_spark.operators.graph as g
+
+    cols = ["vec_id", "cluster_id", "centroid_cos", "kept"]
+
+    emb = load_table(spark, SF, "embeddings")
+    want = _rows(semdedup_keep(emb), cols)
+    monkeypatch.setattr(g, "SCORING_FOLD_MAX_N", 10)
+    got = _rows(semdedup_keep(emb), cols)
+    assert got == want
+    monkeypatch.undo()
+
+    base = load_table(spark, SF, "embeddings").orderBy("vec_id").limit(5)
+    planted = (
+        base.crossJoin(spark.range(7).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") * 1000 + F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    want_p = _rows(semdedup_keep(planted, threshold=0.9), cols)
+    monkeypatch.setattr(g, "SCORING_FOLD_MAX_N", 2)
+    got_p = _rows(semdedup_keep(planted, threshold=0.9), cols)
+    assert got_p == want_p
+
+
+def test_witness_keep_rejects_near_one_threshold(spark, monkeypatch):
+    import event_data_etl_gcs_spark.operators.graph as g
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(g, "SCORING_FOLD_MAX_N", 10)
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup_keep(emb, threshold=1.0).collect()
