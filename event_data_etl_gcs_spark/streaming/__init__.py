@@ -16,6 +16,11 @@ from .dsir import (
     run_streaming_dsir_maintenance,
     score_against_model,
 )
+from .segdedup import (
+    read_clean_corpus,
+    run_streaming_segdedup,
+    segdedup_ingest_batch,
+)
 from .semdedup import (
     read_semdedup_decisions,
     run_streaming_semdedup,
@@ -38,6 +43,9 @@ __all__ = [
     "run_streaming_dsir_maintenance",
     "read_dsir_model",
     "score_against_model",
+    "run_streaming_segdedup",
+    "segdedup_ingest_batch",
+    "read_clean_corpus",
     "run_streaming_semdedup",
     "semdedup_ingest_batch",
     "read_semdedup_decisions",
