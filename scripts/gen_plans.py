@@ -243,6 +243,34 @@ SHOW = [
         "Output-bound at 100x replication: 54.62M pairs in 21.4 s "
         "with candidate work distinct-sized (SCALE_r7.md).",
     ),
+    (
+        "segment_dedup_reconstruct",
+        "CCNet-style segment dedup (round 7): segmenting is one fused "
+        "tokenize+slice projection; first-occurrence selection is a "
+        "PARTIAL-AGGREGATING groupBy(segment) min-struct — hot "
+        "boilerplate segments collapse map-side, where a "
+        "row_number-over-segment window would sort every occurrence in "
+        "one task; reconstruction is one groupBy(doc_id) plus a left "
+        "join back to the doc spine.",
+    ),
+    (
+        "span_decontaminate",
+        "Surgical span decontamination (round 7): the benchmark gram "
+        "set BROADCASTS (eval sets are small by definition) so the "
+        "train-side gram probe is map-side; hit-to-token marking is an "
+        "equi-join on doc_id with a range residual (per-doc hits x "
+        "tokens, never corpus-wide); one groupBy(doc_id) rebuilds the "
+        "cleaned text.",
+    ),
+    (
+        "shard_assignment_token_balanced",
+        "Token-balanced sharding (round 7): the global running token "
+        "total is the DISTRIBUTED prefix-sum — local windows inside 64 "
+        "hash-range buckets plus one offsets window over the 64 bucket "
+        "totals (broadcast back) — never a single-partition global "
+        "window; all-integer arithmetic keeps it exact at any "
+        "parallelism.",
+    ),
 ]
 
 KEY = re.compile(
