@@ -409,3 +409,203 @@ def curriculum_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mix_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (fasttext-like, rational link)
+# ---------------------------------------------------------------------------
+
+QC_ITERS = 3
+QC_LR = 0.5
+
+
+def _duck_qc_iteration(i: int) -> str:
+    """One GD step: z from w{i}, rational-link error, order-pinned
+    gradient, weight update."""
+    return f"""
+z{i} AS MATERIALIZED (
+  SELECT v.doc_id, ANY_VALUE(v.y) AS y,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(w.w * v.x ORDER BY v.h)),
+                     (acc, q) -> acc + q) AS z
+  FROM xv v JOIN w{i} w USING (h) GROUP BY v.doc_id
+), e{i} AS MATERIALIZED (
+  SELECT z.doc_id,
+         (z.y - (0.5 + z.z / (2 * (1 + abs(z.z)))))
+         * (CASE WHEN z.y = 1 THEN cw.wpos ELSE cw.wneg END) AS err
+  FROM z{i} z CROSS JOIN cw
+), g{i} AS MATERIALIZED (
+  SELECT v.h,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(v.x * e.err ORDER BY v.doc_id)),
+                     (acc, q) -> acc + q) AS g
+  FROM xv v JOIN e{i} e USING (doc_id) GROUP BY v.h
+), w{i + 1} AS MATERIALIZED (
+  SELECT w.h, w.w + {QC_LR} * g.g AS w FROM w{i} w JOIN g{i} g USING (h)
+)"""
+
+
+_QC_SQL = (
+    f"""
+WITH qbase AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         {duck_tokens('text')} AS toks
+  FROM documents
+), qtk AS MATERIALIZED (
+  SELECT doc_id, source, y,
+         {duck_char_hash('toks[qti]')} % {DSIR_BUCKETS} AS h
+  FROM qbase, unnest(range(1, len(toks) + 1)) AS qr(qti)
+), xdh AS MATERIALIZED (
+  SELECT doc_id, ANY_VALUE(y) AS y, h, COUNT(*) AS cnt
+  FROM qtk GROUP BY doc_id, h
+), nt AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM xdh GROUP BY doc_id
+), xv AS MATERIALIZED (
+  SELECT x.doc_id, x.y, x.h,
+         CAST(x.cnt AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS x
+  FROM xdh x JOIN nt n USING (doc_id)
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT h, CAST(0 AS DOUBLE) AS w FROM xv
+), cw AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) / (2 * CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)) AS wpos,
+         CAST(COUNT(*) AS DOUBLE) / (2 * CAST(SUM(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS DOUBLE)) AS wneg
+  FROM nt n JOIN (SELECT doc_id, ANY_VALUE(y) AS y FROM xdh GROUP BY doc_id) yy USING (doc_id)
+),"""
+    + ",".join(_duck_qc_iteration(i) for i in range(QC_ITERS))
+    + f""",
+zf AS (
+  SELECT v.doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(w.w * v.x ORDER BY v.h)),
+                     (acc, q) -> acc + q) AS score
+  FROM xv v JOIN w{QC_ITERS} w USING (h) GROUP BY v.doc_id
+)
+SELECT z.doc_id, d.source, z.score,
+       0.5 + z.score / (2 * (1 + abs(z.score))) AS prob
+FROM zf z JOIN documents d USING (doc_id)
+"""
+)
+
+
+def _qc_prob(z):
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import token_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = token_buckets(docs).select(
+        "doc_id",
+        F.col("is_target").cast("double").alias("y"),
+        "h",
+    )
+    xdh = tk.groupBy("doc_id", "h").agg(
+        F.first("y").alias("y"), F.count("*").alias("cnt")
+    )
+    nt = xdh.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens")
+    )
+    return xdh.join(nt, "doc_id").select(
+        "doc_id",
+        "y",
+        "h",
+        (F.col("cnt").cast("double") / F.col("n_tokens").cast("double")).alias("x"),
+    )
+
+
+def _qc_doc_scores(xv: DataFrame, w: DataFrame) -> DataFrame:
+    """(doc_id, y, z): order-pinned dot product against the weight table."""
+    return (
+        xv.join(F.broadcast(w), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("y").alias("y"),
+            F.sort_array(
+                F.collect_list(F.struct("h", (F.col("w") * F.col("x")).alias("q")))
+            ).alias("hq"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                "aggregate(transform(hq, p -> p.q), CAST(0 AS DOUBLE), "
+                "(acc, q) -> acc + q)"
+            ).alias("z"),
+        )
+    )
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=_QC_SQL,
+    doc=(
+        "Model-based quality filtering, trained IN-ENGINE: a "
+        "logistic-style classifier over the 4096 hashed-unigram "
+        "features (benchmark pool as positives — the fasttext-classifier "
+        "stage of the GPT-3/LLaMA pipelines), trained by "
+        f"{QC_ITERS} fixed full-batch gradient steps with a RATIONAL "
+        "link p = 0.5 + z/(2(1+|z|)) instead of exp-sigmoid, so every "
+        "double is cross-engine exact (libm-free, like the BPE/Lloyd "
+        "trainers; oracle = chained MATERIALIZED CTEs). Per step the "
+        "corpus sees one broadcast join against the 4096-row weight "
+        "table, one doc aggregate, one bucket aggregate; the weight "
+        "table is the only driver-side state (bounded, like the BPE "
+        "merge table). Folds are order-pinned (h within doc, doc_id "
+        "within bucket) so the result is partitioning-independent."
+    ),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xv = _qc_features(spark, sf_dir).localCheckpoint(eager=True)
+    w = xv.select("h").distinct().withColumn("w", F.lit(0.0))
+    # balanced class weights (positives are ~1% of docs: unweighted GD
+    # just learns the base rate) — two exact integer counts, one
+    # correctly-rounded division each, identical in both engines
+    ydoc = xv.groupBy("doc_id").agg(F.first("y").alias("y"))
+    n_docs = ydoc.count()
+    n_pos = ydoc.filter(F.col("y") == 1.0).count()
+    wpos = float(n_docs) / (2.0 * float(n_pos))
+    wneg = float(n_docs) / (2.0 * float(n_docs - n_pos))
+    for _ in range(QC_ITERS):
+        z = _qc_doc_scores(xv, w)
+        e = z.select(
+            "doc_id",
+            (
+                (F.col("y") - _qc_prob(F.col("z")))
+                * F.when(F.col("y") == 1.0, F.lit(wpos)).otherwise(F.lit(wneg))
+            ).alias("err"),
+        )
+        g = (
+            xv.join(e, "doc_id")
+            .groupBy("h")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("doc_id", (F.col("x") * F.col("err")).alias("q"))
+                    )
+                ).alias("dq")
+            )
+            .select(
+                "h",
+                F.expr(
+                    "aggregate(transform(dq, p -> p.q), CAST(0 AS DOUBLE), "
+                    "(acc, q) -> acc + q)"
+                ).alias("g"),
+            )
+        )
+        w_new = w.join(g, "h").select(
+            "h", (F.col("w") + F.lit(QC_LR) * F.col("g")).alias("w")
+        )
+        # bounded driver round-trip (<= DSIR_BUCKETS rows): truncates the
+        # per-iteration lineage, the BPE-merge-table pattern
+        rows = [(r["h"], r["w"]) for r in w_new.collect()]
+        w = spark.createDataFrame(rows, "h BIGINT, w DOUBLE")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    zf = _qc_doc_scores(xv, w).select("doc_id", F.col("z").alias("score"))
+    return zf.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "score",
+        _qc_prob(F.col("score")).alias("prob"),
+    )
