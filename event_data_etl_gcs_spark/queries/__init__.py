@@ -127,7 +127,7 @@ set_priority([
     "hard_negative_mining", "training_corpus_v3_select",
     "span_decontaminate", "shard_assignment_token_balanced",
     "shard_balance_stats", "curriculum_mix_schedule",
-    "quality_classifier_scores",
+    "quality_classifier_scores", "embedding_gram_matrix",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

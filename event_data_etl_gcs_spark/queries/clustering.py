@@ -636,3 +636,44 @@ def cluster_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_sqdist",
         "min_sqdist",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix (PCA / whitening primitive)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+WITH g AS (
+  SELECT CAST(u.gi AS BIGINT) AS i, CAST(w.gj AS BIGINT) AS j,
+         CAST(floor(CAST(embedding[gi] AS DOUBLE)
+                    * CAST(embedding[gj] AS DOUBLE)
+                    * 1048576.0 + 0.5) AS BIGINT) AS q
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS u(gi),
+       unnest(range(1, len(embedding) + 1)) AS w(gj)
+  WHERE w.gj >= u.gi
+)
+SELECT i, j, CAST(SUM(q) AS DOUBLE) / 1048576.0 AS gram
+FROM g GROUP BY i, j
+""",
+    doc=(
+        "Embedding Gram matrix (the PCA-whitening / covariance "
+        "primitive): upper-triangle G[i,j] = sum over vectors of "
+        "x_i * x_j, every product quantized to integers "
+        "(floor(x_i*x_j*2^20 + 0.5) — correctly-rounded IEEE product, "
+        "exponent-shift multiply, portable rounding) so the int64 sum "
+        "is exact in ANY order: partitioning-independent and "
+        "cross-engine identical. Above GRAM_FOLD_MAX_N rows the same "
+        "integers come from per-partition numpy partial Grams "
+        "(mapInPandas; data moved = partitions x dim^2 longs, corpus "
+        "never shuffled) — bit-identical by construction, pinned by "
+        "test."
+    ),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb)
