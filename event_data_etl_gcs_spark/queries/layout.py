@@ -148,29 +148,14 @@ t AS (
 """
 
 
-@query(
-    "shard_assignment_token_balanced",
-    oracle=f"WITH {_SHARD_CTES} "
-    "SELECT doc_id, n_tokens, cum_before, shard_id FROM assigned",
-    doc=(
-        "Token-balanced training-shard assignment: documents are laid "
-        "out in a deterministic hash order (a pre-shuffle — neighboring "
-        "doc_ids land in different shards), the exclusive running token "
-        "total is computed, and each doc goes to shard "
-        "floor(cum_before / ceil(total/N)) — shards fill to equal token "
-        "budgets, not equal doc counts. The cumulative sum is the "
-        "DISTRIBUTED prefix-sum (hash-range buckets: local windows per "
-        "bucket, then one tiny offsets window over bucket totals) — "
-        "never a single-partition global window. All-integer arithmetic "
-        "-> exact at any parallelism and cross-engine."
-    ),
-)
-def shard_assignment_token_balanced(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def hash_order_prefix_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, cum_before): exclusive running token total in
+    the deterministic hash order — the DISTRIBUTED prefix-sum (local
+    windows inside SHARD_BUCKETS hash-range buckets + one offsets
+    window over bucket totals). Shared by the batch shard queries and
+    the streaming shard writer."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         ((F.col("doc_id") * F.lit(SHARD_HASH_C)) % F.lit(SHARD_HASH_P)).alias("h"),
@@ -200,19 +185,47 @@ def shard_assignment_token_balanced(
         )
         .select("__b", "__off")
     )
-    tot = t.agg(F.sum("n_tokens").cast("long").alias("total"))
     return (
         local.join(F.broadcast(offsets), "__b")
-        .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             "n_tokens",
             (F.col("__local") + F.col("__off")).cast("bigint").alias("cum_before"),
-            F.expr(
-                f"CAST((__local + __off) div ((total + {N_SHARDS - 1}) "
-                f"div {N_SHARDS}) AS BIGINT)"
-            ).alias("shard_id"),
         )
+    )
+
+
+@query(
+    "shard_assignment_token_balanced",
+    oracle=f"WITH {_SHARD_CTES} "
+    "SELECT doc_id, n_tokens, cum_before, shard_id FROM assigned",
+    doc=(
+        "Token-balanced training-shard assignment: documents are laid "
+        "out in a deterministic hash order (a pre-shuffle — neighboring "
+        "doc_ids land in different shards), the exclusive running token "
+        "total is computed, and each doc goes to shard "
+        "floor(cum_before / ceil(total/N)) — shards fill to equal token "
+        "budgets, not equal doc counts. The cumulative sum is the "
+        "DISTRIBUTED prefix-sum (hash-range buckets: local windows per "
+        "bucket, then one tiny offsets window over bucket totals) — "
+        "never a single-partition global window. All-integer arithmetic "
+        "-> exact at any parallelism and cross-engine."
+    ),
+)
+def shard_assignment_token_balanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cum = hash_order_prefix_tokens(docs)
+    tot = cum.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.expr(
+            f"CAST(cum_before div ((total + {N_SHARDS - 1}) "
+            f"div {N_SHARDS}) AS BIGINT)"
+        ).alias("shard_id"),
     )
 
 

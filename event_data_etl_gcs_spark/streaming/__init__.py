@@ -27,6 +27,11 @@ from .semdedup import (
     semdedup_ingest_batch,
 )
 from .sessions import stateful_sessionize
+from .sharding import (
+    read_shard_assignments,
+    run_streaming_sharding,
+    shard_ingest_batch,
+)
 from .windowed import stateful_running_max, windowed_event_counts
 
 __all__ = [
@@ -50,6 +55,9 @@ __all__ = [
     "semdedup_ingest_batch",
     "read_semdedup_decisions",
     "stateful_sessionize",
+    "run_streaming_sharding",
+    "shard_ingest_batch",
+    "read_shard_assignments",
     "stateful_running_max",
     "windowed_event_counts",
 ]
