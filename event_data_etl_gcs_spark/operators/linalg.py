@@ -62,13 +62,19 @@ def _gram_partials(emb: DataFrame, dim: int, id_col: str, vec_col: str) -> DataF
     def fn(batches):
         acc = np.zeros((dim, dim), np.int64)
         any_rows = False
+        chunk = 256  # keep the n x dim x dim product tensor cache-sized
         for pdf in batches:
             if not len(pdf):
                 continue
             any_rows = True
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            P = X[:, :, None] * X[:, None, :]  # n x dim x dim products
-            acc += np.floor(P * QMEAN_SCALE + 0.5).astype(np.int64).sum(axis=0)
+            for s in range(0, len(X), chunk):
+                C = X[s : s + chunk]
+                P = C[:, :, None] * C[:, None, :]
+                P *= QMEAN_SCALE
+                P += 0.5
+                np.floor(P, out=P)
+                acc += P.astype(np.int64).sum(axis=0)
         if not any_rows:
             return
         iu = np.triu_indices(dim)
