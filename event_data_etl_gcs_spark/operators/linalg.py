@@ -105,7 +105,16 @@ def gram_matrix(
     spellings produce IDENTICAL integers (same per-pair quantization,
     exact int64 sums) — pinned by test.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    # One probe row serves both dim inference and the empty-corpus check
+    # (first() is None on an empty frame — raise clearly instead of the
+    # bare TypeError; ADVICE r7). NULL/empty vectors are equally unusable.
+    probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None or not probe[0]:
+        raise ValueError(
+            f"gram_matrix: no non-null {vec_col!r} vectors in the corpus "
+            "(empty input has no Gram matrix)"
+        )
+    dim = len(probe[0])
     if scoring == "auto":
         scoring = "fold" if emb.count() <= GRAM_FOLD_MAX_N else "partial"
     if scoring == "fold":

@@ -119,12 +119,18 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 16
 SHARD_HASH_C = 2654435761  # Knuth multiplicative constant
 SHARD_HASH_P = 2147483647  # 2^31 - 1
+# Overflow-safe hashing (ADVICE r7): doc_id * C wraps int64 above
+# doc_id ~ 3.47e9 (Spark wraps silently, DuckDB errors). Reduce BOTH
+# operands mod P first: ((doc_id % P) * (C % P)) % P is the identical
+# value by modular arithmetic, and the product is bounded by
+# (P-1) * (C % P) < 2^60 — safely inside int64 at any doc_id.
+SHARD_HASH_CR = SHARD_HASH_C % SHARD_HASH_P  # 506952114 < P
 SHARD_BUCKETS = 64  # distributed prefix-sum granularity
 
 _SHARD_CTES = f"""
 t AS (
   SELECT doc_id,
-         (doc_id * {SHARD_HASH_C}) % {SHARD_HASH_P} AS h,
+         ((doc_id % {SHARD_HASH_P}) * {SHARD_HASH_CR}) % {SHARD_HASH_P} AS h,
          CAST(len(CASE WHEN length(trim(text)) = 0
                        THEN CAST([] AS VARCHAR[])
                        ELSE string_split_regex(trim(text), '\\s+') END)
@@ -158,7 +164,10 @@ def hash_order_prefix_tokens(docs: DataFrame) -> DataFrame:
 
     t = docs.select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(SHARD_HASH_C)) % F.lit(SHARD_HASH_P)).alias("h"),
+        (
+            ((F.col("doc_id") % F.lit(SHARD_HASH_P)) * F.lit(SHARD_HASH_CR))
+            % F.lit(SHARD_HASH_P)
+        ).alias("h"),
         F.expr(
             "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE size(split(trim(text), '\\\\s+')) END AS BIGINT)"

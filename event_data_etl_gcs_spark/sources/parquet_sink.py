@@ -196,14 +196,37 @@ def _path_render(p) -> str | None:
     booleans — Spark writes ``col=true`` but ``str(True)`` is
     ``'True'`` — so a fully-vacated boolean partition directory would
     never match and its stale rows resurface on the next read
-    (ADVICE r6). Floats use ``repr`` (Python ``str`` == ``repr`` on
-    py3 floats, both shortest-round-trip like Java's Double.toString
-    for the plain-decimal range partition values fall in)."""
+    (ADVICE r6). Floats are NOT matched through this function — their
+    renderings diverge in the scientific range ('1.0E-5' vs '1e-05');
+    :func:`_float_dir_match` compares them numerically instead
+    (ADVICE r7)."""
     if p is None:
         return None
     if isinstance(p, bool):
         return "true" if p else "false"
     return str(p)
+
+
+def _float_dir_match(p: float, raw_values: list) -> str | None:
+    """Match a float partition VALUE against decoded directory strings
+    NUMERICALLY: Java's Double.toString renders e.g. 1e-5 as '1.0E-5'
+    while Python str gives '1e-05' (and Java 17 pre-Ryu is not always
+    shortest-round-trip), so string equality silently misses scientific-
+    range float partitions and their stale rows resurface (ADVICE r7).
+    Parsing the directory's rendered value back to float is exact for
+    every round-trippable rendering, whatever convention wrote it."""
+    import math
+
+    for raw in raw_values:
+        if raw is None:
+            continue
+        try:
+            v = float(raw)
+        except ValueError:
+            continue
+        if v == p or (math.isnan(v) and math.isnan(p)):
+            return raw
+    return None
 
 
 def _partition_match(partition_col: str, values: list):
@@ -252,7 +275,10 @@ def _vacated_partition_dirs(
         by_value[val] = os.path.join(table_dir, e)
     out = []
     for p in parts:
-        key = _path_render(p)
+        if isinstance(p, float):
+            key = _float_dir_match(p, list(by_value.keys()))
+        else:
+            key = _path_render(p)
         if key in by_value:
             out.append(by_value[key])
     return out

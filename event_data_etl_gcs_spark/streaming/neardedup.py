@@ -18,13 +18,14 @@ Invariant (tested): the union of emitted pairs over all batches equals
 the full-corpus ``minhash_lsh_pairs`` output — each pair is found
 exactly once, in the batch where its later member arrives.
 
-Scale/exactly-once notes: the two appends (pairs, signatures) are not
-atomic — a crash between them can re-emit a batch's pairs on retry; on a
-cluster you'd make the pair sink idempotent (MERGE on (id_a, id_b) into
-a transactional table) and the signature append a committed table-format
-transaction. The signature index is re-read per batch, which is the
-point: it lives on storage, grows monotonically, and is never
-recomputed.
+Scale/exactly-once notes: every state write (pairs, signatures,
+containment sets/prefix) lands as the batch's OWN ``batch_id=N``
+partition via dynamic partition overwrite, and every state read filters
+``batch_id != current`` — a foreachBatch replay after a crash between
+the writes and the checkpoint commit rewrites the same partitions
+instead of duplicating rows (the :mod:`.corpus` recipe). The indexes
+are re-read per batch, which is the point: they live on storage, grow
+monotonically, and are never recomputed.
 """
 
 from __future__ import annotations
@@ -50,23 +51,37 @@ def check_batch_against_index(
     batch_docs: DataFrame,
     sig_path: str,
     pairs_path: str,
+    batch_id: int,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
     """One increment: near-dup pairs for ``batch_docs`` vs the persisted
-    index at ``sig_path`` (created if absent), then index append."""
+    index at ``sig_path`` (created if absent), then index append.
+
+    Both writes land as the batch's own ``batch_id=N`` partition
+    (dynamic overwrite), and the index read excludes the current
+    batch's partition — a foreachBatch replay after a crash between
+    the writes and the checkpoint commit rewrites the same partitions
+    instead of duplicating index rows / re-emitting pairs (ADVICE r7)."""
+    from .corpus import _append_state, _read_state_parts
+
     spark = batch_docs.sparkSession
-    if os.path.exists(os.path.join(sig_path, "_SUCCESS")):
-        existing = spark.read.parquet(sig_path)
-    else:
+    existing = _read_state_parts(spark, sig_path, None, batch_id)
+    if existing is None:
         existing = spark.createDataFrame([], SIGNATURE_SCHEMA)
+    else:
+        existing = existing.select("id", "sh_hashes", "mhs")
     pairs, new_sig = minhash_incremental_pairs(
         batch_docs, existing, id_col=id_col, text_col=text_col, threshold=threshold
     )
     try:
-        pairs.write.mode("append").parquet(pairs_path)
-        new_sig.write.mode("append").parquet(sig_path)
+        # Materialize before writing to what their plans read (parquet
+        # file listing happens at execution time).
+        pairs = pairs.localCheckpoint(eager=True)
+        new_sig = new_sig.localCheckpoint(eager=True)
+        _append_state(pairs, pairs_path, batch_id)
+        _append_state(new_sig, sig_path, batch_id)
     finally:
         # minhash_signatures caches per batch; the direct unpersist()
         # this replaced was a no-op (it targeted a derived filter, not
@@ -97,7 +112,9 @@ def run_streaming_near_dedup(
     pairs_path = os.path.join(out_dir, "pairs")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        check_batch_against_index(batch_df, sig_path, pairs_path, threshold)
+        check_batch_against_index(
+            batch_df, sig_path, pairs_path, batch_id, threshold
+        )
 
     q = (
         raw.writeStream.trigger(availableNow=True)
@@ -337,6 +354,7 @@ def containment_check_batch(
     batch_docs: DataFrame,
     state_dir: str,
     pairs_path: str,
+    batch_id: int,
     threshold_num: int = 4,
     threshold_den: int = 5,
 ) -> None:
@@ -345,19 +363,36 @@ def containment_check_batch(
     (created if absent), then index append — the containment face of
     :func:`check_batch_against_index`. Exactness contract (the frozen-
     prefix argument) and single-emission guarantee are pinned in
-    tests/test_training_ops.py::test_containment_incremental_union_equals_batch."""
+    tests/test_training_ops.py::test_containment_incremental_union_equals_batch.
+
+    All three state writes (pairs, sets, prefix) land as the batch's own
+    ``batch_id=N`` partition via dynamic overwrite and the index reads
+    exclude the current batch — a foreachBatch replay after a crash
+    between the writes and the checkpoint commit rewrites the same
+    partitions instead of duplicating index rows (duplicated sets rows
+    would otherwise multiply verify-join output on every later batch;
+    ADVICE r7)."""
     from ..operators.dedup import containment_incremental_pairs
     from ..operators.graph import release_ann_caches
+    from .corpus import _append_state, _read_state_parts
 
     spark = batch_docs.sparkSession
     sets_path = os.path.join(state_dir, "sets")
     prefix_path = os.path.join(state_dir, "prefix")
-    if os.path.exists(os.path.join(sets_path, "_SUCCESS")):
-        sets = spark.read.parquet(sets_path)
-        prefix = spark.read.parquet(prefix_path)
-    else:
-        sets = spark.createDataFrame([], CONTAINMENT_SETS_SCHEMA)
-        prefix = spark.createDataFrame([], CONTAINMENT_PREFIX_SCHEMA)
+    # Read each side independently: a first-batch crash between the
+    # sets and prefix writes leaves one directory without the other.
+    sets = _read_state_parts(spark, sets_path, None, batch_id)
+    prefix = _read_state_parts(spark, prefix_path, None, batch_id)
+    sets = (
+        spark.createDataFrame([], CONTAINMENT_SETS_SCHEMA)
+        if sets is None
+        else sets.select("id", "s")
+    )
+    prefix = (
+        spark.createDataFrame([], CONTAINMENT_PREFIX_SCHEMA)
+        if prefix is None
+        else prefix.select("id", "h")
+    )
     pairs, new_sets, new_prefix = containment_incremental_pairs(
         batch_docs,
         sets,
@@ -365,13 +400,13 @@ def containment_check_batch(
         threshold_num=threshold_num,
         threshold_den=threshold_den,
     )
-    # materialize before appending to what their plans read
+    # materialize before writing to what their plans read
     pairs = pairs.localCheckpoint(eager=True)
     new_sets = new_sets.localCheckpoint(eager=True)
     new_prefix = new_prefix.localCheckpoint(eager=True)
-    pairs.write.mode("append").parquet(pairs_path)
-    new_sets.write.mode("append").parquet(sets_path)
-    new_prefix.write.mode("append").parquet(prefix_path)
+    _append_state(pairs, pairs_path, batch_id)
+    _append_state(new_sets, sets_path, batch_id)
+    _append_state(new_prefix, prefix_path, batch_id)
     release_ann_caches()  # per-batch set cache (bounded loop)
 
 
@@ -394,7 +429,7 @@ def run_streaming_containment(
     pairs_path = os.path.join(out_dir, "pairs")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        containment_check_batch(batch_df, state_dir, pairs_path)
+        containment_check_batch(batch_df, state_dir, pairs_path, batch_id)
 
     q = (
         raw.writeStream.trigger(availableNow=True)

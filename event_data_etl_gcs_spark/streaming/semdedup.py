@@ -69,13 +69,29 @@ def _nonzero(batch_df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _ensure_centroids(
     base: DataFrame, cent_path: str, k: int
-) -> DataFrame:
+) -> DataFrame | None:
+    """Committed centroid table, deriving it from ``base`` on first use.
+
+    Never commits an EMPTY table: if the first delivery carries zero
+    nonzero-norm vectors, the commit is deferred to the first batch
+    that actually has some — an empty committed table would silently
+    assign no clusters to every later batch, dropping all vectors from
+    decisions with no error (ADVICE r7). Returns None when centroids
+    cannot be derived yet (caller skips the batch)."""
     spark = base.sparkSession
     if not os.path.exists(os.path.join(cent_path, "_SUCCESS")):
-        initial_centroids(base, k, id_col="id", vec_col="v").write.mode(
-            "overwrite"
-        ).parquet(cent_path)
-    return spark.read.parquet(cent_path)
+        cand = initial_centroids(base, k, id_col="id", vec_col="v")
+        cand = cand.localCheckpoint(eager=True)
+        if cand.isEmpty():
+            return None
+        cand.write.mode("overwrite").parquet(cent_path)
+    cent = spark.read.parquet(cent_path)
+    if cent.isEmpty():  # legacy bad commit: fail loud, never drop silently
+        raise RuntimeError(
+            f"committed centroid table at {cent_path!r} is empty; remove it "
+            "so the next nonempty batch re-derives centroids"
+        )
+    return cent
 
 
 def _greedy_cluster_scan(new_mv: DataFrame, acc_mv: DataFrame, threshold: float):
@@ -139,6 +155,10 @@ def semdedup_ingest_batch(
 
     base = _nonzero(batch_df, id_col, vec_col)
     cent = _ensure_centroids(base, cent_path, k)
+    if cent is None:
+        # No centroids derivable yet (all-zero batch before any commit):
+        # the batch has no nonzero vectors to decide on — skip it.
+        return
     assign = assign_clusters(base, F.broadcast(cent), id_col="id", vec_col="v")
     # assign_clusters emits (vec_id, cluster_id, sqdist) regardless of id_col
     new_mv = base.join(
