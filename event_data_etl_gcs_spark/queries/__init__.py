@@ -43,6 +43,7 @@ from . import lm_quality  # noqa: E402,F401
 from . import segdedup  # noqa: E402,F401
 from . import corpus_v3  # noqa: E402,F401
 from . import decontam_span  # noqa: E402,F401
+from . import pca  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of

@@ -63,6 +63,16 @@ CORPUS_SCHEMA = (
     "doc_id LONG, text STRING, lang STRING, source STRING, n_tokens BIGINT"
 )
 
+# index_mode="all" guard (VERDICT r7 #2): with every near-dup loser
+# indexed, a new member of a family of size m pairs against all m prior
+# members — per-delivery cost grows linearly with the largest family.
+# Above this pair-degree the batch warns loudly and recommends
+# index_mode="survivors" (flat per-delivery cost, greedy-online
+# semantics). The guard measures the max per-doc pair degree of the
+# CURRENT batch — exactly the quantity that grows with family size —
+# so it costs one tiny agg over pairs the batch computed anyway.
+FAMILY_GUARD_DEFAULT = 10_000
+
 
 def _read_state_parts(
     spark: SparkSession, path: str, schema, batch_id: int
@@ -90,6 +100,7 @@ def corpus_ingest_batch(
     benchmark: DataFrame,
     threshold: float = NEAR_DUP_THRESHOLD,
     index_mode: str = "all",
+    family_guard: int | None = FAMILY_GUARD_DEFAULT,
 ) -> None:
     """One increment of the streaming corpus pipeline (see module doc).
 
@@ -137,6 +148,31 @@ def corpus_ingest_batch(
     pairs, new_sig = minhash_incremental_pairs(
         uniq, existing_sig, threshold=threshold
     )
+    # Materialize pairs once: both the loser resolution and the family
+    # guard below read them (one compute, two consumers).
+    pairs = pairs.localCheckpoint(eager=True)
+    if index_mode == "all" and family_guard is not None:
+        deg = (
+            pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+            .groupBy("id")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        if deg is not None and deg > family_guard:
+            import warnings
+
+            warnings.warn(
+                f"streaming corpus ingest batch {batch_id}: a document "
+                f"paired with {deg} near-dup index members (> guard "
+                f"{family_guard}) — index_mode='all' pays per-delivery "
+                "cost linear in the largest near-dup family (total "
+                "quadratic). For production ingest use "
+                "index_mode='survivors' (flat per-delivery cost; "
+                "divergence from batch keep-min confined to chains — "
+                "see module doc / COVERAGE.md).",
+                stacklevel=2,
+            )
     # Keep-first loser resolution: a new doc pairing with an ALREADY
     # INDEXED doc loses regardless of id order (the indexed member is
     # immutable); among two new docs the larger id loses (== the batch
@@ -202,11 +238,12 @@ def run_streaming_corpus_ingest(
     threshold: float = NEAR_DUP_THRESHOLD,
     max_files_per_trigger: int = 1,
     index_mode: str = "all",
+    family_guard: int | None = FAMILY_GUARD_DEFAULT,
 ) -> None:
     """Drain the documents backlog through the incremental corpus
     pipeline (Available-Now trigger; re-running after new files land
     processes only the new files). See :func:`corpus_ingest_batch` for
-    ``index_mode``."""
+    ``index_mode`` and ``family_guard``."""
     schema = spark.read.parquet(docs_dir).schema
     raw = (
         spark.readStream.schema(schema)
@@ -223,6 +260,7 @@ def run_streaming_corpus_ingest(
             bench,
             threshold=threshold,
             index_mode=index_mode,
+            family_guard=family_guard,
         )
 
     q = (

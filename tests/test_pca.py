@@ -1,0 +1,101 @@
+"""PCA fit/projection: strategy equivalence, eigensolve verification,
+and the projection->IVF composition (round-8 directive #1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.linalg import (
+    PCA_K,
+    pca_fit,
+    pca_project,
+    pca_project_array,
+    power_iteration_topk,
+)
+from event_data_etl_gcs_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _long_rows(df):
+    return sorted(
+        (r["vec_id"], r["component"], r["proj"]) for r in df.collect()
+    )
+
+
+def test_projection_partial_bit_identical_to_fold(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qe, qw, _ = pca_fit(emb)
+    fold = _long_rows(pca_project(emb, qe, scoring="fold"))
+    part = _long_rows(pca_project(emb, qe, scoring="partial"))
+    assert fold == part  # exact int64 sums -> identical doubles
+
+
+def test_project_array_matches_long_form(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qe, _, _ = pca_fit(emb)
+    long = {(v, c): p for v, c, p in _long_rows(pca_project(emb, qe))}
+    arr = {
+        r["vec_id"]: r["pvec"] for r in pca_project_array(emb, qe).collect()
+    }
+    assert len(arr) > 0
+    for vid, pvec in arr.items():
+        for c, val in enumerate(pvec, start=1):
+            assert long[(vid, c)] == val
+
+
+def test_pca_fit_matches_eigh(spark):
+    """The shared fixed-spec power iteration recovers the true top-k
+    eigenpairs of the quantized Gram: eigenvalues to rtol, and each
+    eigvec by residual norm ||G v - lam v|| << lam (robust to the
+    sign/degeneracy caveats of direct vector comparison)."""
+    from event_data_etl_gcs_spark.operators.clustering import QMEAN_SCALE
+    from event_data_etl_gcs_spark.operators.linalg import numpy_gram_int
+
+    emb = load_table(spark, SF, "embeddings")
+    X = np.stack([np.array(r["embedding"], np.float64) for r in emb.collect()])
+    G = numpy_gram_int(X).astype(np.float64) / QMEAN_SCALE
+    from event_data_etl_gcs_spark.operators.linalg import PCA_N_ITER
+
+    eigvals, V = power_iteration_topk(G, PCA_K, PCA_N_ITER)
+    true_vals = np.linalg.eigh(G)[0][::-1][:PCA_K]
+    for d in range(PCA_K):
+        assert abs(eigvals[d] - true_vals[d]) / true_vals[0] < 1e-12
+        resid = np.linalg.norm(G @ V[d] - eigvals[d] * V[d])
+        assert resid < 1e-12 * true_vals[0]
+    # eigenvalues strictly ordered and positive on this corpus
+    assert all(
+        eigvals[i] >= eigvals[i + 1] > 0 for i in range(PCA_K - 1)
+    )
+
+
+def test_whitened_components_have_unit_scale(spark):
+    """Whitening sanity: sum of squares of whitened component d over the
+    corpus ~ 1 (= lam_d / lam_d), up to quantization noise."""
+    emb = load_table(spark, SF, "embeddings")
+    qe, qw, eigvals = pca_fit(emb)
+    rows = pca_project(emb, qe, qw).groupBy("component").agg(
+        F.sum(F.col("whitened") * F.col("whitened")).alias("ss")
+    )
+    for r in rows.collect():
+        assert abs(r["ss"] - 1.0) < 1e-3, (r["component"], r["ss"])
+
+
+def test_pca_ivf_cells_composition(spark):
+    from event_data_etl_gcs_spark.queries.pca import pca_ivf_cells
+
+    out = pca_ivf_cells(spark, SF)
+    rows = out.collect()
+    n = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == n  # every vector assigned exactly once
+    cells = {r["cluster_id"] for r in rows}
+    # seed centroids are the 8 smallest vec_ids
+    assert cells <= set(range(8)) and len(cells) > 1
+    assert all(r["sqdist"] >= 0 for r in rows)
+
+
+def test_power_iteration_k_guard():
+    with pytest.raises(ValueError, match="k must be"):
+        power_iteration_topk(np.eye(4), 5, 10)

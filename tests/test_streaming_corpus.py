@@ -143,3 +143,42 @@ def test_index_mode_survivors_vs_all_chain_semantics(spark, tmp_path):
 
     assert run("all") == {1}          # == batch keep-min (2 and 3 drop)
     assert run("survivors") == {1, 3}  # 3 pairs only with rejected 2
+
+
+def test_family_guard_warns_on_growing_family(spark, tmp_path):
+    """VERDICT r7 #2: index_mode='all' pays per-delivery cost linear in
+    the largest near-dup family; the guard must warn loudly when a doc
+    pairs with more index members than the threshold, and stay silent
+    for 'survivors' mode (flat cost) or an ample guard."""
+    import pytest
+    import warnings as _w
+
+    from event_data_etl_gcs_spark.streaming.corpus import corpus_ingest_batch
+
+    # one near-dup family: 40 shared tokens + a unique tail token each
+    base = " ".join(f"tok{i}" for i in range(40))
+    fam = [(i, f"{base} unique{i}", "en", "web") for i in range(9)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench = spark.createDataFrame([("zz yy xx ww vv uu",)], "text string")
+
+    idx = str(tmp_path / "guard_idx")
+    # batch 0 indexes the first 8 members (all mode indexes losers too)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # ample guard -> must stay silent
+        corpus_ingest_batch(mk(fam[:8]), 0, idx, bench, family_guard=1000)
+    # batch 1: the 9th member pairs with all 8 indexed members
+    with pytest.warns(UserWarning, match="near-dup index members"):
+        corpus_ingest_batch(mk(fam[8:]), 1, idx, bench, family_guard=3)
+
+    # survivors mode: same shape, guard never fires (one rep per family)
+    idx2 = str(tmp_path / "guard_idx_surv")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        corpus_ingest_batch(
+            mk(fam[:8]), 0, idx2, bench, index_mode="survivors", family_guard=3
+        )
+        corpus_ingest_batch(
+            mk(fam[8:]), 1, idx2, bench, index_mode="survivors", family_guard=3
+        )
