@@ -45,6 +45,24 @@ BENCH_QUERIES = [
     "gap_fill_daily_counts",
 ]
 
+# Extended tier (VERDICT r7 #5): round-7/8 representatives, benched
+# locally each round so regressions in the newer surface are caught
+# even while the driver keeps its original 22. Enable with
+# SPARK_GRAFT_BENCH_TIER=extended (kept opt-in so the driver's
+# BENCH_r{N}.json stays round-over-round comparable); ledger rows live
+# in SCALE_r8.md / BUILDER_NOTES.md.
+BENCH_EXTENDED = [
+    "semdedup_prune",
+    "dedup_containment_keep",
+    "segment_dedup_reconstruct",
+    "span_decontaminate",
+    "shard_assignment_token_balanced",
+    "training_corpus_v3_select",
+    "training_corpus_v4_select",
+    "pca_project_whiten",
+    "pca_ivf_cells",
+]
+
 
 def main() -> None:
     from event_data_etl_gcs_spark.queries import all_queries
@@ -71,8 +89,10 @@ def main() -> None:
     # timed runs (ADVICE r4) cut min-of-2 scheduler noise that made
     # unchanged queries drift ±11% between rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "headline")
+    bench_set = BENCH_QUERIES if tier == "headline" else BENCH_EXTENDED
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_set:
         spec = specs[name]
         best = float("inf")
         for _ in range(runs):
@@ -85,7 +105,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": f"{tier}_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

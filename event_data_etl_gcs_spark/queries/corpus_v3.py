@@ -28,7 +28,12 @@ from ..operators.dsir import (
     score_docs,
     token_buckets,
 )
-from ..operators.text import duck_char_hash, duck_quality_select, duck_tokens
+from ..operators.text import (
+    duck_char_hash,
+    duck_quality_select,
+    duck_shingle_hash_set,
+    duck_tokens,
+)
 from ..plans.training_corpus import (
     MAX_PUNCT_RATIO,
     MAX_STOPWORD_RATIO,
@@ -44,8 +49,10 @@ from .segdedup import _DUCK_SEGS, _DUCK_WINNERS, segment_dedup_reconstruct
 _B = DSIR_BUCKETS
 _QSEL = duck_quality_select()
 
-_V3_SQL = f"""
-WITH segs AS MATERIALIZED ({_DUCK_SEGS}),
+# Shared oracle head: boilerplate-stripped, gated, exact-deduped docs
+# (the `uniq` CTE). v3 feeds `uniq` straight into DSIR; v4 splices a
+# containment-dedup stage in between.
+_V3_HEAD = f"""segs AS MATERIALIZED ({_DUCK_SEGS}),
 winners AS MATERIALIZED ({_DUCK_WINNERS}),
 recon AS (
   SELECT doc_id, array_to_string(list(seg ORDER BY seg_pos), ' ') AS text
@@ -67,11 +74,16 @@ uniq AS MATERIALIZED (
   FROM gated g
   JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated GROUP BY text) k
     ON g.text = k.text AND g.doc_id = k.doc_id
-),
-dbase AS MATERIALIZED (
+)"""
+
+
+def _dsir_tail(src: str) -> str:
+    """DSIR selection CTE chain + final SELECT over a
+    (doc_id, source, text) CTE named ``src``."""
+    return f"""dbase AS MATERIALIZED (
   SELECT doc_id, source, doc_id % 97 = 0 AS is_target,
          {duck_tokens('text')} AS toks
-  FROM uniq
+  FROM {src}
 ),
 dtk AS MATERIALIZED (
   SELECT doc_id, source, is_target, dti AS pos,
@@ -118,6 +130,30 @@ WHERE rk <= (n_src + {DSIR_KEEP_DENOM - 1}) // {DSIR_KEEP_DENOM}
 """
 
 
+_V3_SQL = f"WITH {_V3_HEAD},\n{_dsir_tail('uniq')}"
+
+# v4 containment stage: keep-the-container policy between exact dedup
+# and DSIR (threshold 4/5, mirroring dedup_containment_keep).
+_V4_CONTAIN = f"""csets AS MATERIALIZED (
+  SELECT doc_id, {duck_shingle_hash_set('text')} AS s FROM uniq
+),
+cne AS MATERIALIZED (SELECT doc_id, s FROM csets WHERE len(s) > 0),
+cpairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, len(a.s) AS na, len(b.s) AS nb
+  FROM cne a JOIN cne b ON a.doc_id <> b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+),
+closers AS (
+  SELECT DISTINCT ia FROM cpairs WHERE nb > na OR (nb = na AND ib < ia)
+),
+uniq2 AS MATERIALIZED (
+  SELECT u.doc_id, u.source, u.text FROM uniq u
+  WHERE u.doc_id NOT IN (SELECT ia FROM closers)
+)"""
+
+_V4_SQL = f"WITH {_V3_HEAD},\n{_V4_CONTAIN},\n{_dsir_tail('uniq2')}"
+
+
 def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rec = segment_dedup_reconstruct(spark, sf_dir)
@@ -147,6 +183,74 @@ def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_corpus_v3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = _v3_unique_docs(spark, sf_dir)
+    tk = token_buckets(uniq)
+    w = score_docs(tk, ratio_table(bucket_counts(tk)))
+    win = Window.partitionBy("source").orderBy(
+        F.col("mean_lr").desc(), F.col("doc_id")
+    )
+    ranked = w.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_lr",
+        F.row_number().over(win).cast("int").alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return ranked.filter(
+        F.col("rk")
+        <= F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) div {DSIR_KEEP_DENOM}")
+    ).select("doc_id", "source", "n_tokens", "mean_lr", "rk")
+
+
+def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3's unique docs minus containment losers (keep-the-container):
+    a doc whose shingle set is >= 0.8 contained in a STRICTLY LARGER
+    set is dropped (ties keep the smaller id) — doc-within-doc
+    duplication survives every v3 stage (distinct text => exact dedup
+    misses it; Jaccard-tuned MinHash under-samples it; DSIR scores it
+    like its container)."""
+    from ..operators.dedup import containment_pairs
+    from ..operators.graph import _track_ann_cache
+    from ..operators.text import shingle_hash_set_sql
+
+    uniq = _track_ann_cache(_v3_unique_docs(spark, sf_dir).cache())
+    pairs = containment_pairs(uniq, threshold_num=4, threshold_den=5)
+    sized = uniq.select(
+        "doc_id",
+        F.size(F.expr(shingle_hash_set_sql("text"))).alias("n_sh"),
+    )
+    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return uniq.join(losers, "doc_id", "left_anti")
+
+
+@query(
+    "training_corpus_v4_select",
+    oracle=_V4_SQL,
+    doc=(
+        "Training-corpus pipeline v4 (VERDICT r7 #3): v3 with a "
+        "containment-dedup stage spliced between exact dedup and DSIR "
+        "— segment dedup -> gate -> exact dedup -> keep-the-container "
+        "containment dedup (exact prefix filtering, threshold 4/5) -> "
+        "DSIR top-1/5 per source. Doc-within-doc duplication survives "
+        "all v3 stages; this closes it. One exact cross-engine oracle "
+        "over the whole five-stage composition; the containment stage "
+        "adds one shingle explode + doc-freq aggregate + prefix-probe "
+        "equi-join — candidate/verify-shaped, never all-pairs."
+    ),
+)
+def training_corpus_v4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uniq = _v4_unique_docs(spark, sf_dir)
     tk = token_buckets(uniq)
     w = score_docs(tk, ratio_table(bucket_counts(tk)))
     win = Window.partitionBy("source").orderBy(
