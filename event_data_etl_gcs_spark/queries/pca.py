@@ -173,3 +173,48 @@ def pca_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     parr = pca_project_array(emb, qe)
     cents = initial_centroids(parr, k=K_CLUSTERS, id_col="vec_id", vec_col="pvec")
     return assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec")
+
+
+def _pca_semdedup_oracle(sf_dir: str) -> str:
+    from .semdedup import KEEP_TAIL, _semdedup_ctes
+
+    qe, _qw = _fit_from_parquet(sf_dir)
+    k, dim = len(qe), len(qe[0])
+    qe_lit = _duck_list_literal(qe)
+    pe = f"""pe AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, {k + 1}), pd ->
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, {dim + 1}), pi ->
+        CAST(floor(CAST(embedding[pi] AS DOUBLE)
+             * CAST(({qe_lit})[pd][pi] AS DOUBLE) + 0.5) AS BIGINT))),
+      (acc, x) -> acc + x) AS DOUBLE) / {QMEAN_SCALE!r}) AS pvec
+  FROM embeddings
+)"""
+    return (
+        f"WITH {pe}, "
+        f"{_semdedup_ctes(src='pe', vec_col='pvec')}, {KEEP_TAIL}"
+    )
+
+
+@query(
+    "pca_semdedup_prune",
+    oracle=_pca_semdedup_oracle,
+    doc=(
+        "SemDeDup keep decision computed IN THE PCA SUBSPACE: project "
+        "the corpus to 8 dims (map-only, quantized-exact), then run the "
+        "full semdedup_prune policy (deterministic seed clustering, "
+        "within-cluster cosine pairs, argmin-centroid-cos domination) "
+        "over the projected vectors — every pairwise cosine costs 8 "
+        "multiplies instead of 64, the practical reason SemDeDup "
+        "deployments dedup in a reduced space. Exact oracle over the "
+        "whole composition (projection literals + the source-"
+        "parameterized semdedup CTE chain)."
+    ),
+)
+def pca_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe, _qw, _ = pca_fit(emb)
+    parr = pca_project_array(emb, qe)
+    return semdedup_keep(parr, id_col="vec_id", vec_col="pvec")

@@ -31,18 +31,25 @@ from ..sources.catalog import load_table
 from .registry import query
 
 
-def _semdedup_ctes(threshold: float = SEMDEDUP_THRESHOLD, k: int = K_CLUSTERS) -> str:
+def _semdedup_ctes(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = K_CLUSTERS,
+    src: str = "embeddings",
+    vec_col: str = "embedding",
+) -> str:
     """Shared oracle CTE chain: norm-filtered base -> seed centroids ->
     assignment -> members -> within-cluster threshold pairs.
 
     `e`/`m`/`pairs` are MATERIALIZED: DuckDB inlines CTEs, and each is
     referenced 2-4 times downstream (the BPE-oracle lesson).
+    ``src``/``vec_col`` let compositions (e.g. the PCA projection)
+    re-target the chain at a derived CTE instead of the raw table.
     """
     cos = f"{duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm)"
     return (
-        "e AS MATERIALIZED (SELECT vec_id AS id, embedding AS v, "
-        f"{duck_norm('embedding')} AS nrm FROM embeddings "
-        f"WHERE {duck_norm('embedding')} > 0), "
+        f"e AS MATERIALIZED (SELECT vec_id AS id, {vec_col} AS v, "
+        f"{duck_norm(vec_col)} AS nrm FROM {src} "
+        f"WHERE {duck_norm(vec_col)} > 0), "
         f"c AS (SELECT id AS cid, v AS cvec, nrm AS cnrm FROM e "
         f"ORDER BY id LIMIT {k}), "
         f"d AS (SELECT e.id, c.cid, {duck_sqdist('e.v', 'c.cvec')} AS sqdist "
@@ -64,8 +71,10 @@ _CCOS_CTE = (
     "FROM m JOIN c ON m.cluster_id = c.cid)"
 )
 
-_KEEP_SQL = (
-    f"WITH {_semdedup_ctes()}, {_CCOS_CTE}, "
+# Everything after the shared CTE chain is source-independent; the PCA
+# composition reuses it over a projected-vector CTE.
+KEEP_TAIL = (
+    f"{_CCOS_CTE}, "
     "sym AS (SELECT id_a AS vid, id_b AS other FROM pairs "
     "UNION ALL SELECT id_b AS vid, id_a AS other FROM pairs), "
     "pruned AS (SELECT DISTINCT s.vid FROM sym s "
@@ -76,6 +85,8 @@ _KEEP_SQL = (
     "CAST(CASE WHEN p.vid IS NULL THEN 1 ELSE 0 END AS INT) AS kept "
     "FROM cc LEFT JOIN pruned p ON cc.id = p.vid"
 )
+
+_KEEP_SQL = f"WITH {_semdedup_ctes()}, {KEEP_TAIL}"
 
 
 @query(
