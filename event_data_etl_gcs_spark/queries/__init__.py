@@ -129,6 +129,9 @@ set_priority([
     "span_decontaminate", "shard_assignment_token_balanced",
     "shard_balance_stats", "curriculum_mix_schedule",
     "quality_classifier_scores", "embedding_gram_matrix",
+    # --- round-8 additions (PCA loop + v4 pipeline) -----------------------
+    "pca_project_whiten", "pca_ivf_cells", "pca_semdedup_prune",
+    "training_corpus_v4_select",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -4,6 +4,12 @@ from .corpus import (
     run_streaming_corpus_ingest,
 )
 from .incremental import run_incremental_available_now, streaming_log_source
+from .linalg import (
+    gram_maintain_batch,
+    read_streamed_gram,
+    run_streaming_gram_maintenance,
+    streamed_pca_fit,
+)
 from .neardedup import (
     check_batch_against_index,
     read_knn_topk,
@@ -60,4 +66,8 @@ __all__ = [
     "read_shard_assignments",
     "stateful_running_max",
     "windowed_event_counts",
+    "gram_maintain_batch",
+    "read_streamed_gram",
+    "run_streaming_gram_maintenance",
+    "streamed_pca_fit",
 ]

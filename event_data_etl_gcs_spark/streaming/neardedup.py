@@ -371,7 +371,17 @@ def containment_check_batch(
     between the writes and the checkpoint commit rewrites the same
     partitions instead of duplicating index rows (duplicated sets rows
     would otherwise multiply verify-join output on every later batch;
-    ADVICE r7)."""
+    ADVICE r7).
+
+    Scale posture (measured, SCALE_r8.md): the incremental form cannot
+    collapse identical shingle sets (collapse keys depend on full-corpus
+    membership — emission would become batch-dependent), so on a
+    REPLICA-HEAVY backlog every replica probes full posting lists and
+    cost degrades toward the blocked quadratic (a 100x-replica corpus
+    spills unboundedly). Route duplicate-heavy BACKLOGS through the
+    batch build (``containment_pairs``, collapse-on); this incremental
+    index is the steady-state path for the clean frontier, where its
+    per-delivery wall is flat and a full drain costs one batch rebuild."""
     from ..operators.dedup import containment_incremental_pairs
     from ..operators.graph import release_ann_caches
     from .corpus import _append_state, _read_state_parts

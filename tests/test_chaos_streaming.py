@@ -119,6 +119,15 @@ def _neardedup_writer(spark, root):
     return ingest, ["pairs", "sigs"], _docs
 
 
+def _gram_writer(spark, root):
+    from event_data_etl_gcs_spark.streaming.linalg import gram_maintain_batch
+
+    def ingest(bdf, bid):
+        gram_maintain_batch(bdf, bid, root)
+
+    return ingest, ["gram"], _vecs
+
+
 WRITERS = {
     "corpus": _corpus_writer,
     "semdedup": _semdedup_writer,
@@ -126,6 +135,7 @@ WRITERS = {
     "sharding": _sharding_writer,
     "containment": _containment_writer,
     "neardedup": _neardedup_writer,
+    "gram": _gram_writer,
 }
 
 
