@@ -131,7 +131,7 @@ set_priority([
     "quality_classifier_scores", "embedding_gram_matrix",
     # --- round-8 additions (PCA loop + v4 pipeline) -----------------------
     "pca_project_whiten", "pca_ivf_cells", "pca_semdedup_prune",
-    "training_corpus_v4_select",
+    "pca_ivf_topk", "training_corpus_v4_select",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -233,3 +233,140 @@ def pca_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe, _qw = _fit_spark(spark, sf_dir)
     parr = pca_project_array(emb, qe)
     return semdedup_keep(parr, id_col="vec_id", vec_col="pvec")
+
+
+_PCA_IVF_TOP_K = 5
+_PCA_IVF_N_PROBE = 3
+_PCA_IVF_N_QUERY = 15
+
+
+def _pca_ivf_topk_oracle(sf_dir: str) -> str:
+    from ..operators.similarity import duck_dot, duck_norm
+
+    qe, _qw = _fit_from_parquet(sf_dir)
+    k, dim = len(qe), len(qe[0])
+    qe_lit = _duck_list_literal(qe)
+    cos = f"{duck_dot('e.embedding', 'q.qv')} / (e.nrm * q.qnrm)"
+    return f"""
+WITH pe AS MATERIALIZED (
+  SELECT vec_id, list_transform(range(1, {k + 1}), pd ->
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, {dim + 1}), pi ->
+        CAST(floor(CAST(embedding[pi] AS DOUBLE)
+             * CAST(({qe_lit})[pd][pi] AS DOUBLE) + 0.5) AS BIGINT))),
+      (acc, x) -> acc + x) AS DOUBLE) / {QMEAN_SCALE!r}) AS pvec
+  FROM embeddings
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS cid, pvec AS cvec FROM pe ORDER BY vec_id LIMIT {K_CLUSTERS}
+),
+assign AS MATERIALIZED (
+  SELECT pe.vec_id, c.cid AS cell
+  FROM pe CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY pe.vec_id
+          ORDER BY {duck_sqdist('pe.pvec', 'c.cvec')}, c.cid) = 1
+),
+e0 AS MATERIALIZED (
+  SELECT vec_id, embedding, {duck_norm('embedding')} AS nrm FROM embeddings
+),
+qc AS MATERIALIZED (
+  SELECT pe.vec_id AS query_id, e0.embedding AS qv, e0.nrm AS qnrm, c.cid AS cell
+  FROM pe JOIN e0 USING (vec_id) CROSS JOIN c
+  WHERE pe.vec_id < {_PCA_IVF_N_QUERY} AND e0.nrm > 0
+  QUALIFY row_number() OVER (PARTITION BY pe.vec_id
+          ORDER BY {duck_sqdist('pe.pvec', 'c.cvec')}, c.cid) <= {_PCA_IVF_N_PROBE}
+),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM qc q
+  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN e0 e ON e.vec_id = a.vec_id
+  WHERE e.nrm > 0
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id) <= {_PCA_IVF_TOP_K}
+"""
+
+
+@query(
+    "pca_ivf_topk",
+    oracle=_pca_ivf_topk_oracle,
+    doc=(
+        "End-to-end ANN search over the PCA-reduced index — the "
+        "production IVF recipe (coarse-search cheap, re-rank exact): "
+        "cells are assigned and probed in the 8-dim PCA subspace "
+        "(8x cheaper distance arithmetic for both the index build and "
+        "the query routing), then candidates re-rank by EXACT cosine "
+        "in the original 64-dim space, so reduced-space error can "
+        "reorder only the candidate set, never the scores. Map-only "
+        "projection + broadcast centroid routing + cell-pruned "
+        "candidate join; exact oracle over the full composition."
+    ),
+)
+def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.clustering import sqdist_sql
+    from ..operators.similarity import dot_sql, norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe, _qw = _fit_spark(spark, sf_dir)
+    parr = pca_project_array(emb, qe)
+    cents = initial_centroids(parr, k=K_CLUSTERS, id_col="vec_id", vec_col="pvec")
+    assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
+        "vec_id", F.col("cluster_id").alias("cell")
+    )
+    e0 = emb.select(
+        "vec_id", "embedding", F.expr(norm_sql("embedding")).alias("nrm")
+    )
+    # query routing: nearest n_probe cells in the projected space
+    qr = (
+        parr.filter(F.col("vec_id") < _PCA_IVF_N_QUERY)
+        .join(e0.filter(F.col("nrm") > 0), "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", F.expr(sqdist_sql("pvec", "cvec")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("__d", "cid")
+            ),
+        )
+        .filter(F.col("__rk") <= _PCA_IVF_N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    cand = (
+        qr.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            e0.filter(F.col("nrm") > 0).select(
+                F.col("vec_id"), F.col("embedding").alias("nv"),
+                F.col("nrm").alias("nnrm"),
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(dot_sql("nv", "qv"))
+                / (F.col("nnrm") * F.col("qnrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PCA_IVF_TOP_K)
+    )

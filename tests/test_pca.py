@@ -99,3 +99,41 @@ def test_pca_ivf_cells_composition(spark):
 def test_power_iteration_k_guard():
     with pytest.raises(ValueError, match="k must be"):
         power_iteration_topk(np.eye(4), 5, 10)
+
+
+def test_pca_ivf_topk_recall_vs_exact(spark):
+    """Quality evidence for the reduced-space coarse search: probing 3
+    of 8 seed cells in the 8-dim PCA subspace recovers a solid majority
+    of the exact top-5 (measured ~0.71 avg at sf0.001, ~0.76 at sf0.1),
+    and every returned score is EXACT (re-rank runs in the original
+    space, so reduced-space error can only affect the candidate set)."""
+    import numpy as np
+
+    from event_data_etl_gcs_spark.queries.pca import pca_ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    X = {r["vec_id"]: np.array(r["embedding"], np.float64) for r in emb.collect()}
+    nrm = {k: float(np.linalg.norm(v)) for k, v in X.items()}
+    got = pca_ivf_topk(spark, SF).collect()
+    byq = {}
+    for r in got:
+        byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # returned cosine must equal the exact original-space cosine
+        exact_cos = float(
+            np.dot(X[r["query_id"]], X[r["neighbor_id"]])
+            / (nrm[r["query_id"]] * nrm[r["neighbor_id"]])
+        )
+        assert abs(r["cos_sim"] - exact_cos) < 1e-12
+    recalls = []
+    for q, found in byq.items():
+        sims = sorted(
+            (
+                (float(np.dot(X[i], X[q]) / (nrm[i] * nrm[q])), i)
+                for i in X
+                if i != q and nrm[i] > 0
+            ),
+            reverse=True,
+        )
+        exact5 = {i for _, i in sims[:5]}
+        recalls.append(len(found & exact5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6  # measured 0.707
