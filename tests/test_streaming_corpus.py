@@ -166,7 +166,7 @@ def test_family_guard_warns_on_growing_family(spark, tmp_path):
     idx = str(tmp_path / "guard_idx")
     # batch 0 indexes the first 8 members (all mode indexes losers too)
     with _w.catch_warnings():
-        _w.simplefilter("error")  # ample guard -> must stay silent
+        _w.simplefilter("error", UserWarning)  # ample guard -> silent
         corpus_ingest_batch(mk(fam[:8]), 0, idx, bench, family_guard=1000)
     # batch 1: the 9th member pairs with all 8 indexed members
     with pytest.warns(UserWarning, match="near-dup index members"):
@@ -175,7 +175,7 @@ def test_family_guard_warns_on_growing_family(spark, tmp_path):
     # survivors mode: same shape, guard never fires (one rep per family)
     idx2 = str(tmp_path / "guard_idx_surv")
     with _w.catch_warnings():
-        _w.simplefilter("error")
+        _w.simplefilter("error", UserWarning)
         corpus_ingest_batch(
             mk(fam[:8]), 0, idx2, bench, index_mode="survivors", family_guard=3
         )
