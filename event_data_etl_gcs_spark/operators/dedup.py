@@ -467,7 +467,8 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     collapse_identical: bool = True,
-) -> DataFrame:
+    return_sizes: bool = False,
+):
     """Asymmetric shingle-CONTAINMENT pairs: (id_a, id_b, containment)
     with containment = |S_a ∩ S_b| / |S_a| >= threshold — the
     doc-within-doc duplication signal symmetric Jaccard misses (a short
@@ -507,6 +508,12 @@ def containment_pairs(
     # consumed by the posting explode AND both verify join-backs;
     # tracked in the shared build-cache registry (ADVICE r6 bounding)
     sets = _track_ann_cache(sets.cache())
+    # (id, n_sh) off the SAME cached frame — callers needing sizes
+    # (keep policies) must not pay a second shingle computation
+    sizes = sets.select("id", F.size("s").alias("n_sh"))
+
+    def _ret(pairs_df):
+        return (pairs_df, sizes) if return_sizes else pairs_df
 
     if collapse_identical:
         # The r2 minhash lesson, containment edition: exact-duplicate
@@ -569,7 +576,7 @@ def containment_pairs(
         .filter(F.col("containment") >= F.lit(thr))
     )
     if not collapse_identical:
-        return rep_pairs
+        return _ret(rep_pairs)
 
     # Cross-group expansion: member sets equal their rep's set, so the
     # rep pair's containment value applies verbatim to every member
@@ -586,7 +593,7 @@ def containment_pairs(
         )
     )
     if thr > 1.0:
-        return cross
+        return _ret(cross)
     # Within-group pairs: |S∩S| / |S| = 1.0 exactly (n/n is an exact
     # IEEE division for any n), the same double the uncollapsed verify
     # computes — qualifying whenever the threshold is <= 1.
@@ -603,7 +610,47 @@ def containment_pairs(
             F.lit(1.0).alias("containment"),
         )
     )
-    return cross.unionByName(intra)
+    return _ret(cross.unionByName(intra))
+
+
+def containment_keep(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles): keep-the-container dedup — a doc whose
+    shingle set is >= threshold contained in a STRICTLY LARGER set is
+    dropped (ties keep the smaller id). Sizes come off the SAME cached
+    shingle frame the pair build uses, so the policy costs zero extra
+    shingle computations (previously both the registered keep query and
+    the v4 pipeline re-shingled the corpus just to rank sizes)."""
+    pairs, sizes = containment_pairs(
+        docs,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        id_col=id_col,
+        text_col=text_col,
+        return_sizes=True,
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    losers = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        sizes.select(F.col("id").alias(id_col), "n_sh")
+        .join(losers, id_col, "left_anti")
+        .select(id_col, F.col("n_sh").cast("long").alias("n_shingles"))
+    )
 
 
 def containment_incremental_pairs(

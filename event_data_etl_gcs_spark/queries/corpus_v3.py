@@ -211,16 +211,14 @@ def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     like its container)."""
     from ..operators.dedup import containment_pairs
     from ..operators.graph import _track_ann_cache
-    from ..operators.text import shingle_hash_set_sql
 
     uniq = _track_ann_cache(_v3_unique_docs(spark, sf_dir).cache())
-    pairs = containment_pairs(uniq, threshold_num=4, threshold_den=5)
-    sized = uniq.select(
-        "doc_id",
-        F.size(F.expr(shingle_hash_set_sql("text"))).alias("n_sh"),
+    # pairs + sizes off ONE cached shingle frame (no re-shingling)
+    pairs, sizes = containment_pairs(
+        uniq, threshold_num=4, threshold_den=5, return_sizes=True
     )
-    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     losers = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

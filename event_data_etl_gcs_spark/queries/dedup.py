@@ -726,30 +726,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import containment_pairs
-    from ..operators.text import shingle_hash_set_sql
+    from ..operators.dedup import containment_keep
 
     docs = load_table(spark, sf_dir, "documents")
-    sized = (
-        docs.select(
-            "doc_id",
-            F.size(F.expr(shingle_hash_set_sql("text"))).alias("n_sh"),
-        )
-        .filter(F.col("n_sh") > 0)
-    )
-    pairs = containment_pairs(docs, threshold_num=4, threshold_den=5)
-    sa = sized.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sized.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    losers = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            (F.col("nb") > F.col("na"))
-            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
-        )
-        .select(F.col("id_a").alias("doc_id"))
-        .distinct()
-    )
-    return sized.join(losers, "doc_id", "left_anti").select(
-        "doc_id", F.col("n_sh").cast("long").alias("n_shingles")
-    )
+    return containment_keep(docs, threshold_num=4, threshold_den=5)
