@@ -271,6 +271,24 @@ SHOW = [
         "window; all-integer arithmetic keeps it exact at any "
         "parallelism.",
     ),
+    (
+        "pca_project_whiten",
+        "PCA projection (round 8): after the one-pass Gram fit, the "
+        "projection is a single map-only Project+Generate over the "
+        "corpus scan (quantized eigenvectors are inline literals — no "
+        "broadcast, no join, no exchange); at scale the same integers "
+        "come from a mapInPandas matmul kernel. The corpus is read "
+        "once and never shuffled.",
+    ),
+    (
+        "pca_ivf_topk",
+        "Reduced-space ANN search (round 8): cell build and query "
+        "routing both run in the 8-dim projection (map-only + k-row "
+        "broadcast centroid cross join); the candidate join is "
+        "cell-pruned equi-join, and the exact re-rank reads original "
+        "vectors by id for candidates only — the IVF-Flat recipe with "
+        "an orthogonal transform in front.",
+    ),
 ]
 
 KEY = re.compile(
