@@ -308,14 +308,26 @@ QUALIFY row_number() OVER (PARTITION BY query_id
     ),
 )
 def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe, _qw = _fit_spark(spark, sf_dir)
+    return pca_ivf_topk_frame(emb, qe)
+
+
+def pca_ivf_topk_frame(
+    emb: DataFrame,
+    qe,
+    n_query: int = _PCA_IVF_N_QUERY,
+    n_probe: int = _PCA_IVF_N_PROBE,
+    top_k: int = _PCA_IVF_TOP_K,
+) -> DataFrame:
+    """The reusable composition behind pca_ivf_topk (probes call it on
+    arbitrary corpora): reduced-space routing, exact re-rank."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.clustering import sqdist_sql
     from ..operators.similarity import dot_sql, norm_sql
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qe, _qw = _fit_spark(spark, sf_dir)
     parr = pca_project_array(emb, qe)
     cents = initial_centroids(parr, k=K_CLUSTERS, id_col="vec_id", vec_col="pvec")
     assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
@@ -326,7 +338,7 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # query routing: nearest n_probe cells in the projected space
     qr = (
-        parr.filter(F.col("vec_id") < _PCA_IVF_N_QUERY)
+        parr.filter(F.col("vec_id") < n_query)
         .join(e0.filter(F.col("nrm") > 0), "vec_id")
         .crossJoin(F.broadcast(cents))
         .withColumn("__d", F.expr(sqdist_sql("pvec", "cvec")))
@@ -336,7 +348,7 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy("__d", "cid")
             ),
         )
-        .filter(F.col("__rk") <= _PCA_IVF_N_PROBE)
+        .filter(F.col("__rk") <= n_probe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
@@ -368,5 +380,5 @@ def pca_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _PCA_IVF_TOP_K)
+        .filter(F.col("rank") <= top_k)
     )

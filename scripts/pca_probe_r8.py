@@ -120,6 +120,24 @@ def main() -> None:
 
     timed("pca->ivf assign 1M", ivf1m)
 
+    # end-to-end reduced-space ANN search at 1M (routing + cell-pruned
+    # candidate join + exact re-rank; every output column aggregated)
+    def topk1m():
+        from event_data_etl_gcs_spark.queries.pca import pca_ivf_topk_frame
+
+        r = (
+            pca_ivf_topk_frame(e1m, qe)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cos_sim").alias("sc"),
+                F.sum(F.col("rank") * F.col("neighbor_id")).alias("sx"),
+            )
+            .collect()[0]
+        )
+        return f"n={r['n']} sum_cos={r['sc']:.4f}"
+
+    timed("pca->ivf topk search 1M (15 queries)", topk1m)
+
     spark.stop()
     print("\n| probe | wall (min of %d) | result |" % RUNS)
     print("|---|---|---|")
