@@ -65,6 +65,17 @@ BENCH_EXTENDED = [
 
 
 def main() -> None:
+    # Validate the tier BEFORE paying session startup: any other value
+    # (e.g. the typo 'headlines') used to silently select the extended
+    # tier AND change the emitted metric name, making round-over-round
+    # bench JSON incomparable without warning (ADVICE r8).
+    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "headline")
+    if tier not in ("headline", "extended"):
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_TIER must be 'headline' or 'extended', "
+            f"got {tier!r}"
+        )
+
     from event_data_etl_gcs_spark.queries import all_queries
     from event_data_etl_gcs_spark.session import get_spark
 
@@ -89,7 +100,6 @@ def main() -> None:
     # timed runs (ADVICE r4) cut min-of-2 scheduler noise that made
     # unchanged queries drift ±11% between rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    tier = os.environ.get("SPARK_GRAFT_BENCH_TIER", "headline")
     bench_set = BENCH_QUERIES if tier == "headline" else BENCH_EXTENDED
     timings: dict[str, float] = {}
     for name in bench_set:
@@ -102,19 +112,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": f"{tier}_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"{tier}_queries_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "runs_per_query": runs,
+            "agg": "min",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # Optional artifact (VERDICT r8 #7): also write the JSON line to a
+    # file so the extended tier gets the same round-over-round
+    # regression visibility as the driver's headline artifact, e.g.
+    # SPARK_GRAFT_BENCH_OUT=BENCH_extended_r09.json.
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 

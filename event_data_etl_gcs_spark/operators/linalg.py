@@ -112,14 +112,21 @@ def gram_qsum(
     int64 sums (the pre-division form of :func:`gram_matrix` — the PCA
     fit consumes the integers directly so nothing is lost to the
     double round-trip)."""
-    # One probe row serves both dim inference and the empty-corpus check
-    # (first() is None on an empty frame — raise clearly instead of the
-    # bare TypeError; ADVICE r7). NULL/empty vectors are equally unusable.
-    probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    if probe is None or not probe[0]:
+    # Filter unusable rows ONCE, before dispatching, so both scoring
+    # paths see the same rows: previously only the FIRST non-null vector
+    # was probed, so null/empty rows past it were handled inconsistently
+    # — the fold path silently contributed nothing (SQL NULL
+    # propagation) while the partial path crashed in np.stack
+    # (ADVICE r8). Null/empty vectors carry no Gram information, so
+    # dropping them is the one semantics both paths can share.
+    emb = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    probe = emb.select(vec_col).first()
+    if probe is None:
         raise ValueError(
-            f"gram_matrix: no non-null {vec_col!r} vectors in the corpus "
-            "(empty input has no Gram matrix)"
+            f"gram_matrix: no non-null, non-empty {vec_col!r} vectors in "
+            "the corpus (empty input has no Gram matrix)"
         )
     dim = len(probe[0])
     if scoring == "auto":
@@ -194,7 +201,7 @@ def top_principal_component(
 # ---------------------------------------------------------------------------
 
 
-def power_iteration_topk(G, k: int, n_iter: int):
+def power_iteration_topk(G, k: int, n_iter: int, rtol: float = 1e-6):
     """(eigvals list, eigvecs (k, dim) ndarray): top-k eigenpairs of a
     symmetric matrix by fixed-count power iteration with deflation.
 
@@ -207,6 +214,15 @@ def power_iteration_topk(G, k: int, n_iter: int):
     the distributed Gram is the piece under cross-engine test.
     Numpy-verified against eigh in tests (residual norms), the
     graph_pagerank float-iterative exemption class.
+
+    Each converged component is checked: ``||G v - lam v|| <= rtol *
+    max(|lam_1|, |lam|)`` (one extra dim x dim matvec). The fixed
+    all-ones seed is deterministic but adversarially fragile — a true
+    eigenvector (near-)orthogonal to the ones vector never enters the
+    iterate and the loop silently converges short of it; the residual
+    check turns "silently not converged in n_iter" into a loud
+    ValueError while keeping the output bit-identical on every input
+    that passes (ADVICE r8).
     """
     import numpy as np
 
@@ -216,7 +232,7 @@ def power_iteration_topk(G, k: int, n_iter: int):
         raise ValueError(f"k must be in [1, {dim}], got {k}")
     vals: list[float] = []
     vecs = []
-    for _ in range(k):
+    for ci in range(k):
         v = np.ones(dim, np.float64) / np.sqrt(dim)
         for _ in range(n_iter):
             w = G @ v
@@ -225,6 +241,15 @@ def power_iteration_topk(G, k: int, n_iter: int):
                 break
             v = w / nrm
         lam = float(v @ (G @ v))
+        resid = float(np.linalg.norm(G @ v - lam * v))
+        scale = max(abs(vals[0]) if vals else 0.0, abs(lam))
+        if scale > 0.0 and resid > rtol * scale:
+            raise ValueError(
+                f"power_iteration_topk: component {ci + 1} did not "
+                f"converge in {n_iter} iterations (residual {resid:.3e} "
+                f"> {rtol:g} * {scale:.3e}) — near-degenerate or "
+                "seed-orthogonal spectrum; raise n_iter"
+            )
         vals.append(lam)
         vecs.append(v)
         G = G - lam * np.outer(v, v)

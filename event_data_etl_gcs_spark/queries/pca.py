@@ -55,23 +55,55 @@ from .registry import query
 _EMB_DIM = 64  # embeddings fixture dimensionality (all SFs)
 
 # Spark-side fit memo: the three PCA queries share one model per
-# corpus, and the sf_dir test fixtures are immutable — re-running the
-# Gram pass + eigensolve per query would triple the fit cost for
-# bit-identical output (the result is deterministic, so caching cannot
-# change any value).
-_FIT_MEMO: dict[str, tuple] = {}
+# corpus — re-running the Gram pass + eigensolve per query would triple
+# the fit cost for bit-identical output (the result is deterministic,
+# so caching cannot change any value). The memo key includes a corpus
+# FINGERPRINT (embeddings.parquet mtime+size), so a long-lived driver
+# that regenerates the corpus under the same path gets a fresh model
+# instead of a silently stale one (ADVICE r8).
+_FIT_MEMO: dict[tuple, tuple] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the embeddings parquet — cheap invalidation
+    token for the fit memos. Directories (multi-file parquet) hash the
+    sorted per-file stats."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        stats = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stats.append((f, st.st_mtime_ns, st.st_size))
+        return tuple(stats)
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def clear_fit_memo() -> None:
+    """Drop both fit memos (Spark-side and oracle-side) — for callers
+    that mutate a corpus in-process and want a guaranteed refit."""
+    _FIT_MEMO.clear()
+    _fit_from_parquet_fp.cache_clear()
 
 
 def _fit_spark(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _FIT_MEMO:
+    key = (sf_dir, _corpus_fingerprint(sf_dir))
+    if key not in _FIT_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         qe, qw, _ = pca_fit(emb)
-        _FIT_MEMO[sf_dir] = (qe, qw)
-    return _FIT_MEMO[sf_dir]
+        _FIT_MEMO[key] = (qe, qw)
+    return _FIT_MEMO[key]
+
+
+def _fit_from_parquet(sf_dir: str):
+    return _fit_from_parquet_fp(sf_dir, _corpus_fingerprint(sf_dir))
 
 
 @lru_cache(maxsize=8)
-def _fit_from_parquet(sf_dir: str):
+def _fit_from_parquet_fp(sf_dir: str, _fingerprint: tuple):
     """(qe tuple-of-tuples, qw tuple): the quantized PCA model derived
     INDEPENDENTLY of Spark — numpy Gram straight off the parquet file,
     then the shared fixed-spec eigensolve. Bit-identical to pca_fit's
@@ -356,8 +388,15 @@ def pca_ivf_topk_frame(
             F.col("cid").alias("cell"),
         )
     )
+    # Broadcast the query-routing side: it is n_query x n_probe rows BY
+    # CONSTRUCTION (small in any ANN search), while `assign` is the full
+    # corpus cell assignment. Without the hint Catalyst plans a
+    # SortMergeJoin and shuffles every (vec_id, cell) corpus row to meet
+    # ~45 routing rows — pure waste at 100 TB (VERDICT r8 #1). With it
+    # the candidate join is a map-side BroadcastHashJoin and the corpus
+    # assignment never moves (plan asserted in tests/test_pca_plans.py).
     cand = (
-        qr.join(assign, "cell")
+        F.broadcast(qr).join(assign, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(
             e0.filter(F.col("nrm") > 0).select(

@@ -277,6 +277,13 @@ def _vacated_partition_dirs(
     for p in parts:
         if isinstance(p, float):
             key = _float_dir_match(p, list(by_value.keys()))
+            # No numerically matching directory: skip. Falling through
+            # would look None up in by_value, where None is the KEY of
+            # the __HIVE_DEFAULT_PARTITION__ directory — delete_where
+            # would then rmtree the null partition while it still holds
+            # live rows (ADVICE r8, silent data loss).
+            if key is None:
+                continue
         else:
             key = _path_render(p)
         if key in by_value:
