@@ -1,0 +1,217 @@
+"""Persisted PCA-IVF index: build once, search many (VERDICT r8 #3).
+
+The production ANN shape is NOT build-and-search-in-one-plan (what
+``queries/pca.pca_ivf_topk`` measures): the inverted file is built once,
+persisted cell-partitioned, and every later query answers from the
+persisted index alone — search cost is the probed cells' partition scan
+plus the exact re-rank, never an index rebuild. This module is that
+capability:
+
+    write_ivf_index(emb, qe, path)      # one corpus pass -> parquet
+    search_ivf_index(spark, path, q, qe)  # probed-cells scan + re-rank
+
+On-disk layout (plain parquet + JSON — no table format required)::
+
+    {path}/manifest.json   model_version, k_cells, pca_k, dim, n_rows
+    {path}/centroids/      (cid, cvec array<double>)  [projected space]
+    {path}/index/          partitioned by cell:
+                           (vec_id, embedding, nrm)
+
+Model lifecycle (VERDICT r8 #6): the manifest records the
+content-addressed VERSION of the quantized PCA model
+(:func:`model_version` — a SHA-256 over the exact int64 components, so
+two bit-identical models share a version and any refit that changes a
+single component gets a new one). ``search_ivf_index`` refuses a model
+whose version differs from the one the index was built with: a consumer
+holding ``qe`` literals from delivery N would otherwise silently route
+queries through cells assigned under delivery N+1's model and return
+plausible-but-wrong neighbors. Mixing versions fails loudly instead
+(tests/test_ivf_store.py).
+
+100 TB posture: the build is one map-only projection + broadcast
+centroid assignment + one cell-partitioned write (the corpus never
+shuffles — dynamic partition write groups by the partition column only
+at the writer). Search touches ONLY the probed cells: the probed cell
+ids are known driver-side (n_query x n_probe rows by construction), so
+the index scan carries a static ``cell IN (...)`` partition filter —
+visible as PartitionFilters in the plan, zero data read from unprobed
+cells — and the routing side broadcasts into the candidate join exactly
+like ``pca_ivf_topk`` after the r8 fix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .clustering import K_CLUSTERS, assign_clusters, initial_centroids
+from .linalg import pca_project_array
+from .similarity import dot_sql, norm_sql
+
+MANIFEST_NAME = "manifest.json"
+
+
+def model_version(qe, qw=None) -> str:
+    """Content-addressed version of a quantized PCA model: SHA-256 over
+    the exact int64 eigenvector components (and whitening factors when
+    given). Bit-identical models — e.g. a streamed refit over the same
+    corpus — share a version; any numeric change produces a new one."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for row in qe:
+        for v in row:
+            h.update(int(v).to_bytes(8, "little", signed=True))
+    h.update(b"|qw|")
+    if qw is not None:
+        for v in qw:
+            h.update(int(v).to_bytes(8, "little", signed=True))
+    return h.hexdigest()[:16]
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    qe,
+    path: str,
+    k_cells: int = K_CLUSTERS,
+    qw=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and persist the PCA-routed inverted file; returns the
+    manifest. Deterministic: centroids are the k smallest-id projected
+    vectors (the pca_ivf_cells seed rule), assignment ties break to the
+    lower cell id — so the persisted index is bit-identical to the
+    inline build and the search composition keeps its exact oracle."""
+    spark = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    parr = pca_project_array(vecs, qe)
+    cents = initial_centroids(parr, k=k_cells, id_col="vec_id", vec_col="pvec")
+    assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
+        "vec_id", F.col("cluster_id").alias("cell")
+    )
+    inv = (
+        vecs.withColumn("nrm", F.expr(norm_sql("embedding")))
+        # zero-norm vectors: cosine undefined, never a candidate
+        .filter(F.col("nrm") > 0)
+        .join(assign, "vec_id")
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    inv.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "index")
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    dim = len(qe[0])
+    manifest = {
+        "model_version": model_version(qe, qw),
+        "k_cells": int(k_cells),
+        "pca_k": int(len(qe)),
+        "dim": int(dim),
+        "n_rows": spark.read.parquet(os.path.join(path, "index")).count(),
+    }
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
+
+
+def read_manifest(path: str) -> dict | None:
+    p = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    qe,
+    qw=None,
+    top_k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): approximate top-k from
+    the PERSISTED index alone — no rebuild. Routing runs in the PCA
+    subspace (project the queries with ``qe``, nearest ``n_probe``
+    centroids from the persisted table); candidates come from a
+    partition-pruned scan of exactly the probed cells; scores are EXACT
+    64-dim cosine (reduced-space error can reorder the candidate set,
+    never the scores).
+
+    Raises ValueError when ``qe``'s version differs from the model the
+    index was built with (see module docstring — silent cross-version
+    search returns plausible-but-wrong neighbors)."""
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    want = model_version(qe, qw)
+    if want != manifest["model_version"]:
+        raise ValueError(
+            f"PCA model version mismatch: index at {path!r} was built "
+            f"with model {manifest['model_version']} but the caller "
+            f"holds {want} — rebuild the index (write_ivf_index) or "
+            "reload the matching model before searching"
+        )
+    from .clustering import sqdist_sql
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qnrm", F.expr(norm_sql("qv"))).filter(F.col("qnrm") > 0)
+    qp = pca_project_array(
+        qv.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("embedding")),
+        qe,
+    ).select(F.col("vec_id").alias("query_id"), "pvec")
+    routing = (
+        qv.join(qp, "query_id")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", F.expr(sqdist_sql("pvec", "cvec")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__d", "cid")
+            ),
+        )
+        .filter(F.col("__rk") <= n_probe)
+        .select("query_id", "qv", "qnrm", F.col("cid").alias("cell"))
+        # n_query x n_probe rows by construction: checkpoint once so the
+        # driver-side cell listing below doesn't recompute the routing
+        # plan a second time for the candidate join
+        .localCheckpoint(eager=True)
+    )
+    # the probed cells are known driver-side -> STATIC partition filter:
+    # the index scan reads only those cells' partitions (PartitionFilters
+    # in the plan; unprobed cells cost zero I/O at any corpus size)
+    probed = sorted({r["cell"] for r in routing.select("cell").distinct().collect()})
+    idx = spark.read.parquet(os.path.join(path, "index")).filter(
+        F.col("cell").isin([int(c) for c in probed])
+    )
+    cand = (
+        idx.join(F.broadcast(routing), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(dot_sql("embedding", "qv"))
+                / (F.col("nrm") * F.col("qnrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
