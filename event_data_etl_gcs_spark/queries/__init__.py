@@ -45,6 +45,7 @@ from . import corpus_v3  # noqa: E402,F401
 from . import decontam_span  # noqa: E402,F401
 from . import pca  # noqa: E402,F401
 from . import ivf_persist  # noqa: E402,F401
+from . import substring_dedup  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -134,7 +135,7 @@ set_priority([
     "pca_project_whiten", "pca_ivf_cells", "pca_semdedup_prune",
     "pca_ivf_topk", "training_corpus_v4_select",
     # --- round 9 ---------------------------------------------------------
-    "ivf_persisted_topk",
+    "ivf_persisted_topk", "substring_dedup_rebuild",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
