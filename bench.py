@@ -61,6 +61,9 @@ BENCH_EXTENDED = [
     "training_corpus_v4_select",
     "pca_project_whiten",
     "pca_ivf_cells",
+    "pca_ivf_topk",
+    "ivf_persisted_topk",
+    "substring_dedup_rebuild",
 ]
 
 

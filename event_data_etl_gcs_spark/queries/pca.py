@@ -268,6 +268,13 @@ def pca_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_IVF_TOP_K = 5
+# Default probe width, chosen from the round-9 recall ledger
+# (SCALE_r9.md §1: 200k Gaussian corpus, recall@5 = 0.40/0.55/0.71/0.80/
+# 0.91/1.0/1.0/1.0 for n_probe 1..8): 3-of-8 is the claimed-recall knee
+# (0.707, pinned >= 0.6 in tests) — candidate volume grows linearly with
+# n_probe and at scale the candidate scan is the cost, so the default
+# does not chase the plateau. Recall is monotone non-decreasing in
+# n_probe by construction (nested cell sets; tests/test_ann_recall.py).
 _PCA_IVF_N_PROBE = 3
 _PCA_IVF_N_QUERY = 15
 
