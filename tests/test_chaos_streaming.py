@@ -7,7 +7,8 @@ must equal a clean uninterrupted run.
 Writers covered (write order matters — the crash point enumerates the
 gaps): corpus (hashes, sigs, corpus), semdedup (members, decisions),
 segdedup (clean, segments), sharding (assignments, totals),
-containment (pairs, sets, prefix), near-dedup (pairs, signatures).
+containment (pairs, sets, prefix), near-dedup (pairs, signatures),
+substring dedup (postings, clean).
 The gen=N manifest writers (sketches, DSIR, kNN top-k) have their own
 crash tests (test_advice_r4, test_streaming_incremental)."""
 
@@ -128,8 +129,20 @@ def _gram_writer(spark, root):
     return ingest, ["gram"], _vecs
 
 
+def _substring_writer(spark, root):
+    from event_data_etl_gcs_spark.streaming.substring import (
+        substring_ingest_batch,
+    )
+
+    def ingest(bdf, bid):
+        substring_ingest_batch(bdf, bid, root)
+
+    return ingest, ["postings", "clean"], _docs
+
+
 WRITERS = {
     "corpus": _corpus_writer,
+    "substring": _substring_writer,
     "semdedup": _semdedup_writer,
     "segdedup": _segdedup_writer,
     "sharding": _sharding_writer,
