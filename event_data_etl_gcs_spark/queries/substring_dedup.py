@@ -180,6 +180,94 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+_SPAN_INVENTORY_SQL = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(u.gpos AS INTEGER) AS pos, g.gram
+  FROM (SELECT doc_id, {_duck_grams('toks', SUB_K)} AS gs FROM tk) tg,
+       unnest(range(1, len(gs) + 1)) AS u(gpos),
+       LATERAL (SELECT gs[gpos] AS gram) g
+),
+dup AS MATERIALIZED (
+  SELECT gram FROM grams GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+),
+marked AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM (SELECT doc_id, CAST(u.ti AS INTEGER) AS pos
+        FROM tk, unnest(range(1, len(toks) + 1)) AS u(ti)) t
+  JOIN (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)) h
+    ON h.doc_id = t.doc_id
+   AND t.pos BETWEEN h.pos AND h.pos + {SUB_K - 1}
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS start_pos,
+       CAST(MAX(pos) AS INTEGER) AS end_pos,
+       CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@query(
+    "duplicate_span_inventory",
+    oracle=_SPAN_INVENTORY_SQL,
+    doc=(
+        "Inventory of the MAXIMAL cross-document duplicated runs "
+        "substring_dedup_rebuild would remove: token positions covered "
+        "by any duplicated K-gram, collapsed to maximal contiguous runs "
+        "per document via islands-and-gaps (pos - row_number() "
+        "grouping). The diagnostic view a dedup operator needs before "
+        "committing to surgery — span length distribution, per-doc "
+        "duplication geography — computed with the same explode-bound "
+        "stages plus one per-doc window; exact oracle."
+    ),
+)
+def duplicate_span_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.expr(tokens_sql("text")).alias("toks"))
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(F.expr(_grams_sql("toks", SUB_K))).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    )
+    tpos = tk.select(
+        "doc_id", F.posexplode("toks").alias("ti0", "_t")
+    ).select("doc_id", (F.col("ti0") + 1).cast("int").alias("pos"))
+    marked = (
+        tpos.join(
+            hits,
+            (F.col("doc_id") == F.col("h_doc"))
+            & (F.col("pos") >= F.col("h_pos"))
+            & (F.col("pos") <= F.col("h_pos") + SUB_K - 1),
+            "left_semi",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("int").alias("start_pos"),
+        F.max("pos").cast("int").alias("end_pos"),
+        F.count("*").cast("bigint").alias("run_len"),
+    ).select("doc_id", "start_pos", "end_pos", "run_len")
+
+
 @query(
     "substring_dedup_rebuild",
     oracle=_SUBSTRING_SQL,

@@ -107,6 +107,25 @@ def test_three_way_duplicate_all_copies_cut(spark):
     assert all(got[d]["n_removed"] == SUB_K for d in (1, 2, 3))
 
 
+def test_span_inventory_consistent_with_rebuild(spark):
+    """Internal consistency: per document, the maximal-run inventory's
+    total covered length equals exactly the rebuild's n_removed, and
+    every run is >= K tokens (a duplicated K-gram covers K positions)."""
+    from event_data_etl_gcs_spark.queries import get_query
+
+    sf = "/root/testdata/sf0.001"
+    inv = get_query("duplicate_span_inventory").fn(spark, sf).toPandas()
+    reb = get_query("substring_dedup_rebuild").fn(spark, sf).toPandas()
+    assert (inv["run_len"] >= SUB_K).all()
+    got = inv.groupby("doc_id")["run_len"].sum().to_dict()
+    want = {
+        r.doc_id: r.n_removed
+        for r in reb.itertuples()
+        if r.n_removed > 0
+    }
+    assert got == want
+
+
 def test_dup_gram_reduction_is_partial_not_distinct(spark):
     """The duplicated-gram reduction must stay a partial aggregate
     (min/max), not expand to a two-shuffle count-distinct."""
