@@ -121,6 +121,64 @@ def write_ivf_index(
     return manifest
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    qe,
+    qw=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Absorb a batch of NEW vectors into the persisted index without
+    touching existing rows: assign against the FROZEN centroids (the
+    persisted table — map-only, no retraining) and append to the cell
+    partitions. Because assignment is per-vector and the centroids are
+    frozen, build-half-then-append-half is BIT-IDENTICAL to a fresh
+    full build (pinned in tests/test_ivf_store.py) — this is how an IVF
+    index takes inserts between periodic retrains. Refuses a model
+    version other than the one in the manifest (appending rows routed
+    under a different projection would corrupt the index silently).
+    Duplicate vec_ids are the caller's contract, as in any append-only
+    inverted file. Returns the updated manifest."""
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    want = model_version(qe, qw)
+    if want != manifest["model_version"]:
+        raise ValueError(
+            f"PCA model version mismatch: index at {path!r} was built "
+            f"with model {manifest['model_version']} but the caller "
+            f"holds {want} — a cross-version append would corrupt the "
+            "index; rebuild with write_ivf_index instead"
+        )
+    spark = new_vectors.sparkSession
+    vecs = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    parr = pca_project_array(vecs, qe)
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
+        "vec_id", F.col("cluster_id").alias("cell")
+    )
+    inv = (
+        vecs.withColumn("nrm", F.expr(norm_sql("embedding")))
+        .filter(F.col("nrm") > 0)
+        .join(assign, "vec_id")
+        .select("vec_id", "embedding", "nrm", "cell")
+    )
+    inv.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "index")
+    )
+    manifest["n_rows"] = spark.read.parquet(
+        os.path.join(path, "index")
+    ).count()
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
+
+
 def read_manifest(path: str) -> dict | None:
     p = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(p):

@@ -119,6 +119,62 @@ def test_streamed_refresh_reprojects_bit_identical_to_batch(spark, tmp_path):
     assert np.array_equal(a["whitened"].values, b["whitened"].values)
 
 
+def test_append_equals_fresh_full_build(spark, tmp_path):
+    """build(half) + append(half) == build(all): frozen centroids make
+    assignment per-vector, so the persisted index rows are identical —
+    BUT ONLY when the build-side centroids come from the same seed set.
+    We build on the FULL corpus's seed prefix both times by building on
+    a half that contains the k smallest vec_ids (initial_centroids'
+    seed rule), then searching both indexes returns identical rows."""
+    from event_data_etl_gcs_spark.operators.ivf_store import append_ivf_index
+
+    emb, qe, qw = _fit(spark)
+    n = emb.count()
+    half_a = emb.filter(F.col("vec_id") < n // 2)  # holds the seed prefix
+    half_b = emb.filter(F.col("vec_id") >= n // 2)
+
+    p_inc = str(tmp_path / "inc")
+    write_ivf_index(half_a, qe, p_inc, qw=qw)
+    m = append_ivf_index(half_b, p_inc, qe, qw=qw)
+
+    p_full = str(tmp_path / "full")
+    m_full = write_ivf_index(emb, qe, p_full, qw=qw)
+
+    # identical manifests (n_rows) — but the seed centroids differ only
+    # if half_a lacked the k smallest ids, which it doesn't
+    assert m["n_rows"] == m_full["n_rows"]
+    inc_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(p_inc + "/index")
+        .select("vec_id", "cell", "nrm")
+        .collect()
+    )
+    full_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(p_full + "/index")
+        .select("vec_id", "cell", "nrm")
+        .collect()
+    )
+    assert inc_rows == full_rows
+    # and the search over the appended index matches the fresh build
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = search_ivf_index(spark, p_inc, queries, qe, qw=qw)
+    want = search_ivf_index(spark, p_full, queries, qe, qw=qw)
+    assert _rows(got) == _rows(want)
+
+
+def test_append_version_mismatch_fails_loudly(spark, tmp_path):
+    from event_data_etl_gcs_spark.operators.ivf_store import append_ivf_index
+
+    emb, qe, qw = _fit(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, qe, path, qw=qw)
+    stale = [list(row) for row in qe]
+    stale[0][0] += 1
+    with pytest.raises(ValueError, match="version mismatch"):
+        append_ivf_index(emb.limit(3), path, stale, qw=qw)
+
+
 def test_refit_on_changed_corpus_changes_version(spark, tmp_path):
     """A model refitted after the corpus changed gets a NEW version, so
     an old index + new model (or vice versa) cannot silently mix."""
