@@ -287,7 +287,28 @@ SHOW = [
         "broadcast centroid cross join); the candidate join is "
         "cell-pruned equi-join, and the exact re-rank reads original "
         "vectors by id for candidates only — the IVF-Flat recipe with "
-        "an orthogonal transform in front.",
+        "an orthogonal transform in front. Round 9: the query-routing "
+        "side is broadcast (BuildLeft on the cell join), so the corpus "
+        "cell assignment is never hash-repartitioned to meet "
+        "n_query x n_probe routing rows (VERDICT r8 #1).",
+    ),
+    (
+        "ivf_persisted_topk",
+        "Build-once/search-many ANN (round 9): the search-side FileScan "
+        "of the persisted inverted file carries a STATIC cell IN (...) "
+        "PartitionFilter (probed cells are known driver-side), so "
+        "unprobed cells cost zero I/O; the routing side broadcasts "
+        "into the candidate join and the exact re-rank reads vectors "
+        "straight from the probed partitions.",
+    ),
+    (
+        "substring_dedup_rebuild",
+        "Exact substring dedup (round 9): token-linear gram explode, "
+        "ONE partial-aggregated groupBy(gram) (min/max doc_id, not "
+        "count-distinct — no second shuffle), a shuffle equi-join on "
+        "gram for hits (occurrence-bound, never pair-bound), a "
+        "per-doc anti-join with bounded range residual, and one "
+        "groupBy(doc_id) rebuild.",
     ),
 ]
 
