@@ -136,7 +136,7 @@ set_priority([
     "pca_ivf_topk", "training_corpus_v4_select",
     # --- round 9 ---------------------------------------------------------
     "ivf_persisted_topk", "substring_dedup_rebuild",
-    "duplicate_span_inventory",
+    "duplicate_span_inventory", "substring_dedup_keep_first",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -180,6 +180,158 @@ LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def substring_dedup_keep_first_frame(
+    docs: DataFrame,
+    k: int = SUB_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first policy: the LOWEST-doc_id carrier of each duplicated
+    gram keeps its copy; every other document loses the covered tokens.
+    The symmetric policy (substring_dedup_frame) deletes ALL copies of
+    a shared span — faithful to the reference suffix-array tool but it
+    erases common boilerplate from the corpus entirely; keep-first
+    preserves exactly one canonical copy, the policy every doc-level
+    dedup in this engine uses (keep-min). Same explode-bound stages:
+    the only change is that hits exclude occurrences in the gram's
+    first carrier."""
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "source",
+        F.expr(tokens_sql(text_col)).alias("toks"),
+    )
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(F.expr(_grams_sql("toks", k))).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("first_doc") != F.col("__hi"))
+        .select("gram", "first_doc")
+    )
+    hits = (
+        grams.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("first_doc"))
+        .select("doc_id", "pos")
+    )
+    tpos = tk.select(
+        "doc_id",
+        "source",
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.posexplode("toks").alias("ti0", "tok"),
+    ).select(
+        "doc_id", "source", "n_tokens",
+        (F.col("ti0") + 1).cast("int").alias("pos"), "tok",
+    )
+    h = hits.select(F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos"))
+    kept = tpos.join(
+        h,
+        (F.col("doc_id") == F.col("h_doc"))
+        & (F.col("pos") >= F.col("h_pos"))
+        & (F.col("pos") <= F.col("h_pos") + k - 1),
+        "left_anti",
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_keep"),
+        F.array_join(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, tok))), p -> p.tok)"
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    hit_counts = hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    spine = tk.select(
+        "doc_id", "source", F.expr("size(toks)").cast("bigint").alias("n_tokens")
+    )
+    return (
+        spine.join(hit_counts, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("n_keep"), F.lit(0).cast("bigint"))
+            ).alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+_SUBSTRING_KEEP_FIRST_SQL = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, source, {duck_tokens('text')} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(u.gpos AS INTEGER) AS pos, g.gram
+  FROM (SELECT doc_id, {_duck_grams('toks', SUB_K)} AS gs FROM tk) tg,
+       unnest(range(1, len(gs) + 1)) AS u(gpos),
+       LATERAL (SELECT gs[gpos] AS gram) g
+),
+dup AS MATERIALIZED (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams
+  GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS MATERIALIZED (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+  WHERE g.doc_id <> dup.first_doc
+),
+tpos AS MATERIALIZED (
+  SELECT doc_id, source, CAST(u.ti AS INTEGER) AS pos, toks[ti] AS tok,
+         len(toks) AS n_tokens
+  FROM tk, unnest(range(1, len(toks) + 1)) AS u(ti)
+),
+kept AS (
+  SELECT t.* FROM tpos t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hits h
+    WHERE h.doc_id = t.doc_id
+      AND t.pos BETWEEN h.pos AND h.pos + {SUB_K - 1})
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_keep,
+         array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+  FROM kept GROUP BY doc_id
+),
+hit_counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id
+)
+SELECT s.doc_id, s.source, CAST(len(s.toks) AS BIGINT) AS n_tokens,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(len(s.toks) AS BIGINT) - COALESCE(p.n_keep, 0) AS n_removed,
+       COALESCE(p.text_clean, '') AS text_clean
+FROM tk s
+LEFT JOIN hit_counts h USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query(
+    "substring_dedup_keep_first",
+    oracle=_SUBSTRING_KEEP_FIRST_SQL,
+    doc=(
+        "Keep-first exact substring dedup: like substring_dedup_rebuild "
+        "but the lowest-doc_id carrier of each duplicated gram KEEPS "
+        "its copy — one canonical copy of every shared span survives "
+        "the corpus (the keep-min policy of every doc-level dedup "
+        "here), instead of the symmetric all-copies removal of the "
+        "reference suffix-array tool. Identical explode-bound cost "
+        "profile; the only delta is the first-carrier exclusion in the "
+        "hit set."
+    ),
+)
+def substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_keep_first_frame(docs)
+
+
 _SPAN_INVENTORY_SQL = f"""
 WITH tk AS MATERIALIZED (
   SELECT doc_id, {duck_tokens('text')} AS toks FROM documents

@@ -107,6 +107,54 @@ def test_three_way_duplicate_all_copies_cut(spark):
     assert all(got[d]["n_removed"] == SUB_K for d in (1, 2, 3))
 
 
+def test_keep_first_retains_canonical_copy(spark):
+    from event_data_etl_gcs_spark.queries.substring_dedup import (
+        substring_dedup_keep_first_frame,
+    )
+
+    shared = " ".join(_toks(SUB_K, "s"))
+    a_only = " ".join(_toks(5, "a"))
+    b_only = " ".join(_toks(5, "b"))
+    df = spark.createDataFrame(
+        [
+            (1, "web", f"{a_only} {shared}"),
+            (2, "web", f"{shared} {b_only}"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup_keep_first_frame(df).collect()
+    }
+    # the first carrier (doc 1) keeps the span; doc 2 loses it
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_clean"] == f"{a_only} {shared}"
+    assert got[2]["n_removed"] == SUB_K
+    assert got[2]["text_clean"] == b_only
+
+
+def test_keep_first_removes_subset_of_symmetric(spark):
+    """Keep-first hits exclude the first carrier, so per-doc removal is
+    always <= the symmetric policy's (and strictly less somewhere)."""
+    from event_data_etl_gcs_spark.queries.substring_dedup import (
+        substring_dedup_keep_first_frame,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sym = {
+        r["doc_id"]: r["n_removed"]
+        for r in substring_dedup_frame(docs).collect()
+    }
+    kf = {
+        r["doc_id"]: r["n_removed"]
+        for r in substring_dedup_keep_first_frame(docs).collect()
+    }
+    assert set(sym) == set(kf)
+    assert all(kf[d] <= sym[d] for d in sym)
+    assert any(kf[d] < sym[d] for d in sym)
+
+
 def test_span_inventory_consistent_with_rebuild(spark):
     """Internal consistency: per document, the maximal-run inventory's
     total covered length equals exactly the rebuild's n_removed, and
