@@ -45,6 +45,7 @@ from ..queries.lm_quality import DSIR_KEEP_DENOM
 from ..sources.catalog import load_table
 from .registry import query
 from .segdedup import _DUCK_SEGS, _DUCK_WINNERS, segment_dedup_reconstruct
+from .substring_dedup import KEEP_FIRST_HEAD, substring_dedup_keep_first_frame
 
 _B = DSIR_BUCKETS
 _QSEL = duck_quality_select()
@@ -154,6 +155,29 @@ uniq2 AS MATERIALIZED (
 _V4_SQL = f"WITH {_V3_HEAD},\n{_V4_CONTAIN},\n{_dsir_tail('uniq2')}"
 
 
+def _dsir_select(uniq: DataFrame) -> DataFrame:
+    """Shared DSIR tail: importance weights over ``uniq`` (doc_id,
+    source, text), keep the target-like top 1/DSIR_KEEP_DENOM per
+    source stream. Mirrors _dsir_tail exactly."""
+    tk = token_buckets(uniq)
+    w = score_docs(tk, ratio_table(bucket_counts(tk)))
+    win = Window.partitionBy("source").orderBy(
+        F.col("mean_lr").desc(), F.col("doc_id")
+    )
+    ranked = w.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_lr",
+        F.row_number().over(win).cast("int").alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    return ranked.filter(
+        F.col("rk")
+        <= F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) div {DSIR_KEEP_DENOM}")
+    ).select("doc_id", "source", "n_tokens", "mean_lr", "rk")
+
+
 def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rec = segment_dedup_reconstruct(spark, sf_dir)
@@ -182,24 +206,7 @@ def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def training_corpus_v3_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    uniq = _v3_unique_docs(spark, sf_dir)
-    tk = token_buckets(uniq)
-    w = score_docs(tk, ratio_table(bucket_counts(tk)))
-    win = Window.partitionBy("source").orderBy(
-        F.col("mean_lr").desc(), F.col("doc_id")
-    )
-    ranked = w.select(
-        "doc_id",
-        "source",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "mean_lr",
-        F.row_number().over(win).cast("int").alias("rk"),
-        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
-    )
-    return ranked.filter(
-        F.col("rk")
-        <= F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) div {DSIR_KEEP_DENOM}")
-    ).select("doc_id", "source", "n_tokens", "mean_lr", "rk")
+    return _dsir_select(_v3_unique_docs(spark, sf_dir))
 
 
 def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,21 +255,68 @@ def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def training_corpus_v4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    uniq = _v4_unique_docs(spark, sf_dir)
-    tk = token_buckets(uniq)
-    w = score_docs(tk, ratio_table(bucket_counts(tk)))
-    win = Window.partitionBy("source").orderBy(
-        F.col("mean_lr").desc(), F.col("doc_id")
+    return _dsir_select(_v4_unique_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------------
+# v5: the Lee et al. 2021 ExactSubstr recipe — substring-granularity
+# dedup as the HEAD stage (on the RAW corpus, where sub-segment
+# duplication actually lives; after segment dedup the keep-first
+# substring pass is a measured no-op at every SF), then gate -> exact
+# dedup -> DSIR over the CLEANED text.
+# ------------------------------------------------------------------
+
+_V5_SQL = f"""WITH {KEEP_FIRST_HEAD},
+v5c AS MATERIALIZED (
+  SELECT t.doc_id, t.source, p.text_clean AS text,
+         {duck_tokens('p.text_clean')} AS toks
+  FROM tk t JOIN per_doc p USING (doc_id)
+),
+gated5 AS MATERIALIZED (
+  SELECT doc_id, source, text
+  FROM v5c
+  WHERE {_QSEL['n_tokens']} >= {MIN_TOKENS}
+    AND {_QSEL['stopword_ratio']} <= {MAX_STOPWORD_RATIO}
+    AND {_QSEL['punct_ratio']} <= {MAX_PUNCT_RATIO}
+),
+uniq5 AS MATERIALIZED (
+  SELECT g.doc_id, g.source, g.text
+  FROM gated5 g
+  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM gated5 GROUP BY text) k
+    ON g.text = k.text AND g.doc_id = k.doc_id
+),
+{_dsir_tail('uniq5')}"""
+
+
+def _v5_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = substring_dedup_keep_first_frame(docs)
+    d5 = cleaned.select(
+        "doc_id", "source", F.col("text_clean").alias("text")
     )
-    ranked = w.select(
-        "doc_id",
-        "source",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        "mean_lr",
-        F.row_number().over(win).cast("int").alias("rk"),
-        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
-    )
-    return ranked.filter(
-        F.col("rk")
-        <= F.expr(f"(n_src + {DSIR_KEEP_DENOM - 1}) div {DSIR_KEEP_DENOM}")
-    ).select("doc_id", "source", "n_tokens", "mean_lr", "rk")
+    gated = quality_gate(d5).select("doc_id", "source", "text")
+    return exact_dedup_keep_min(gated)
+
+
+@query(
+    "training_corpus_v5_select",
+    oracle=_V5_SQL,
+    doc=(
+        "Training-corpus pipeline v5: the Lee et al. 2021 ExactSubstr "
+        "recipe end-to-end — keep-first exact substring dedup on the "
+        "RAW corpus (every cross-document duplicated run of >= 8 "
+        "tokens keeps exactly one canonical copy) -> quality gate over "
+        "the CLEANED text -> exact dedup -> DSIR top-1/5 per source. "
+        "v3 strips duplication at segment granularity; v5 cuts it at "
+        "sub-segment (token-run) granularity, the one the suffix-array "
+        "tools use — measured: after v3's segment stage the substring "
+        "pass is a no-op, so the two heads are genuinely orthogonal "
+        "recipes over the same DSIR tail. One exact cross-engine "
+        "oracle over the whole composition; the head is explode-bound "
+        "(token-linear gram stream, one groupBy(gram), equi-join on "
+        "gram, one groupBy(doc_id) rebuild) — nothing pair-bound "
+        "anywhere in v5."
+    ),
+)
+def training_corpus_v5_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_select(_v5_unique_docs(spark, sf_dir))

@@ -264,8 +264,11 @@ def substring_dedup_keep_first_frame(
     )
 
 
-_SUBSTRING_KEEP_FIRST_SQL = f"""
-WITH tk AS MATERIALIZED (
+# Reusable keep-first CTE head (tk .. per_doc): the standalone query
+# appends hit_counts + the reporting select; training_corpus_v5 splices
+# its gate/dedup/DSIR tail onto the same head so the pipeline oracle
+# shares this chain verbatim.
+KEEP_FIRST_HEAD = f"""tk AS MATERIALIZED (
   SELECT doc_id, source, {duck_tokens('text')} AS toks FROM documents
 ),
 grams AS MATERIALIZED (
@@ -299,7 +302,10 @@ per_doc AS (
          CAST(COUNT(*) AS BIGINT) AS n_keep,
          array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
   FROM kept GROUP BY doc_id
-),
+)"""
+
+_SUBSTRING_KEEP_FIRST_SQL = f"""
+WITH {KEEP_FIRST_HEAD},
 hit_counts AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id
 )
