@@ -167,9 +167,21 @@ def run_streaming_substring_dedup(
     checkpoint_dir: str,
     k: int = SUB_K,
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
 ) -> None:
     """Drain a documents backlog through the online substring-dedup
-    check (Available-Now; re-runs process only new files)."""
+    check (Available-Now; re-runs process only new files).
+
+    ``compact_every=N`` folds the postings state into its single
+    consolidated partition after every N-th delivery (see
+    :mod:`.compaction`) so the per-delivery merge-read stays
+    distinct-gram-bound instead of growing with the delivery count.
+    Doing this INSIDE foreachBatch is safe for this state specifically:
+    the postings merge is min/max — idempotent — so the one bad
+    interleaving (crash after the fold but before the checkpoint
+    commit, then a replay re-appending the already-folded delivery)
+    converges to the same merged postings. Sum-merged states must
+    compact between drains with ``checkpoint_dir`` scoping instead."""
     schema = spark.read.parquet(docs_dir).schema
     raw = (
         spark.readStream.schema(schema)
@@ -179,6 +191,14 @@ def run_streaming_substring_dedup(
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         substring_ingest_batch(batch_df, batch_id, index_dir, k)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from .compaction import compact_batch_state, postings_merge
+
+            compact_batch_state(
+                spark,
+                os.path.join(index_dir, "postings"),
+                merge=postings_merge,
+            )
 
     q = (
         raw.writeStream.trigger(availableNow=True)
