@@ -46,6 +46,7 @@ from . import decontam_span  # noqa: E402,F401
 from . import pca  # noqa: E402,F401
 from . import ivf_persist  # noqa: E402,F401
 from . import substring_dedup  # noqa: E402,F401
+from . import lm_bigram  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -137,6 +138,8 @@ set_priority([
     # --- round 9 ---------------------------------------------------------
     "ivf_persisted_topk", "substring_dedup_rebuild",
     "duplicate_span_inventory", "substring_dedup_keep_first",
+    "bigram_surprisal_scores", "lm_interpolated_surprisal",
+    "ccnet_quality_buckets", "domain_frequency_cap",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

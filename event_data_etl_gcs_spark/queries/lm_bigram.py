@@ -1,0 +1,351 @@
+"""Bigram language-model curation scores (round 9).
+
+Extends the round-7 unigram family (``queries/lm_quality.py``) to the
+conditional-probability granularity real CCNet/KenLM filters run at: an
+add-one-smoothed bigram model p(w|v) = (c(v,w)+1)/(c(v)+V) trained on
+the corpus itself, plus the interpolated unigram/bigram mixture that is
+the textbook backoff baseline, plus the CCNet head/middle/tail bucket
+assignment (Wenzek et al. 2020: per-language perplexity terciles decide
+keep/maybe/drop).
+
+Portable-arithmetic discipline (the repo-wide libm-free device): no
+ln()/exp() anywhere. Scores are RECIPROCAL-PROBABILITY MEANS —
+(1/n) * sum_i 1/p(w_i|w_{i-1}) — computed as order-pinned double folds,
+so the Spark frame and the DuckDB oracle agree bit-for-bit. Tercile
+bucketing avoids NTILE ambiguity by deriving the bucket from integer
+arithmetic on ROW_NUMBER and the partition count: (3*(rn-1)) div cnt.
+
+Scale shape (100 TB posture): the bigram model is two token-keyed
+aggregates (context counts and bigram counts) — the same skewed-key
+join surface as the unigram model, handled by AQE skew splitting; the
+corpus is touched by one explode and one join back. The CCNet bucket
+window partitions by language — mirroring production CCNet, which
+shards and sorts per language; the broadcast-cutoff alternative (exact
+per-language tercile cutoffs joined map-side) is the no-big-window
+variant when a language's rows exceed one executor's sort budget.
+
+Reference: spark-jobs/sparkify_etl.py has no LM surface; this is
+extension surface mandated by the build brief (text-quality family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.text import duck_tokens, tokens_sql
+from ..sources.catalog import load_table
+from .registry import query
+
+# Spark-side bigram array: (prev, cur) structs from the token array.
+# sequence(1, 0) is DESCENDING in Spark (BUILDER_NOTES r7), so short
+# docs are guarded with a typed empty array, never an empty sequence.
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) < 2 "
+    "THEN CAST(array() AS array<struct<prev:string,cur:string>>) "
+    "ELSE transform(sequence(1, size(toks) - 1), "
+    "i -> named_struct('prev', toks[i-1], 'cur', toks[i])) END"
+)
+
+# Shared DuckDB CTEs: tokens, bigrams (1-based index i = 2..n so
+# range() is empty for short docs; pos = i-2 matches Spark posexplode's
+# 0-based position), model counts, and scalar totals.
+_BIGRAM_CTES = f"""
+base AS MATERIALIZED (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
+), tk AS MATERIALIZED (
+  SELECT doc_id, toks[ti] AS tok
+  FROM base, unnest(range(1, len(toks) + 1)) AS r(ti)
+), bg AS MATERIALIZED (
+  SELECT doc_id, i - 2 AS pos, toks[i - 1] AS prev, toks[i] AS cur
+  FROM base, unnest(range(2, len(toks) + 1)) AS r(i)
+), ctx AS MATERIALIZED (
+  SELECT prev, COUNT(*) AS cv FROM bg GROUP BY prev
+), bgc AS MATERIALIZED (
+  SELECT prev, cur, COUNT(*) AS cvw FROM bg GROUP BY prev, cur
+), uni AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cu FROM tk GROUP BY tok
+), tot AS (
+  SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS vsz FROM tk
+)
+"""
+
+_BIGRAM_SQL = f"""
+WITH {_BIGRAM_CTES}, j AS (
+  SELECT b.doc_id, b.pos,
+         CAST(c.cv + t.vsz AS DOUBLE) / CAST(g.cvw + 1 AS DOUBLE) AS val,
+         g.cvw AS cvw
+  FROM bg b
+  JOIN bgc g USING (prev, cur)
+  JOIN ctx c USING (prev)
+  CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list(val ORDER BY pos)),
+                   (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_inv_p,
+       MIN(cvw) AS min_bigram_count
+FROM j GROUP BY doc_id
+"""
+
+
+def bigram_rows(docs: DataFrame):
+    """(tk, bg): exploded unigram rows and positioned bigram rows."""
+    base = docs.select("doc_id", F.expr(tokens_sql("text")).alias("toks"))
+    tk = base.select("doc_id", F.explode("toks").alias("tok"))
+    bg = base.select(
+        "doc_id", F.posexplode(F.expr(_BIGRAMS_SPARK)).alias("pos", "b")
+    ).select("doc_id", "pos", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    return tk, bg
+
+
+def _pinned_doc_mean(j: DataFrame, extra_min: str) -> DataFrame:
+    """Order-pinned per-doc mean of `val` over bigram positions."""
+    g = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("pos", "val"))).alias("pairs"),
+        F.min(extra_min).alias("_min"),
+    )
+    return g.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.expr(
+                "aggregate(transform(pairs, p -> p.val), "
+                "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_inv_p"),
+        F.col("_min"),
+    )
+
+
+@query(
+    "bigram_surprisal_scores",
+    oracle=_BIGRAM_SQL,
+    doc=(
+        "Add-one-smoothed bigram LM quality score: per doc, the "
+        "order-pinned mean of 1/p(cur|prev) = (c(prev)+V)/(c(prev,cur)+1) "
+        "— conditional-probability surprisal, the granularity that "
+        "separates fluent text from shuffled-token text (which a unigram "
+        "model scores identically). High scores = improbable-transition "
+        "text, the CCNet drop tail. Spark shape: bigrams built array-side "
+        "(no window shuffle), two token-keyed model aggregates, one join "
+        "back, one doc aggregate; AQE splits the hot stopword-context "
+        "keys. Model stays distributed; only the 2-scalar totals row is "
+        "broadcast."
+    ),
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_scores(docs: DataFrame) -> DataFrame:
+    tk, bg = bigram_rows(docs)
+    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    tot = tk.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
+    )
+    j = (
+        bg.join(bgc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("cv") + F.col("vsz")).cast("double")
+                / (F.col("cvw") + F.lit(1)).cast("double")
+            ).alias("val"),
+            "cvw",
+        )
+    )
+    return _pinned_doc_mean(j, "cvw").withColumnRenamed(
+        "_min", "min_bigram_count"
+    )
+
+
+_INTERP_SQL = f"""
+WITH {_BIGRAM_CTES}, j AS (
+  SELECT b.doc_id, b.pos,
+         CAST(1 AS DOUBLE) / (
+           0.5 * (CAST(g.cvw + 1 AS DOUBLE) / CAST(c.cv + t.vsz AS DOUBLE))
+           + 0.5 * (CAST(u.cu AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+         ) AS val,
+         u.cu AS cu
+  FROM bg b
+  JOIN bgc g USING (prev, cur)
+  JOIN ctx c USING (prev)
+  JOIN uni u ON u.tok = b.cur
+  CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                list(val ORDER BY pos)),
+                   (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_inv_p,
+       MIN(cu) AS min_unigram_count
+FROM j GROUP BY doc_id
+"""
+
+
+@query(
+    "lm_interpolated_surprisal",
+    oracle=_INTERP_SQL,
+    doc=(
+        "Jelinek-Mercer interpolated LM score (lambda = 1/2): "
+        "1/(0.5*p_bigram + 0.5*p_unigram) per transition, order-pinned "
+        "doc mean — the standard backoff that keeps unseen-bigram docs "
+        "finite-scored without add-one's overcorrection dominating. Every "
+        "step (+, *, /) is a single IEEE-rounded double op in a pinned "
+        "tree shape, so the oracle is exact. Same distributed shape as "
+        "the bigram score plus one extra unigram-keyed join."
+    ),
+)
+def lm_interpolated_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interp_scores(load_table(spark, sf_dir, "documents"))
+
+
+def interp_scores(docs: DataFrame) -> DataFrame:
+    tk, bg = bigram_rows(docs)
+    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    uni = tk.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = tk.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
+    )
+    pb = (F.col("cvw") + F.lit(1)).cast("double") / (
+        F.col("cv") + F.col("vsz")
+    ).cast("double")
+    pu = F.col("cu").cast("double") / F.col("n_total").cast("double")
+    j = (
+        bg.join(bgc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni, bg["cur"] == F.col("tok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            (F.lit(1.0).cast("double") / (F.lit(0.5) * pb + F.lit(0.5) * pu)).alias("val"),
+            "cu",
+        )
+    )
+    return _pinned_doc_mean(j, "cu").withColumnRenamed(
+        "_min", "min_unigram_count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets
+# ---------------------------------------------------------------------------
+
+_CCNET_SQL = f"""
+WITH {_BIGRAM_CTES}, j AS (
+  SELECT b.doc_id, b.pos,
+         CAST(c.cv + t.vsz AS DOUBLE) / CAST(g.cvw + 1 AS DOUBLE) AS val
+  FROM bg b
+  JOIN bgc g USING (prev, cur)
+  JOIN ctx c USING (prev)
+  CROSS JOIN tot t
+), s AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(val ORDER BY pos)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS score
+  FROM j GROUP BY doc_id
+), w AS (
+  SELECT d.doc_id, d.lang, s.score,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.score, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY d.lang) AS cnt
+  FROM s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score,
+       CASE (3 * (rn - 1)) // cnt
+         WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM w
+"""
+
+
+@query(
+    "ccnet_quality_buckets",
+    oracle=_CCNET_SQL,
+    doc=(
+        "CCNet keep/maybe/drop assignment (Wenzek et al. 2020): per "
+        "LANGUAGE, documents sort by bigram-LM score (ties broken by "
+        "doc_id) and split into exact terciles — head (most fluent), "
+        "middle, tail. The tercile is integer arithmetic on ROW_NUMBER "
+        "and the partition count ((3*(rn-1)) div cnt), not NTILE, so "
+        "both engines agree by construction. The window partitions by "
+        "language exactly as production CCNet shards do; for a language "
+        "whose rows exceed one sort budget, the documented alternative "
+        "is exact tercile cutoffs broadcast-joined map-side."
+    ),
+)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scores = bigram_surprisal_scores(spark, sf_dir).select(
+        "doc_id", F.col("mean_inv_p").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = (
+        scores.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("lang")))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.when(F.expr("(3 * (rn - 1)) div cnt") == 0, F.lit("head"))
+        .when(F.expr("(3 * (rn - 1)) div cnt") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain frequency cap
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+_DOMAIN_CAP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rn
+FROM w WHERE rn <= {_DOMAIN_CAP}
+"""
+
+
+@query(
+    "domain_frequency_cap",
+    oracle=_DOMAIN_CAP_SQL,
+    doc=(
+        "RefinedWeb-style per-domain frequency cap: keep at most "
+        f"{_DOMAIN_CAP} documents per source, preferring longer ones "
+        "(n_chars DESC, doc_id tie-break) — bounds any single domain's "
+        "share of the corpus regardless of its crawl volume. One "
+        "row_number window partitioned by source; Spark pushes the "
+        "rn <= K predicate into WindowGroupLimit, so each partition "
+        "retains a K-row heap instead of a full sort at scale."
+    ),
+)
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+    )
