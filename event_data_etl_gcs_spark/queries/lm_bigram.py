@@ -142,13 +142,13 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_scores(load_table(spark, sf_dir, "documents"))
 
 
-def bigram_scores(docs: DataFrame) -> DataFrame:
-    tk, bg = bigram_rows(docs)
-    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
-    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
-    tot = tk.agg(
-        F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
-    )
+def score_bigram_with_model(
+    bg: DataFrame, ctx: DataFrame, bgc: DataFrame, tot: DataFrame
+) -> DataFrame:
+    """Score positioned bigram rows against a (ctx, bgc, tot) model —
+    the SAME join/fold arithmetic whether the model was built in one
+    batch pass or folded from streamed per-delivery count partials
+    (counts are exact integers, so streamed == batch bit-identically)."""
     j = (
         bg.join(bgc, ["prev", "cur"])
         .join(ctx, "prev")
@@ -166,6 +166,16 @@ def bigram_scores(docs: DataFrame) -> DataFrame:
     return _pinned_doc_mean(j, "cvw").withColumnRenamed(
         "_min", "min_bigram_count"
     )
+
+
+def bigram_scores(docs: DataFrame) -> DataFrame:
+    tk, bg = bigram_rows(docs)
+    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    tot = tk.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
+    )
+    return score_bigram_with_model(bg, ctx, bgc, tot)
 
 
 _INTERP_SQL = f"""

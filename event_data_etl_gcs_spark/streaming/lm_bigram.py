@@ -1,0 +1,111 @@
+"""Streaming bigram-LM model maintenance: keep the bigram model's
+sufficient statistics (unigram counts + bigram counts) current from a
+document stream, and score any frame against the maintained model
+without rescanning the corpus.
+
+The model is two count tables — exact integers that sum across any
+batch decomposition, the same exactly-mergeable-state algebra as the
+DSIR bucket counts (streaming/dsir.py) and the int64 Gram partials
+(streaming/linalg.py). The maintained model is therefore BIT-IDENTICAL
+to a batch rebuild over the union of deliveries, and scoring through
+the shared ``score_bigram_with_model`` join reproduces
+``bigram_surprisal_scores`` double-for-double (pinned in
+tests/test_streaming_lm_bigram.py).
+
+Replay safety: count deltas are not replay-idempotent, so each batch's
+partials land in their own ``batch_id=N`` partition via dynamic
+overwrite — a redelivered batch REWRITES its own partition (a pure
+function of the batch) instead of double-counting. Both tables append
+under one state root; a crash between the two writes leaves the uni
+partial committed and the bi partial missing for that batch, and the
+checkpoint replay rewrites BOTH deterministically — the same
+multi-writer recovery contract the chaos matrix exercises for the
+substring and corpus runners.
+
+State growth is vocabulary-bound (distinct tokens / distinct bigrams),
+not corpus-bound; per-delivery partials fold with
+``streaming/compaction.py``'s sum merge when delivery count grows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.lm_bigram import bigram_rows, score_bigram_with_model
+from .corpus import _append_state
+
+UNI_STATE_SCHEMA = "tok STRING, c LONG, batch_id LONG"
+BI_STATE_SCHEMA = "prev STRING, cur STRING, c LONG, batch_id LONG"
+
+
+def lm_ingest_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """One increment: append this batch's unigram and bigram count
+    partials under their own batch_id partition."""
+    tk, bg = bigram_rows(batch_df)
+    uni = tk.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    bi = bg.groupBy("prev", "cur").agg(F.count("*").cast("long").alias("c"))
+    _append_state(uni, os.path.join(state_dir, "uni"), batch_id)
+    _append_state(bi, os.path.join(state_dir, "bi"), batch_id)
+
+
+def read_lm_model(spark: SparkSession, state_dir: str):
+    """(uni, bi): the maintained count tables, batch partials folded."""
+    uni_path = os.path.join(state_dir, "uni")
+    bi_path = os.path.join(state_dir, "bi")
+    if not os.path.exists(uni_path) or not os.path.exists(bi_path):
+        raise FileNotFoundError(f"no committed LM state at {state_dir}")
+    uni = (
+        spark.read.parquet(uni_path)
+        .groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    bi = (
+        spark.read.parquet(bi_path)
+        .groupBy("prev", "cur")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    return uni, bi
+
+
+def score_against_lm_model(
+    spark: SparkSession, docs: DataFrame, state_dir: str
+) -> DataFrame:
+    """Score a document frame against the MAINTAINED model. Context
+    counts c(v) derive from the bigram table (sum over continuations),
+    vocabulary size from the unigram table's row count — the identical
+    integers a batch rebuild computes, feeding the identical scoring
+    join, so streamed scores == batch scores bit-for-bit."""
+    uni, bi = read_lm_model(spark, state_dir)
+    _, bg = bigram_rows(docs)
+    ctx = bi.groupBy("prev").agg(F.sum("c").cast("long").alias("cv"))
+    bgc = bi.select("prev", "cur", F.col("c").alias("cvw"))
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").alias("vsz"),
+    )
+    return score_bigram_with_model(bg, ctx, bgc, tot)
+
+
+def run_streaming_lm_maintenance(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+) -> None:
+    """Drain a document stream (Available-Now), maintaining the bigram
+    LM count tables at ``state_dir``."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        lm_ingest_batch(batch_df, batch_id, state_dir)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()

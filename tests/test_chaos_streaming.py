@@ -8,7 +8,7 @@ Writers covered (write order matters — the crash point enumerates the
 gaps): corpus (hashes, sigs, corpus), semdedup (members, decisions),
 segdedup (clean, segments), sharding (assignments, totals),
 containment (pairs, sets, prefix), near-dedup (pairs, signatures),
-substring dedup (postings, clean).
+substring dedup (postings, clean), bigram LM (uni, bi).
 The gen=N manifest writers (sketches, DSIR, kNN top-k) have their own
 crash tests (test_advice_r4, test_streaming_incremental)."""
 
@@ -140,8 +140,18 @@ def _substring_writer(spark, root):
     return ingest, ["postings", "clean"], _docs
 
 
+def _lm_bigram_writer(spark, root):
+    from event_data_etl_gcs_spark.streaming.lm_bigram import lm_ingest_batch
+
+    def ingest(bdf, bid):
+        lm_ingest_batch(bdf, bid, root)
+
+    return ingest, ["uni", "bi"], _docs
+
+
 WRITERS = {
     "corpus": _corpus_writer,
+    "lm_bigram": _lm_bigram_writer,
     "substring": _substring_writer,
     "semdedup": _semdedup_writer,
     "segdedup": _segdedup_writer,

@@ -1,0 +1,98 @@
+"""Streaming bigram-LM maintenance == the batch model, however the
+corpus splits into deliveries; replays rewrite instead of
+double-counting; scoring against the maintained model reproduces
+``bigram_surprisal_scores`` bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.queries.lm_bigram import bigram_scores
+from event_data_etl_gcs_spark.streaming.lm_bigram import (
+    lm_ingest_batch,
+    read_lm_model,
+    run_streaming_lm_maintenance,
+    score_against_lm_model,
+)
+
+from .test_streaming_dsir import _stage_files
+
+SF = "/root/testdata/sf0.001"
+
+
+def _model_rows(uni, bi):
+    u = sorted(tuple(r) for r in uni.collect())
+    b = sorted(tuple(r) for r in bi.collect())
+    return u, b
+
+
+def _drain(spark, docs, docs_dir, state_dir, n_files):
+    _stage_files(spark, docs, docs_dir, n_files)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    run_streaming_lm_maintenance(spark, stream, state_dir)
+
+
+def test_streamed_scores_bit_identical_to_batch(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state_dir = str(tmp_path / "state")
+    _drain(spark, docs, str(tmp_path / "docs"), state_dir, 3)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_inv_p, r.min_bigram_count)
+        for r in score_against_lm_model(spark, docs, state_dir).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.mean_inv_p, r.min_bigram_count)
+        for r in bigram_scores(docs).collect()
+    }
+    # exact double equality: the streamed model's folded integers feed
+    # the identical scoring join
+    assert got == want
+
+
+def test_split_invariance(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s2 = str(tmp_path / "s2")
+    s4 = str(tmp_path / "s4")
+    _drain(spark, docs, str(tmp_path / "d2"), s2, 2)
+    _drain(spark, docs, str(tmp_path / "d4"), s4, 4)
+    assert _model_rows(*read_lm_model(spark, s2)) == _model_rows(
+        *read_lm_model(spark, s4)
+    )
+
+
+def test_replay_rewrites_not_double_counts(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    state_dir = str(tmp_path / "state")
+    _drain(spark, docs, str(tmp_path / "docs"), state_dir, 2)
+    want = _model_rows(*read_lm_model(spark, state_dir))
+
+    # redeliver the second half under its original batch_id
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    half = docs.filter(F.col("doc_id") >= ids[len(ids) // 2])
+    lm_ingest_batch(half, 1, state_dir)
+    assert _model_rows(*read_lm_model(spark, state_dir)) == want
+
+
+def test_fresh_batch_scored_against_stale_model_differs(spark, tmp_path):
+    """Sanity direction pin: scoring against a HALF-corpus model is not
+    the full-corpus score (the maintenance loop is load-bearing)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    first = docs.filter(F.col("doc_id") < ids[len(ids) // 2])
+    state_dir = str(tmp_path / "state")
+    lm_ingest_batch(first, 0, state_dir)
+    got = {
+        r.doc_id: r.mean_inv_p
+        for r in score_against_lm_model(spark, first, state_dir).collect()
+    }
+    full = {
+        r.doc_id: r.mean_inv_p
+        for r in bigram_scores(docs).collect()
+        if r.doc_id in got
+    }
+    assert got != full
