@@ -1,0 +1,160 @@
+"""Differential fuzzing: hypothesis-generated ANSI SQL runs verbatim on
+BOTH engines (Spark SQL over the engine's loaded tables, DuckDB over
+the same parquet) and the result frames must match exactly.
+
+The per-query oracle suite pins the 260+ registered queries; this
+harness pins the ENGINE SURFACE BETWEEN them — random predicate /
+group-by / aggregate combinations nobody hand-wrote, the class of gap
+a fixed query list can never cover. The grammar is deliberately
+restricted to constructs with engine-identical semantics:
+
+* integer arithmetic, comparisons, IN, LIKE, AND/OR;
+* COUNT(*) / COUNT(DISTINCT) / SUM(bigint) (cast back to BIGINT —
+  DuckDB sums BIGINT into HUGEINT) — exact integers;
+* MIN/MAX over doubles — exact value PICKS, never accumulations
+  (SUM(double) is partition-order-dependent and belongs to the
+  decimal-sum pattern, functions/numeric.py);
+* year() over microsecond timestamps.
+
+``derandomize=True`` keeps the suite deterministic round-over-round;
+raising ``max_examples`` locally widens the sweep.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from event_data_etl_gcs_spark.sources.catalog import load_table
+
+from .conftest import SF_ORACLE, normalize
+
+_SETTINGS = dict(
+    deadline=None,
+    max_examples=25,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    for t in ("orders", "customer"):
+        load_table(spark, SF_ORACLE, t).createOrReplaceTempView(f"fuzz_{t}")
+    yield
+    for t in ("orders", "customer"):
+        spark.catalog.dropTempView(f"fuzz_{t}")
+
+
+@st.composite
+def _atom(draw) -> str:
+    kind = draw(
+        st.sampled_from(["mod", "custkey", "price", "status", "prio", "year"])
+    )
+    if kind == "mod":
+        m = draw(st.integers(2, 13))
+        return f"o_orderkey % {m} = {draw(st.integers(0, m - 1))}"
+    if kind == "custkey":
+        op = draw(st.sampled_from(["<=", ">", "="]))
+        return f"o_custkey {op} {draw(st.integers(0, 149))}"
+    if kind == "price":
+        op = draw(st.sampled_from(["<", ">="]))
+        cents = draw(st.integers(132_051, 49_970_505))
+        return f"o_totalprice {op} {cents / 100:.2f}"
+    if kind == "status":
+        vals = draw(
+            st.lists(
+                st.sampled_from(["'O'", "'F'", "'P'"]),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        return f"o_orderstatus IN ({', '.join(vals)})"
+    if kind == "prio":
+        frag = draw(st.sampled_from(["URGENT", "HIGH", "MEDIUM", "LOW", "1-", "5-"]))
+        neg = draw(st.booleans())
+        return f"o_orderpriority {'NOT ' if neg else ''}LIKE '%{frag}%'"
+    return f"year(o_orderdate) = {draw(st.integers(1994, 2002))}"
+
+
+@st.composite
+def _predicate(draw) -> str:
+    atoms = draw(st.lists(_atom(), min_size=1, max_size=3))
+    op = draw(st.sampled_from([" AND ", " OR "]))
+    return "(" + op.join(atoms) + ")"
+
+
+_AGGS = [
+    "COUNT(*) AS cnt",
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok",
+    "COUNT(DISTINCT o_custkey) AS n_cust",
+    "MIN(o_totalprice) AS min_price",
+    "MAX(o_totalprice) AS max_price",
+]
+
+_KEYS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey % 7 AS ck7", "o_custkey % 7"),
+    ("year(o_orderdate) AS yr", "year(o_orderdate)"),
+]
+
+
+@st.composite
+def _agg_query(draw, table_sql: str) -> str:
+    keys = draw(
+        st.lists(st.sampled_from(_KEYS), min_size=0, max_size=2, unique=True)
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(_AGGS), min_size=1, max_size=3, unique=True)
+    )
+    pred = draw(_predicate())
+    select = ", ".join([k[0] for k in keys] + aggs)
+    sql = f"SELECT {select} FROM {table_sql} WHERE {pred}"
+    if keys:
+        sql += " GROUP BY " + ", ".join(k[1] for k in keys)
+    return sql
+
+
+def _check(spark, duck, sql: str) -> None:
+    got = normalize(spark.sql(sql).toPandas())
+    want = normalize(
+        duck.execute(
+            sql.replace("fuzz_orders", "orders").replace(
+                "fuzz_customer", "customer"
+            )
+        ).df()
+    )
+    assert list(got.columns) == list(want.columns), sql
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True, obj=sql
+    )
+
+
+@settings(**_SETTINGS)
+@given(sql=_agg_query("fuzz_orders"))
+def test_fuzz_single_table_agg(spark, duck, sql):
+    _check(spark, duck, sql)
+
+
+@st.composite
+def _join_query(draw) -> str:
+    pred = draw(_predicate())
+    key = draw(st.sampled_from(["c_mktsegment", "c_nationkey"]))
+    aggs = draw(
+        st.lists(st.sampled_from(_AGGS), min_size=1, max_size=2, unique=True)
+    )
+    extra = draw(st.sampled_from(["", " AND c_acctbal >= 0.00", " AND c_nationkey < 13"]))
+    return (
+        f"SELECT {key}, {', '.join(aggs)} "
+        f"FROM fuzz_orders JOIN fuzz_customer ON o_custkey = c_custkey "
+        f"WHERE {pred}{extra} GROUP BY {key}"
+    )
+
+
+@settings(**_SETTINGS)
+@given(sql=_join_query())
+def test_fuzz_join_agg(spark, duck, sql):
+    _check(spark, duck, sql)
