@@ -64,6 +64,8 @@ BENCH_EXTENDED = [
     "pca_ivf_topk",
     "ivf_persisted_topk",
     "substring_dedup_rebuild",
+    "bigram_surprisal_scores",
+    "ccnet_quality_buckets",
 ]
 
 

@@ -60,10 +60,11 @@ base AS MATERIALIZED (
 ), bg AS MATERIALIZED (
   SELECT doc_id, i - 2 AS pos, toks[i - 1] AS prev, toks[i] AS cur
   FROM base, unnest(range(2, len(toks) + 1)) AS r(i)
-), ctx AS MATERIALIZED (
-  SELECT prev, COUNT(*) AS cv FROM bg GROUP BY prev
 ), bgc AS MATERIALIZED (
   SELECT prev, cur, COUNT(*) AS cvw FROM bg GROUP BY prev, cur
+), ctx AS MATERIALIZED (
+  -- c(v) = sum of c(v,*): derived from bgc, NOT a second corpus pass
+  SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv FROM bgc GROUP BY prev
 ), uni AS MATERIALIZED (
   SELECT tok, COUNT(*) AS cu FROM tk GROUP BY tok
 ), tot AS (
@@ -170,8 +171,10 @@ def score_bigram_with_model(
 
 def bigram_scores(docs: DataFrame) -> DataFrame:
     tk, bg = bigram_rows(docs)
-    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
     bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    # c(v) = sum over continuations — derived from the bigram model
+    # table (distinct-bigram-sized), never a second corpus explode
+    ctx = bgc.groupBy("prev").agg(F.sum("cvw").cast("long").alias("cv"))
     tot = tk.agg(
         F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
     )
@@ -221,8 +224,8 @@ def lm_interpolated_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def interp_scores(docs: DataFrame) -> DataFrame:
     tk, bg = bigram_rows(docs)
-    ctx = bg.groupBy("prev").agg(F.count("*").alias("cv"))
     bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    ctx = bgc.groupBy("prev").agg(F.sum("cvw").cast("long").alias("cv"))
     uni = tk.groupBy("tok").agg(F.count("*").alias("cu"))
     tot = tk.agg(
         F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")

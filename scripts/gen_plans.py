@@ -310,6 +310,16 @@ SHOW = [
         "per-doc anti-join with bounded range residual, and one "
         "groupBy(doc_id) rebuild.",
     ),
+    (
+        "bigram_surprisal_scores",
+        "Bigram-LM score (round 9): bigrams built array-side (Generate "
+        "over transform(sequence(...)) — no window shuffle), the bigram "
+        "count model partial-aggregated then BROADCAST back onto the "
+        "corpus rows (AQE's size call; an SMJ with skew split at "
+        "larger vocab), context counts DERIVED from the bigram table "
+        "(groupBy prev over distinct bigrams — never a second corpus "
+        "pass), one scalar totals broadcast, one groupBy(doc_id) fold.",
+    ),
 ]
 
 KEY = re.compile(
