@@ -66,6 +66,7 @@ BENCH_EXTENDED = [
     "substring_dedup_rebuild",
     "bigram_surprisal_scores",
     "ccnet_quality_buckets",
+    "training_corpus_v6_select",
 ]
 
 

@@ -320,3 +320,49 @@ def _v5_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_corpus_v5_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_select(_v5_unique_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------------------
+# v6: the CCNet recipe head-to-tail — v3's cleaning head, then the
+# Wenzek et al. 2020 LM-quality stage (bigram-LM terciles per
+# language, drop the tail) BEFORE DSIR selection, so the importance
+# sampler never sees disfluent text.
+# ------------------------------------------------------------------
+
+from .lm_bigram import ccnet_tercile_keep, duck_ccnet_keep  # noqa: E402
+
+_V6_SQL = f"""WITH {_V3_HEAD},
+u6 AS MATERIALIZED (
+  SELECT u.doc_id, u.source, u.text, d.lang
+  FROM uniq u JOIN documents d USING (doc_id)
+),
+{duck_ccnet_keep('u6', 'c6')},
+{_dsir_tail('c6keep')}"""
+
+
+def _v6_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uniq = _v3_unique_docs(spark, sf_dir)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return ccnet_tercile_keep(uniq.join(lang, "doc_id"))
+
+
+@query(
+    "training_corpus_v6_select",
+    oracle=_V6_SQL,
+    doc=(
+        "Training-corpus pipeline v6 (round 9): segment dedup -> gate "
+        "-> exact dedup -> CCNet LM-quality stage (bigram model "
+        "trained on the SURVIVING corpus, per-language score "
+        "terciles, tail dropped) -> DSIR top-1/5 per source. The "
+        "LM stage removes the disfluent third BEFORE importance "
+        "sampling, so DSIR's source pool is fluent text only — the "
+        "orthogonal quality axis v3-v5 never filter on (they dedup "
+        "and gate on surface stats; none of them model token "
+        "TRANSITIONS). One exact cross-engine oracle over the whole "
+        "six-stage composition. Scale shape: adds the bigram model "
+        "aggregates + one per-language rank window to v3 — still no "
+        "corpus self-join anywhere."
+    ),
+)
+def training_corpus_v6_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_select(_v6_unique_docs(spark, sf_dir))

@@ -48,29 +48,34 @@ _BIGRAMS_SPARK = (
     "i -> named_struct('prev', toks[i-1], 'cur', toks[i])) END"
 )
 
-# Shared DuckDB CTEs: tokens, bigrams (1-based index i = 2..n so
-# range() is empty for short docs; pos = i-2 matches Spark posexplode's
-# 0-based position), model counts, and scalar totals.
-_BIGRAM_CTES = f"""
-base AS MATERIALIZED (
-  SELECT doc_id, {duck_tokens('text')} AS toks FROM documents
-), tk AS MATERIALIZED (
+def duck_bigram_ctes(src: str, p: str = "") -> str:
+    """DuckDB CTE chain for the bigram model over a (doc_id, text)
+    relation ``src``: tokens, bigrams (1-based index i = 2..n so
+    range() is empty for short docs; pos = i-2 matches Spark
+    posexplode's 0-based position), model counts, scalar totals.
+    ``p`` prefixes every CTE name so the chain composes into larger
+    oracles (training_corpus_v6) without collisions."""
+    return f"""{p}base AS MATERIALIZED (
+  SELECT doc_id, {duck_tokens('text')} AS toks FROM {src}
+), {p}tk AS MATERIALIZED (
   SELECT doc_id, toks[ti] AS tok
-  FROM base, unnest(range(1, len(toks) + 1)) AS r(ti)
-), bg AS MATERIALIZED (
+  FROM {p}base, unnest(range(1, len(toks) + 1)) AS r(ti)
+), {p}bg AS MATERIALIZED (
   SELECT doc_id, i - 2 AS pos, toks[i - 1] AS prev, toks[i] AS cur
-  FROM base, unnest(range(2, len(toks) + 1)) AS r(i)
-), bgc AS MATERIALIZED (
-  SELECT prev, cur, COUNT(*) AS cvw FROM bg GROUP BY prev, cur
-), ctx AS MATERIALIZED (
+  FROM {p}base, unnest(range(2, len(toks) + 1)) AS r(i)
+), {p}bgc AS MATERIALIZED (
+  SELECT prev, cur, COUNT(*) AS cvw FROM {p}bg GROUP BY prev, cur
+), {p}ctx AS MATERIALIZED (
   -- c(v) = sum of c(v,*): derived from bgc, NOT a second corpus pass
-  SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv FROM bgc GROUP BY prev
-), uni AS MATERIALIZED (
-  SELECT tok, COUNT(*) AS cu FROM tk GROUP BY tok
-), tot AS (
-  SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS vsz FROM tk
-)
-"""
+  SELECT prev, CAST(SUM(cvw) AS BIGINT) AS cv FROM {p}bgc GROUP BY prev
+), {p}uni AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cu FROM {p}tk GROUP BY tok
+), {p}tot AS (
+  SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS vsz FROM {p}tk
+)"""
+
+
+_BIGRAM_CTES = duck_bigram_ctes("documents")
 
 _BIGRAM_SQL = f"""
 WITH {_BIGRAM_CTES}, j AS (
@@ -318,6 +323,57 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.expr("(3 * (rn - 1)) div cnt") == 1, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def duck_ccnet_keep(src: str, p: str) -> str:
+    """Composable oracle fragment: bigram model over ``src`` (doc_id,
+    source, text, lang) + tercile keep. Final CTE ``{p}keep`` =
+    (doc_id, source, text) with the per-language 'tail' tercile
+    dropped. Docs without a bigram score (< 2 tokens) are dropped —
+    unjudgeable fluency (post-gate corpora never contain them)."""
+    return f"""{duck_bigram_ctes(src, p)},
+{p}j AS (
+  SELECT b.doc_id, b.pos,
+         CAST(c.cv + t.vsz AS DOUBLE) / CAST(g.cvw + 1 AS DOUBLE) AS val
+  FROM {p}bg b
+  JOIN {p}bgc g USING (prev, cur)
+  JOIN {p}ctx c USING (prev)
+  CROSS JOIN {p}tot t
+), {p}s AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list(val ORDER BY pos)),
+                     (acc, x) -> acc + x) / CAST(COUNT(*) AS DOUBLE)
+           AS score
+  FROM {p}j GROUP BY doc_id
+), {p}w AS (
+  SELECT u.doc_id, u.source, u.text, u.lang, s.score,
+         ROW_NUMBER() OVER (PARTITION BY u.lang
+                            ORDER BY s.score, u.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY u.lang) AS cnt
+  FROM {src} u JOIN {p}s s USING (doc_id)
+), {p}keep AS MATERIALIZED (
+  SELECT doc_id, source, text FROM {p}w WHERE (3 * (rn - 1)) // cnt <= 1
+)"""
+
+
+def ccnet_tercile_keep(u: DataFrame) -> DataFrame:
+    """Spark twin of :func:`duck_ccnet_keep`: keep the head+middle
+    bigram-score terciles per language of a (doc_id, source, text,
+    lang) frame. The model trains on ``u`` itself (the surviving
+    corpus), mirroring CCNet's per-shard LM discipline."""
+    scores = bigram_scores(u).select(
+        "doc_id", F.col("mean_inv_p").alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = (
+        u.join(scores, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("lang")))
+    )
+    return ranked.filter(F.expr("(3 * (rn - 1)) div cnt") <= 1).select(
+        "doc_id", "source", "text"
     )
 
 

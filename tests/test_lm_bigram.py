@@ -94,6 +94,24 @@ def test_ccnet_buckets_are_exact_terciles(spark):
         assert max(hs) <= min(ts)
 
 
+def test_v6_keep_counts_bounded_by_v3(spark):
+    """v6's LM stage only SHRINKS each source pool before DSIR, and
+    DSIR keeps ceil(n_src/5) — so v6's per-source keep count can never
+    exceed v3's; and every source v6 keeps, v3 also keeps from."""
+    v3 = get_query("training_corpus_v3_select").fn(spark, SF).collect()
+    v6 = get_query("training_corpus_v6_select").fn(spark, SF).collect()
+    assert v6, "v6 kept nothing"
+    c3: dict[str, int] = {}
+    c6: dict[str, int] = {}
+    for r in v3:
+        c3[r.source] = c3.get(r.source, 0) + 1
+    for r in v6:
+        c6[r.source] = c6.get(r.source, 0) + 1
+    assert set(c6) <= set(c3)
+    for src, n in c6.items():
+        assert n <= c3[src], (src, n, c3[src])
+
+
 def test_domain_cap_keeps_longest_per_source(spark):
     out = get_query("domain_frequency_cap").fn(spark, SF).collect()
     kept: dict[str, list] = {}
