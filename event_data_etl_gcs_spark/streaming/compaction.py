@@ -209,3 +209,15 @@ def gram_merge(df: DataFrame) -> DataFrame:
     only with ``checkpoint_dir`` so an in-flight delivery is never both
     folded and replayed."""
     return df.groupBy("i", "j").agg(F.sum("qsum").alias("qsum"))
+
+
+def counts_merge(*keys: str) -> Callable[[DataFrame], DataFrame]:
+    """Generic keyed-count state: SUM the ``c`` column over ``keys`` —
+    the bigram-LM uni/bi tables (streaming/lm_bigram.py) and any other
+    (key..., c) count partial. Sum-merged, so NOT idempotent: like the
+    Gram, compact only with ``checkpoint_dir``."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(F.sum("c").cast("long").alias("c"))
+
+    return merge

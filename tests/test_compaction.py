@@ -327,3 +327,49 @@ def test_runner_with_periodic_compaction_matches_plain_drain(
     ) == _posting_rows(spark, os.path.join(b, "postings"))
     ids = _part_ids(os.path.join(a, "postings"))
     assert CONSOLIDATED_BATCH_ID in ids and len(ids) <= 2
+
+
+def test_lm_counts_compaction_scores_bit_identical(spark, tmp_path):
+    """Sum-merged LM count states (uni, bi) compact with counts_merge
+    under checkpoint scoping: the in-flight delivery survives the fold,
+    its replay rewrites it, and scoring against the maintained model is
+    bit-identical to the uncompacted run."""
+    from event_data_etl_gcs_spark.streaming.compaction import counts_merge
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        lm_ingest_batch,
+        score_against_lm_model,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    batches = _split(docs, 3)
+    state = str(tmp_path / "lm_state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    for i, batch in enumerate(batches):
+        lm_ingest_batch(batch, i, state)
+        if i < 2:  # batch 2 in-flight: state written, no commit
+            open(os.path.join(ckpt, "commits", str(i)), "w").close()
+
+    def score_rows():
+        return sorted(
+            tuple(r)
+            for r in score_against_lm_model(spark, docs, state).collect()
+        )
+
+    clean = score_rows()
+    for sub, keys in (("uni", ("tok",)), ("bi", ("prev", "cur"))):
+        stats = compact_batch_state(
+            spark,
+            os.path.join(state, sub),
+            merge=counts_merge(*keys),
+            checkpoint_dir=ckpt,
+        )
+        assert stats["covered"] == [0, 1] and stats["skipped"] == [2]
+        assert _part_ids(os.path.join(state, sub)) == [
+            CONSOLIDATED_BATCH_ID,
+            2,
+        ]
+
+    # replay of the in-flight delivery, then exact score equality
+    lm_ingest_batch(batches[2], 2, state)
+    assert score_rows() == clean
