@@ -9,13 +9,19 @@ capability:
 
     write_ivf_index(emb, qe, path)      # one corpus pass -> parquet
     search_ivf_index(spark, path, q, qe)  # probed-cells scan + re-rank
+    append_ivf_index(new, path, qe)     # frozen-centroid inserts
+    delete_from_ivf_index(spark, path, ids)  # tombstone log
+    compact_ivf_index(spark, path)      # fold tombstones, crash-safe
 
 On-disk layout (plain parquet + JSON — no table format required)::
 
-    {path}/manifest.json   model_version, k_cells, pca_k, dim, n_rows
+    {path}/manifest.json   model_version, k_cells, pca_k, dim, n_rows,
+                           n_tombstones
     {path}/centroids/      (cid, cvec array<double>)  [projected space]
     {path}/index/          partitioned by cell:
                            (vec_id, embedding, nrm)
+    {path}/tombstones/     (vec_id) — the delete log, folded away by
+                           compact_ivf_index
 
 Model lifecycle (VERDICT r8 #6): the manifest records the
 content-addressed VERSION of the quantized PCA model
@@ -155,6 +161,16 @@ def append_ivf_index(
     vecs = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        n_dead = vecs.join(F.broadcast(tomb), "vec_id", "inner").count()
+        if n_dead:
+            raise ValueError(
+                f"{n_dead} incoming vec_id(s) are tombstoned in the "
+                f"index at {path!r}: the search-side anti-join would "
+                "silently suppress the re-inserted rows. Run "
+                "compact_ivf_index first, then append."
+            )
     parr = pca_project_array(vecs, qe)
     cents = spark.read.parquet(os.path.join(path, "centroids"))
     assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
@@ -254,6 +270,11 @@ def search_ivf_index(
     idx = spark.read.parquet(os.path.join(path, "index")).filter(
         F.col("cell").isin([int(c) for c in probed])
     )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # tombstones are bounded between compactions (the delete log,
+        # not the corpus) -> broadcast anti-join, map-side
+        idx = idx.join(F.broadcast(tomb), "vec_id", "left_anti")
     cand = (
         idx.join(F.broadcast(routing), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -273,3 +294,131 @@ def search_ivf_index(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------
+# Deletes: tombstone log + compaction (completes the index lifecycle:
+# build -> append -> delete -> compact -> search, all between drains).
+# ---------------------------------------------------------------------
+
+_TOMB_DIR = "tombstones"
+_INDEX_NEW = "index.compact_new"
+_INDEX_OLD = "index.compact_old"
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    p = os.path.join(path, _TOMB_DIR)
+    if not os.path.isdir(p) or not any(
+        n.endswith(".parquet") or n.startswith("part-")
+        for n in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p).select("vec_id").distinct()
+
+
+def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
+    """Mark vectors deleted WITHOUT rewriting any cell partition: append
+    their ids to the tombstone log. Search anti-joins the (broadcast,
+    delete-log-bounded) tombstones; the rows physically disappear at the
+    next :func:`compact_ivf_index`. ``ids`` is an iterable of vec_ids or
+    a DataFrame with a ``vec_id`` column. Deleting an absent id is a
+    no-op by construction (anti-join semantics). Returns the manifest
+    updated with ``n_tombstones``."""
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col("vec_id").cast("long"))
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
+    df.write.mode("append").parquet(os.path.join(path, _TOMB_DIR))
+    tomb = _read_tombstones(spark, path)
+    manifest["n_tombstones"] = 0 if tomb is None else tomb.count()
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+
+
+def recover_ivf_compaction(path: str) -> str:
+    """Repair an interrupted :func:`compact_ivf_index` (call before any
+    maintenance; compact calls it automatically):
+
+    * ``index`` present + ``index.compact_new`` present -> the swap
+      never started; the staged copy may be incomplete -> drop it.
+    * ``index`` ABSENT + ``index.compact_new`` present -> crash between
+      the two renames; the staged copy is complete by phase order ->
+      promote it. Tombstones may still exist and simply re-filter
+      already-removed rows (idempotent).
+    * ``index.compact_old`` present -> the swap finished -> drop the
+      old copy (and the now-applied tombstones).
+    """
+    import shutil
+
+    idx = os.path.join(path, "index")
+    new = os.path.join(path, _INDEX_NEW)
+    old = os.path.join(path, _INDEX_OLD)
+    actions = []
+    if os.path.isdir(new):
+        if os.path.isdir(idx):
+            shutil.rmtree(new)
+            actions.append("dropped-stale-staging")
+        else:
+            os.rename(new, idx)
+            actions.append("promoted-staged-index")
+    if os.path.isdir(old):
+        if os.path.isdir(idx):
+            # the surviving index already has the deletes applied (it is
+            # the staged copy), so the tombstone log folds away with the
+            # old copy
+            shutil.rmtree(old)
+            tomb = os.path.join(path, _TOMB_DIR)
+            if os.path.isdir(tomb):
+                shutil.rmtree(tomb)
+            actions.append("dropped-old-index")
+        else:  # old exists, index missing, no staging: swap failed early
+            os.rename(old, idx)
+            actions.append("restored-old-index")
+    return ",".join(actions) if actions else "clean"
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Physically remove tombstoned rows: rewrite the live rows to a
+    staged directory, swap it in with two renames, then clear the
+    tombstone log. Crash-safe via :func:`recover_ivf_compaction` —
+    phases ordered so the staged copy is complete before the first
+    rename, and tombstones are cleared only after the swap (re-filtering
+    already-removed rows is a no-op). Single-writer contract: run
+    between drains, like streaming/compaction.py. Returns the updated
+    manifest."""
+    import shutil
+
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_ivf_compaction(path)
+    idx_path = os.path.join(path, "index")
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return manifest
+    live = spark.read.parquet(idx_path).join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
+    new = os.path.join(path, _INDEX_NEW)
+    live.write.mode("overwrite").partitionBy("cell").parquet(new)
+    old = os.path.join(path, _INDEX_OLD)
+    os.rename(idx_path, old)
+    os.rename(new, idx_path)
+    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(path, _TOMB_DIR))
+    manifest["n_rows"] = spark.read.parquet(idx_path).count()
+    manifest["n_tombstones"] = 0
+    _write_manifest(path, manifest)
+    return manifest

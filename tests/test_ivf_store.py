@@ -191,3 +191,162 @@ def test_refit_on_changed_corpus_changes_version(spark, tmp_path):
         search_ivf_index(
             spark, path, emb.filter(F.col("vec_id") < 3), qe2, qw=qw2
         )
+
+
+# ---------------------------------------------------------------------
+# Deletes: tombstones + compaction (round 9 lifecycle completion)
+# ---------------------------------------------------------------------
+
+
+def test_delete_equals_fresh_build_without_deleted(spark, tmp_path):
+    """With frozen centroids, tombstoning a set D searches bit-identical
+    to a fresh build over corpus-minus-D (D chosen above the centroid
+    seed ids so both builds share centroids)."""
+    from event_data_etl_gcs_spark.operators.ivf_store import (
+        delete_from_ivf_index,
+    )
+
+    emb, qe, qw = _fit(spark)
+    dead = [r.vec_id for r in emb.select("vec_id").collect()][-20:]
+    assert min(dead) > 64, "delete set must not touch centroid seeds"
+
+    full = str(tmp_path / "full")
+    write_ivf_index(emb, qe, full, qw=qw)
+    m = delete_from_ivf_index(spark, full, dead)
+    assert m["n_tombstones"] == len(dead)
+
+    reduced = str(tmp_path / "reduced")
+    write_ivf_index(
+        emb.filter(~F.col("vec_id").isin(dead)), qe, reduced, qw=qw
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = search_ivf_index(spark, full, queries, qe, qw=qw)
+    want = search_ivf_index(spark, reduced, queries, qe, qw=qw)
+    assert _rows(got) == _rows(want)
+    assert not {r[1] for r in _rows(got)} & set(dead)
+
+
+def test_compaction_preserves_search_and_clears_log(spark, tmp_path):
+    from event_data_etl_gcs_spark.operators.ivf_store import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+    import os
+
+    emb, qe, qw = _fit(spark)
+    path = str(tmp_path / "idx")
+    m0 = write_ivf_index(emb, qe, path, qw=qw)
+    dead = [r.vec_id for r in emb.select("vec_id").collect()][-15:]
+    delete_from_ivf_index(spark, path, dead)
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = _rows(search_ivf_index(spark, path, queries, qe, qw=qw))
+
+    m = compact_ivf_index(spark, path)
+    assert m["n_tombstones"] == 0
+    assert m["n_rows"] == m0["n_rows"] - len(dead)
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    after = _rows(search_ivf_index(spark, path, queries, qe, qw=qw))
+    assert after == before
+
+
+def test_compaction_crash_recovery_every_phase(spark, tmp_path):
+    """Interrupt the swap at each phase boundary; recovery (run by the
+    next compact) converges to the clean compacted state."""
+    import os
+    import shutil
+
+    from event_data_etl_gcs_spark.operators.ivf_store import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        recover_ivf_compaction,
+    )
+
+    emb, qe, qw = _fit(spark)
+    dead = [r.vec_id for r in emb.select("vec_id").collect()][-15:]
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def build(p):
+        write_ivf_index(emb, qe, p, qw=qw)
+        delete_from_ivf_index(spark, p, dead)
+
+    ref = str(tmp_path / "ref")
+    build(ref)
+    compact_ivf_index(spark, ref)
+    want = _rows(search_ivf_index(spark, ref, queries, qe, qw=qw))
+
+    # phase 1 crash: staged copy written, swap not started
+    p1 = str(tmp_path / "p1")
+    build(p1)
+    live = spark.read.parquet(os.path.join(p1, "index")).join(
+        F.broadcast(spark.createDataFrame([(i,) for i in dead], "vec_id long")),
+        "vec_id",
+        "left_anti",
+    )
+    live.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(p1, "index.compact_new")
+    )
+    assert "dropped-stale-staging" in recover_ivf_compaction(p1)
+    compact_ivf_index(spark, p1)
+    assert _rows(search_ivf_index(spark, p1, queries, qe, qw=qw)) == want
+
+    # phase 2 crash: index renamed away, staged copy not yet promoted
+    p2 = str(tmp_path / "p2")
+    build(p2)
+    live2 = spark.read.parquet(os.path.join(p2, "index")).join(
+        F.broadcast(spark.createDataFrame([(i,) for i in dead], "vec_id long")),
+        "vec_id",
+        "left_anti",
+    )
+    live2.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(p2, "index.compact_new")
+    )
+    os.rename(
+        os.path.join(p2, "index"), os.path.join(p2, "index.compact_old")
+    )
+    assert "promoted-staged-index" in recover_ivf_compaction(p2)
+    # tombstones still present: search stays correct, next compact folds
+    assert _rows(search_ivf_index(spark, p2, queries, qe, qw=qw)) == want
+    compact_ivf_index(spark, p2)
+    assert _rows(search_ivf_index(spark, p2, queries, qe, qw=qw)) == want
+
+    # phase 3 crash: swap done, old copy + tombstones not yet removed
+    p3 = str(tmp_path / "p3")
+    build(p3)
+    compacted = str(tmp_path / "p3_done")
+    shutil.copytree(p3, compacted)
+    compact_ivf_index(spark, compacted)
+    shutil.copytree(
+        os.path.join(compacted, "index"),
+        os.path.join(p3, "index.compact_tmp"),
+    )
+    os.rename(
+        os.path.join(p3, "index"), os.path.join(p3, "index.compact_old")
+    )
+    os.rename(
+        os.path.join(p3, "index.compact_tmp"), os.path.join(p3, "index")
+    )
+    assert "dropped-old-index" in recover_ivf_compaction(p3)
+    assert not os.path.isdir(os.path.join(p3, "tombstones"))
+    assert _rows(search_ivf_index(spark, p3, queries, qe, qw=qw)) == want
+
+
+def test_append_refuses_tombstoned_ids(spark, tmp_path):
+    from event_data_etl_gcs_spark.operators.ivf_store import (
+        append_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    emb, qe, qw = _fit(spark)
+    path = str(tmp_path / "idx")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    keep, readd = ids[:-5], ids[-5:]
+    write_ivf_index(emb.filter(F.col("vec_id").isin(keep)), qe, path, qw=qw)
+    delete_from_ivf_index(spark, path, readd)
+    incoming = emb.filter(F.col("vec_id").isin(readd))
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_ivf_index(incoming, path, qe, qw=qw)
+    # compaction clears the log; the append then succeeds
+    compact_ivf_index(spark, path)
+    m = append_ivf_index(incoming, path, qe, qw=qw)
+    assert m["n_rows"] == len(ids)
