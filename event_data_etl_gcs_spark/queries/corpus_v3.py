@@ -341,6 +341,11 @@ u6 AS MATERIALIZED (
 
 
 def _v6_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The v3 head feeds four branches of the LM stage (vocab totals,
+    # bigram model, scoring rows, final keep join); measured at sf0.1,
+    # Spark's ReusedExchange already shares the head's shuffles across
+    # them — an explicit cache() was tried and was NOT a win (18.0 s
+    # cold / 7.2 s warm cached vs 16.7 / 6.8 uncached).
     uniq = _v3_unique_docs(spark, sf_dir)
     lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return ccnet_tercile_keep(uniq.join(lang, "doc_id"))
