@@ -109,3 +109,72 @@ def run_streaming_lm_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------
+# LM-gated ingest: the streaming posture of the v6 CCNet quality stage.
+# ---------------------------------------------------------------------
+
+ACCEPTED_SCHEMA = (
+    "doc_id LONG, source STRING, n_bigrams BIGINT, mean_inv_p DOUBLE, "
+    "batch_id LONG"
+)
+
+
+def lm_gated_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    threshold: float,
+) -> None:
+    """One increment of the LM-gated ingest: fold the batch's counts
+    into the model FIRST (own batch counts — the substring-dedup
+    frontier convention), then score the batch's documents against the
+    merged seen-so-far model and emit those with mean_inv_p <=
+    ``threshold`` to the ``accepted`` state.
+
+    The gate is an ABSOLUTE score cutoff, not the batch pipeline's
+    per-language tercile: terciles are a global-rank property the batch
+    rebuild owns; an online gate must decide per delivery. The
+    documented consequence (same divergence class as
+    streaming/segdedup.py): a document's score drifts as the model
+    absorbs later deliveries, so early accepts are not retroactively
+    re-judged — a ONE-delivery drain is bit-identical to the batch
+    score-and-filter (pinned), and any split's per-delivery decisions
+    are exactly reproducible from the state prefix (pinned)."""
+    spark = batch_df.sparkSession
+    lm_ingest_batch(batch_df, batch_id, state_dir)
+    scored = score_against_lm_model(spark, batch_df, state_dir)
+    src = batch_df.select("doc_id", "source")
+    accepted = (
+        scored.filter(F.col("mean_inv_p") <= threshold)
+        .join(src, "doc_id")
+        .select("doc_id", "source", "n_bigrams", "mean_inv_p")
+    )
+    _append_state(accepted, os.path.join(state_dir, "accepted"), batch_id)
+
+
+def run_streaming_lm_gated_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    state_dir: str,
+    threshold: float,
+) -> None:
+    """Drain a document stream (Available-Now) through the LM-quality
+    gate, maintaining the model and the accepted-docs log."""
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lm_gated_ingest_batch(batch_df, batch_id, state_dir, threshold)
+
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(on_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All deliveries' accepted documents (with batch_id)."""
+    return spark.read.parquet(os.path.join(state_dir, "accepted"))

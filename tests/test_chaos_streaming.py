@@ -8,7 +8,8 @@ Writers covered (write order matters — the crash point enumerates the
 gaps): corpus (hashes, sigs, corpus), semdedup (members, decisions),
 segdedup (clean, segments), sharding (assignments, totals),
 containment (pairs, sets, prefix), near-dedup (pairs, signatures),
-substring dedup (postings, clean), bigram LM (uni, bi).
+substring dedup (postings, clean), bigram LM (uni, bi),
+LM-gated ingest (uni, bi, accepted).
 The gen=N manifest writers (sketches, DSIR, kNN top-k) have their own
 crash tests (test_advice_r4, test_streaming_incremental)."""
 
@@ -149,9 +150,22 @@ def _lm_bigram_writer(spark, root):
     return ingest, ["uni", "bi"], _docs
 
 
+def _lm_gated_writer(spark, root):
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        lm_gated_ingest_batch,
+    )
+
+    def ingest(bdf, bid):
+        # threshold high enough that every batch accepts something
+        lm_gated_ingest_batch(bdf, bid, root, 1e18)
+
+    return ingest, ["uni", "bi", "accepted"], _docs
+
+
 WRITERS = {
     "corpus": _corpus_writer,
     "lm_bigram": _lm_bigram_writer,
+    "lm_gated": _lm_gated_writer,
     "substring": _substring_writer,
     "semdedup": _semdedup_writer,
     "segdedup": _segdedup_writer,

@@ -96,3 +96,109 @@ def test_fresh_batch_scored_against_stale_model_differs(spark, tmp_path):
         if r.doc_id in got
     }
     assert got != full
+
+
+# ---------------------------------------------------------------------
+# LM-gated ingest (streaming posture of the v6 quality stage)
+# ---------------------------------------------------------------------
+
+
+def _gate_rows(df):
+    return sorted(
+        (r.doc_id, r.source, r.n_bigrams, r.mean_inv_p) for r in df.collect()
+    )
+
+
+def test_one_delivery_drain_equals_batch_filter(spark, tmp_path):
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        read_accepted,
+        run_streaming_lm_gated_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = bigram_scores(docs)
+    thr = sorted(r.mean_inv_p for r in scores.collect())[len(scores.collect()) // 2]
+
+    state_dir = str(tmp_path / "state")
+    _stage_files(spark, docs, str(tmp_path / "docs"), 1)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "docs"))
+    )
+    run_streaming_lm_gated_ingest(spark, stream, state_dir, thr)
+
+    got = _gate_rows(
+        read_accepted(spark, state_dir).drop("batch_id")
+    )
+    from pyspark.sql import functions as F2
+
+    want = _gate_rows(
+        scores.filter(F2.col("mean_inv_p") <= thr)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_bigrams", "mean_inv_p")
+    )
+    assert got == want and 0 < len(got) < scores.count()
+
+
+def test_per_delivery_decisions_reproducible_from_prefix(spark, tmp_path):
+    """Each delivery's accepted set must equal scoring that batch
+    against the model built from deliveries <= it — the frontier
+    contract, reconstructed independently per prefix."""
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        lm_ingest_batch,
+        read_accepted,
+        run_streaming_lm_gated_ingest,
+        score_against_lm_model,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    thr = 60.0
+    state_dir = str(tmp_path / "state")
+    _stage_files(spark, docs, str(tmp_path / "docs"), 3)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "docs"))
+    )
+    run_streaming_lm_gated_ingest(spark, stream, state_dir, thr)
+
+    acc = read_accepted(spark, state_dir)
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    bounds = [ids[i * len(ids) // 3] for i in range(3)] + [ids[-1] + 1]
+    ref_state = str(tmp_path / "ref_state")
+    for b in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
+        )
+        lm_ingest_batch(batch, b, ref_state)
+        want = _gate_rows(
+            score_against_lm_model(spark, batch, ref_state)
+            .filter(F.col("mean_inv_p") <= thr)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_bigrams", "mean_inv_p")
+        )
+        got = _gate_rows(
+            acc.filter(F.col("batch_id") == b).drop("batch_id")
+        )
+        assert got == want, f"delivery {b} diverged"
+
+
+def test_gated_replay_idempotent(spark, tmp_path):
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        lm_gated_ingest_batch,
+        read_accepted,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = sorted(r[0] for r in docs.select("doc_id").collect())
+    halves = [
+        docs.filter(F.col("doc_id") < ids[len(ids) // 2]),
+        docs.filter(F.col("doc_id") >= ids[len(ids) // 2]),
+    ]
+    state_dir = str(tmp_path / "state")
+    for b, batch in enumerate(halves):
+        lm_gated_ingest_batch(batch, b, state_dir, 60.0)
+    want = _gate_rows(read_accepted(spark, state_dir))
+    lm_gated_ingest_batch(halves[1], 1, state_dir, 60.0)  # redelivery
+    assert _gate_rows(read_accepted(spark, state_dir)) == want
