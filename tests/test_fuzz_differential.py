@@ -158,3 +158,29 @@ def _join_query(draw) -> str:
 @given(sql=_join_query())
 def test_fuzz_join_agg(spark, duck, sql):
     _check(spark, duck, sql)
+
+
+@st.composite
+def _window_query(draw) -> str:
+    """Windowed top-n per key: deterministic total order (o_orderkey is
+    unique), integer window aggregates only."""
+    key = draw(st.sampled_from([k[1] for k in _KEYS]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    n = draw(st.integers(1, 20))
+    pred = draw(_predicate())
+    return (
+        f"SELECT * FROM ("
+        f"SELECT o_orderkey, {key} AS k, "
+        f"ROW_NUMBER() OVER (PARTITION BY {key} "
+        f"ORDER BY o_orderkey {direction}) AS rn, "
+        f"CAST(SUM(o_orderkey) OVER (PARTITION BY {key}) AS BIGINT) "
+        f"AS grp_sum "
+        f"FROM fuzz_orders WHERE {pred}"
+        f") t WHERE rn <= {n}"
+    )
+
+
+@settings(**_SETTINGS)
+@given(sql=_window_query())
+def test_fuzz_window_topn(spark, duck, sql):
+    _check(spark, duck, sql)
