@@ -140,7 +140,7 @@ set_priority([
     "duplicate_span_inventory", "substring_dedup_keep_first",
     "bigram_surprisal_scores", "lm_interpolated_surprisal",
     "ccnet_quality_buckets", "domain_frequency_cap",
-    "training_corpus_v6_select",
+    "training_corpus_v6_select", "phrase_search_positional",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -378,6 +378,48 @@ def ccnet_tercile_keep(u: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE_SQL = f"""
+WITH {duck_bigram_ctes('documents')}, top1 AS (
+  SELECT prev, cur FROM bgc
+  ORDER BY cvw DESC, prev, cur LIMIT 1
+)
+SELECT b.doc_id, b.pos, concat(t.prev, ' ', t.cur) AS phrase
+FROM bg b JOIN top1 t USING (prev, cur)
+"""
+
+
+@query(
+    "phrase_search_positional",
+    oracle=_PHRASE_SQL,
+    doc=(
+        "Positional phrase search over the bigram occurrence index: "
+        "every (doc_id, token position) where the corpus's most "
+        "frequent 2-token phrase occurs (ties broken lexicographically "
+        "— deterministic). The full-text-search primitive: the bigram "
+        "rows ARE a positional postings list, the phrase lookup is one "
+        "broadcast semi-join against a 1-row phrase table — at scale "
+        "the same shape answers arbitrary user phrases without "
+        "rescanning (persist the postings, equi-join the phrase)."
+    ),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, bg = bigram_rows(docs)
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    top1 = bgc.orderBy(
+        F.col("cvw").desc(), F.col("prev"), F.col("cur")
+    ).limit(1).select("prev", "cur")
+    return bg.join(F.broadcast(top1), ["prev", "cur"]).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("prev"), F.col("cur")).alias("phrase"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-domain frequency cap
 # ---------------------------------------------------------------------------
 
