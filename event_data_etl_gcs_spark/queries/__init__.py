@@ -141,6 +141,7 @@ set_priority([
     "bigram_surprisal_scores", "lm_interpolated_surprisal",
     "ccnet_quality_buckets", "domain_frequency_cap",
     "training_corpus_v6_select", "phrase_search_positional",
+    "data_quality_report",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

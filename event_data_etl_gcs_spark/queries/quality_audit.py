@@ -452,3 +452,124 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("frac_below_l3"),
     )
+
+
+# ---------------------------------------------------------------------
+# Expectation-suite runner: every check in one report
+# ---------------------------------------------------------------------
+
+_DQ_REPORT_SQL = """
+SELECT 'orders_pk_unique' AS check_name,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders) AS observed,
+       (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders) AS passed
+UNION ALL
+SELECT 'orders_customer_fk',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) = 0 FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       (SELECT CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) FROM orders),
+       (SELECT COUNT(*) = COUNT(o_custkey) FROM orders)
+UNION ALL
+SELECT 'lineitem_at_least_orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT (SELECT COUNT(*) FROM lineitem) >=
+               (SELECT COUNT(*) FROM orders))
+UNION ALL
+SELECT 'orders_status_domain',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+       (SELECT COUNT(*) = 0 FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+UNION ALL
+SELECT 'documents_text_present',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE text IS NULL OR length(text) = 0),
+       (SELECT COUNT(*) = 0 FROM documents
+        WHERE text IS NULL OR length(text) = 0)
+"""
+
+
+@query(
+    "data_quality_report",
+    oracle=_DQ_REPORT_SQL,
+    doc=(
+        "Expectation-suite runner (the dbt-test / Great-Expectations "
+        "shape): six constraint checks — PK uniqueness, FK integrity, "
+        "not-null, cross-table row-count sanity, value-domain, "
+        "text-present — evaluated in one job, one report row per check "
+        "(check_name, observed violation count, passed). All integer/"
+        "boolean arithmetic -> exact oracle. Each check is one "
+        "aggregate over its table; Spark runs them as independent "
+        "stages of a single union plan, so the pre-flight costs one "
+        "pass per table regardless of how many checks share it."
+    ),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def row(name: str, observed, passed) -> DataFrame:
+        return (
+            observed.crossJoin(passed)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("observed").cast("long").alias("observed"),
+                F.col("passed"),
+            )
+        )
+
+    pk = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("observed")
+    )
+    pk_ok = orders.agg(
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("passed")
+    )
+
+    orphans = orders.filter(F.col("o_custkey").isNotNull()).join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    fk = orphans.agg(F.count("*").alias("observed"))
+    fk_ok = fk.select((F.col("observed") == 0).alias("passed"))
+
+    nn = orders.agg(
+        (F.count("*") - F.count("o_custkey")).alias("observed")
+    )
+    nn_ok = nn.select((F.col("observed") == 0).alias("passed"))
+
+    li = lineitem.agg(F.count("*").alias("observed"))
+    li_ok = li.crossJoin(
+        orders.agg(F.count("*").alias("__n_orders"))
+    ).select((F.col("observed") >= F.col("__n_orders")).alias("passed"))
+
+    dom = orders.filter(
+        ~F.col("o_orderstatus").isin("O", "F", "P")
+    ).agg(F.count("*").alias("observed"))
+    dom_ok = dom.select((F.col("observed") == 0).alias("passed"))
+
+    txt = documents.filter(
+        F.col("text").isNull() | (F.length("text") == 0)
+    ).agg(F.count("*").alias("observed"))
+    txt_ok = txt.select((F.col("observed") == 0).alias("passed"))
+
+    out = row("orders_pk_unique", pk, pk_ok)
+    for args in (
+        ("orders_customer_fk", fk, fk_ok),
+        ("orders_custkey_not_null", nn, nn_ok),
+        ("lineitem_at_least_orders", li, li_ok),
+        ("orders_status_domain", dom, dom_ok),
+        ("documents_text_present", txt, txt_ok),
+    ):
+        out = out.unionByName(row(*args))
+    return out
