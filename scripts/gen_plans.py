@@ -320,6 +320,15 @@ SHOW = [
         "(groupBy prev over distinct bigrams — never a second corpus "
         "pass), one scalar totals broadcast, one groupBy(doc_id) fold.",
     ),
+    (
+        "training_corpus_v6_select",
+        "v6 pipeline (round 9): the v3 head's shuffles are SHARED "
+        "across the LM stage's four branches via ReusedExchange (an "
+        "explicit cache was measured NOT a win — see corpus_v3.py); "
+        "the CCNet stage adds the bigram model aggregates + one "
+        "per-language rank window; the DSIR tail is unchanged "
+        "(explode -> 4096-row broadcast join -> doc aggregate).",
+    ),
 ]
 
 KEY = re.compile(
