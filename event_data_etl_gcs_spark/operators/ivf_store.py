@@ -407,6 +407,12 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     idx_path = os.path.join(path, "index")
     tomb = _read_tombstones(spark, path)
     if tomb is None:
+        # nothing to fold — but a recovery may just have applied the log
+        # (dropped-old-index path), so re-sync the manifest counters
+        if manifest.get("n_tombstones"):
+            manifest["n_rows"] = spark.read.parquet(idx_path).count()
+            manifest["n_tombstones"] = 0
+            _write_manifest(path, manifest)
         return manifest
     live = spark.read.parquet(idx_path).join(
         F.broadcast(tomb), "vec_id", "left_anti"

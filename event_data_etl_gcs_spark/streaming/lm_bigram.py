@@ -57,18 +57,24 @@ def read_lm_model(spark: SparkSession, state_dir: str):
     """(uni, bi): the maintained count tables, batch partials folded."""
     uni_path = os.path.join(state_dir, "uni")
     bi_path = os.path.join(state_dir, "bi")
-    if not os.path.exists(uni_path) or not os.path.exists(bi_path):
+    if not os.path.exists(uni_path):
         raise FileNotFoundError(f"no committed LM state at {state_dir}")
     uni = (
         spark.read.parquet(uni_path)
         .groupBy("tok")
         .agg(F.sum("c").cast("long").alias("c"))
     )
-    bi = (
-        spark.read.parquet(bi_path)
-        .groupBy("prev", "cur")
-        .agg(F.sum("c").cast("long").alias("c"))
-    )
+    if os.path.exists(bi_path):
+        bi = (
+            spark.read.parquet(bi_path)
+            .groupBy("prev", "cur")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    else:
+        # every delivery so far held only sub-2-token docs: the bigram
+        # table is legitimately empty (dynamic overwrite writes no
+        # partition for an empty partial), not missing state
+        bi = spark.createDataFrame([], "prev string, cur string, c long")
     return uni, bi
 
 
