@@ -202,3 +202,27 @@ def test_gated_replay_idempotent(spark, tmp_path):
     want = _gate_rows(read_accepted(spark, state_dir))
     lm_gated_ingest_batch(halves[1], 1, state_dir, 60.0)  # redelivery
     assert _gate_rows(read_accepted(spark, state_dir)) == want
+
+
+def test_bigramless_deliveries_read_as_empty_model(spark, tmp_path):
+    """A delivery of only sub-2-token docs writes no bigram partition;
+    the model must read as EMPTY bigram table, not missing state, and
+    scoring against it returns no rows (nothing is scorable) rather
+    than crashing."""
+    from event_data_etl_gcs_spark.streaming.lm_bigram import (
+        lm_ingest_batch,
+        read_lm_model,
+        score_against_lm_model,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, "solo"), (2, "x")], "doc_id long, text string"
+    )
+    state_dir = str(tmp_path / "state")
+    lm_ingest_batch(tiny, 0, state_dir)
+    uni, bi = read_lm_model(spark, state_dir)
+    assert uni.count() == 2 and bi.count() == 0
+    docs = spark.createDataFrame(
+        [(3, "a b c")], "doc_id long, text string"
+    )
+    assert score_against_lm_model(spark, docs, state_dir).count() == 0
