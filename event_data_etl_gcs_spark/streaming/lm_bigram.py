@@ -55,18 +55,25 @@ def lm_ingest_batch(
 
 def read_lm_model(spark: SparkSession, state_dir: str):
     """(uni, bi): the maintained count tables, batch partials folded."""
+    def _has_parts(p: str) -> bool:
+        return os.path.exists(p) and any(
+            n.startswith("batch_id=") for n in os.listdir(p)
+        )
+
     uni_path = os.path.join(state_dir, "uni")
     bi_path = os.path.join(state_dir, "bi")
-    if not os.path.exists(uni_path):
+    if not _has_parts(uni_path):
         raise FileNotFoundError(f"no committed LM state at {state_dir}")
     uni = (
-        spark.read.parquet(uni_path)
+        spark.read.schema(UNI_STATE_SCHEMA)
+        .parquet(uni_path)
         .groupBy("tok")
         .agg(F.sum("c").cast("long").alias("c"))
     )
-    if os.path.exists(bi_path):
+    if _has_parts(bi_path):
         bi = (
-            spark.read.parquet(bi_path)
+            spark.read.schema(BI_STATE_SCHEMA)
+            .parquet(bi_path)
             .groupBy("prev", "cur")
             .agg(F.sum("c").cast("long").alias("c"))
         )
