@@ -1,0 +1,47 @@
+"""Physical-plan assertions for the round-9 bigram-LM family: the
+100 TB claims in the docstrings must be visible in the executed plan."""
+
+from __future__ import annotations
+
+from event_data_etl_gcs_spark.queries import get_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = get_query(name).fn(spark, SF)
+    df.count()  # let AQE finalize
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bigram_model_join_never_shuffles_corpus_rows(spark):
+    """At test scale the bigram model tables (distinct-bigram-bound)
+    must broadcast onto the corpus bigram rows — the corpus stream is
+    never hash-repartitioned on (prev, cur) to meet the model."""
+    plan = plan_of(spark, "bigram_surprisal_scores")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin [prev#" in plan, plan
+
+
+def test_bigram_builds_array_side_no_window(spark):
+    """Bigrams come from transform(sequence(...)) over the token array
+    — no lag() window, so no doc_id shuffle before the model joins."""
+    plan = plan_of(spark, "bigram_surprisal_scores")
+    assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
+
+
+def test_domain_cap_pushes_window_group_limit(spark):
+    """rn <= K must reach WindowGroupLimit BEFORE the exchange: each
+    map task retains a K-row heap per source instead of sorting its
+    full partition."""
+    plan = plan_of(spark, "domain_frequency_cap")
+    pre, _, post = plan.partition("Exchange")
+    assert "WindowGroupLimit" in post, plan  # map-side partial limit
+
+
+def test_phrase_search_broadcasts_the_phrase(spark):
+    """The 1-row phrase table broadcasts into the postings join — the
+    bigram occurrence stream stays in place."""
+    plan = plan_of(spark, "phrase_search_positional")
+    assert "BroadcastHashJoin [prev#" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
