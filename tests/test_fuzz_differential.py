@@ -40,10 +40,10 @@ _SETTINGS = dict(
 
 @pytest.fixture(scope="module", autouse=True)
 def _views(spark):
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "documents"):
         load_table(spark, SF_ORACLE, t).createOrReplaceTempView(f"fuzz_{t}")
     yield
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "documents"):
         spark.catalog.dropTempView(f"fuzz_{t}")
 
 
@@ -120,13 +120,7 @@ def _agg_query(draw, table_sql: str) -> str:
 
 def _check(spark, duck, sql: str) -> None:
     got = normalize(spark.sql(sql).toPandas())
-    want = normalize(
-        duck.execute(
-            sql.replace("fuzz_orders", "orders").replace(
-                "fuzz_customer", "customer"
-            )
-        ).df()
-    )
+    want = normalize(duck.execute(sql.replace("fuzz_", "")).df())
     assert list(got.columns) == list(want.columns), sql
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True, obj=sql
@@ -183,4 +177,77 @@ def _window_query(draw) -> str:
 @settings(**_SETTINGS)
 @given(sql=_window_query())
 def test_fuzz_window_topn(spark, duck, sql):
+    _check(spark, duck, sql)
+
+
+@st.composite
+def _doc_atom(draw) -> str:
+    """Predicates over the multilingual documents table. length() is
+    character semantics in BOTH engines (verified on the zh rows)."""
+    kind = draw(st.sampled_from(["len", "mod", "lang", "source", "nchars"]))
+    if kind == "len":
+        op = draw(st.sampled_from(["<", ">="]))
+        return f"length(text) {op} {draw(st.integers(50, 800))}"
+    if kind == "mod":
+        m = draw(st.integers(2, 9))
+        return f"doc_id % {m} = {draw(st.integers(0, m - 1))}"
+    if kind == "lang":
+        vals = draw(
+            st.lists(
+                st.sampled_from(["'en'", "'de'", "'es'", "'fr'", "'zh'"]),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        return f"lang IN ({', '.join(vals)})"
+    if kind == "source":
+        # parenthesized: Spark parses `x LIKE 'p' = true` as
+        # `x LIKE ('p' = true)` (= binds tighter than LIKE), DuckDB the
+        # other way — a real precedence divergence this harness found
+        return f"(source LIKE 'src1%') = {draw(st.sampled_from(['true', 'false']))}"
+    return f"n_chars {draw(st.sampled_from(['<=', '>']))} {draw(st.integers(100, 2000))}"
+
+
+@st.composite
+def _doc_query(draw) -> str:
+    keys = draw(
+        st.lists(
+            st.sampled_from(["lang", "source"]),
+            min_size=0,
+            max_size=2,
+            unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "COUNT(*) AS cnt",
+                    "CAST(SUM(length(text)) AS BIGINT) AS sum_len",
+                    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars",
+                    "MIN(n_chars) AS min_chars",
+                    "MAX(doc_id) AS max_id",
+                    "COUNT(DISTINCT lang) AS n_lang",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    atoms = draw(st.lists(_doc_atom(), min_size=1, max_size=3))
+    pred = "(" + draw(st.sampled_from([" AND ", " OR "])).join(atoms) + ")"
+    sql = (
+        f"SELECT {', '.join(list(keys) + aggs)} FROM fuzz_documents "
+        f"WHERE {pred}"
+    )
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    return sql
+
+
+@settings(**_SETTINGS)
+@given(sql=_doc_query())
+def test_fuzz_documents_agg(spark, duck, sql):
     _check(spark, duck, sql)
