@@ -428,3 +428,44 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     manifest["n_tombstones"] = 0
     _write_manifest(path, manifest)
     return manifest
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> dict:
+    """Index health report for the persisted inverted file — the
+    numbers an operator watches to schedule retrains/compactions:
+
+    * ``n_cells_used`` / ``k_cells`` — empty cells mean wasted routing
+      fan-out;
+    * ``max_cell_fraction`` — the hot-cell share of all rows. Routing
+      cost is probed-cells-scan-bound, so one cell holding 30% of the
+      corpus makes every query that probes it pay 0.3 x corpus I/O:
+      past ~3x the ideal 1/k share, retrain the centroids;
+    * ``tombstone_fraction`` — deleted-but-unfolded rows still scanned
+      (and anti-joined away) per search: past ~20%, run
+      :func:`compact_ivf_index`;
+    * ``imbalance`` — max/mean cell size (1.0 = perfectly balanced).
+
+    One aggregate over the cell-partitioned index; no corpus shuffle
+    (cell is the partition column, so the groupBy is partition-local).
+    """
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    idx = spark.read.parquet(os.path.join(path, "index"))
+    cells = idx.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    sizes = sorted((int(r["n"]) for r in cells), reverse=True)
+    total = sum(sizes)
+    tomb = _read_tombstones(spark, path)
+    n_tomb = 0 if tomb is None else tomb.count()
+    mean = total / len(sizes) if sizes else 0.0
+    return {
+        "n_rows": total,
+        "n_cells_used": len(sizes),
+        "k_cells": int(manifest["k_cells"]),
+        "max_cell_rows": sizes[0] if sizes else 0,
+        "max_cell_fraction": (sizes[0] / total) if total else 0.0,
+        "imbalance": (sizes[0] / mean) if mean else 0.0,
+        "n_tombstones": int(n_tomb),
+        "tombstone_fraction": (n_tomb / total) if total else 0.0,
+        "model_version": manifest["model_version"],
+    }

@@ -350,3 +350,33 @@ def test_append_refuses_tombstoned_ids(spark, tmp_path):
     compact_ivf_index(spark, path)
     m = append_ivf_index(incoming, path, qe, qw=qw)
     assert m["n_rows"] == len(ids)
+
+
+def test_index_stats_track_lifecycle(spark, tmp_path):
+    from event_data_etl_gcs_spark.operators.ivf_store import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_stats,
+    )
+
+    emb, qe, qw = _fit(spark)
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, qe, path, qw=qw)
+    s0 = ivf_index_stats(spark, path)
+    assert s0["n_cells_used"] <= s0["k_cells"]
+    assert 0 < s0["max_cell_fraction"] <= 1.0
+    assert s0["imbalance"] >= 1.0
+    assert s0["n_tombstones"] == 0
+
+    dead = [r.vec_id for r in emb.select("vec_id").collect()][-25:]
+    delete_from_ivf_index(spark, path, dead)
+    s1 = ivf_index_stats(spark, path)
+    assert s1["n_tombstones"] == 25
+    assert s1["tombstone_fraction"] > 0
+    # physical rows unchanged until compaction
+    assert s1["n_rows"] == s0["n_rows"]
+
+    compact_ivf_index(spark, path)
+    s2 = ivf_index_stats(spark, path)
+    assert s2["n_tombstones"] == 0
+    assert s2["n_rows"] == s0["n_rows"] - 25
