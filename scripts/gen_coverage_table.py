@@ -71,6 +71,17 @@ NON_QUERY = """
 | zlib compression-ratio quality scoring (Arrow-batched mapInPandas) | `operators/text.py` `compression_ratio` | `test_training_ops.py` (byte-exact vs zlib) |
 | Corpus pipeline v2: dedup + decontamination + cluster-aware split | `plans/training_corpus.py` | `test_training_ops.py::test_corpus_v2_invariants` |
 | End-to-end streaming DAG: watermark dedup -> stateful sessionize -> broadcast enrich -> checkpointed sink | `streaming/` composition | `test_streaming_sessions.py::test_end_to_end_streaming_pipeline` |
+| Streaming exact substring dedup: mergeable gram-postings state, frontier semantics (final-delivery == batch, monotone under-removal), replay-idempotent | `streaming/substring.py` | `test_streaming_substring.py` + chaos matrix |
+| Persisted IVF append path: frozen-centroid inserts == fresh full build, version-guarded | `operators/ivf_store.py` `append_ivf_index` | `test_ivf_store.py::test_append_equals_fresh_full_build` |
+| Persisted IVF deletes: tombstone log + crash-safe compaction (phase-by-phase recovery), append guard against tombstoned ids | `operators/ivf_store.py` `delete_from_ivf_index` / `compact_ivf_index` | `test_ivf_store.py` (delete == reduced-corpus build; crash matrix) |
+| IVF index health report: cell balance / hot-cell share / tombstone fraction (retrain & compact scheduling signals) | `operators/ivf_store.py` `ivf_index_stats` | `test_ivf_store.py::test_index_stats_track_lifecycle` |
+| Streaming-state compaction: fold batch partials into one consolidated partition, staged crash-safe phases, checkpoint-scoped sum states | `streaming/compaction.py` | `test_compaction.py` (read/continuation equivalence + crash matrix) |
+| Keyed-count state compaction (sum merge, checkpoint-scoped) | `streaming/compaction.py` `counts_merge` | `test_compaction.py::test_lm_counts_compaction_scores_bit_identical` |
+| Streaming bigram-LM model maintenance: mergeable uni/bi count state, streamed scoring == batch bit-identical, replay-idempotent | `streaming/lm_bigram.py` | `test_streaming_lm_bigram.py` + chaos matrix |
+| Streaming LM-gated ingest (v6 quality stage online): frontier absolute-cutoff gate, one-delivery == batch pin, per-prefix reproducibility | `streaming/lm_bigram.py` `lm_gated_ingest_batch` | `test_streaming_lm_bigram.py` + chaos matrix |
+| Streaming PCA model maintenance: exactly-mergeable int64 Gram state, streamed model bit-identical to batch refit | `streaming/linalg.py` | `test_streaming_linalg.py` + chaos matrix |
+| Differential SQL fuzzing: generated predicate/group-by/aggregate/window queries run verbatim on Spark AND DuckDB, exact frame equality (derandomized 100-example suite; 400-query sweep clean; caught a real LIKE-vs-= precedence divergence) | `tests/test_fuzz_differential.py` | same |
+| Physical-plan regression pins for the LM family (broadcast model joins, array-side bigrams, map-side WindowGroupLimit) | `tests/test_lm_plans.py` | same |
 """
 
 
