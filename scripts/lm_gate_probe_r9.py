@@ -54,12 +54,8 @@ def main() -> None:
             " ",
         ),
     )
-    ids = [r[0] for r in raw.select(F.min("doc_id"), F.max("doc_id")).collect()[0:1]]
-    lo, hi = (
-        raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0][0],
-        raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0][1] + 1,
-    )
-    _ = ids
+    bounds = raw.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    lo, hi = bounds[0], bounds[1] + 1
     step = (hi - lo + N_DELIVERIES - 1) // N_DELIVERIES
     state = "/tmp/spark_graft_lm_gate_probe"
     shutil.rmtree(state, ignore_errors=True)
@@ -77,7 +73,8 @@ def main() -> None:
         dt = time.time() - t0
         walls.append(dt)
         n_acc = read_accepted(spark, state).count()
-        print(f"| {b} | ~{step:,} | {dt:.2f} s | {n_acc:,} |", flush=True)
+        n_batch = batch.count()
+        print(f"| {b} | {n_batch:,} | {dt:.2f} s | {n_acc:,} |", flush=True)
 
     t0 = time.time()
     for sub, keys in (("uni", ("tok",)), ("bi", ("prev", "cur"))):
@@ -85,10 +82,8 @@ def main() -> None:
             spark, os.path.join(state, sub), merge=counts_merge(*keys)
         )
     t_compact = time.time() - t0
-    batch = raw.filter(F.col("doc_id") >= lo).limit(0)  # placeholder
-    # one more real delivery after compaction: re-deliver the last slice
-    # under a new batch id drawn from fresh docs is not possible (corpus
-    # exhausted), so re-time the LAST slice as a replay-shaped increment
+    # one more delivery after compaction: the corpus is exhausted, so
+    # re-time the LAST slice as a replay-shaped increment
     t0 = time.time()
     last = raw.filter(
         (F.col("doc_id") >= lo + (N_DELIVERIES - 1) * step)
@@ -96,7 +91,6 @@ def main() -> None:
     )
     lm_gated_ingest_batch(last, N_DELIVERIES - 1, state, THRESHOLD)
     t_after = time.time() - t0
-    _ = batch
     print(
         f"\nfirst delivery {walls[0]:.2f} s, last {walls[-1]:.2f} s "
         f"(ratio {walls[-1] / walls[0]:.2f}); compaction {t_compact:.2f} s; "
