@@ -429,7 +429,7 @@ _DOMAIN_CAP_SQL = f"""
 WITH w AS (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source
-                            ORDER BY n_chars DESC, doc_id) AS rn
+                            ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
   FROM documents
 )
 SELECT doc_id, source, n_chars, rn
@@ -452,8 +452,11 @@ FROM w WHERE rn <= {_DOMAIN_CAP}
 )
 def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # NULLS LAST made explicit on BOTH sides: Spark's DESC default is
+    # nulls-last but DuckDB's default null order is direction-independent
+    # — never lean on defaults for an oracle-bearing sort
     w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
+        F.col("n_chars").desc_nulls_last(), F.col("doc_id")
     )
     return (
         docs.select("doc_id", "source", "n_chars")
