@@ -113,12 +113,16 @@ def write_ivf_index(
     )
     cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     dim = len(qe[0])
+    written = spark.read.parquet(os.path.join(path, "index"))
     manifest = {
         "model_version": model_version(qe, qw),
         "k_cells": int(k_cells),
         "pca_k": int(len(qe)),
         "dim": int(dim),
-        "n_rows": spark.read.parquet(os.path.join(path, "index")).count(),
+        "n_rows": written.count(),
+        # read-side schema (cell as the inferred partition column) so an
+        # all-tombstoned compaction can still be read back (_read_index)
+        "index_schema": written.schema.jsonValue(),
     }
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
@@ -185,9 +189,9 @@ def append_ivf_index(
     inv.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "index")
     )
-    manifest["n_rows"] = spark.read.parquet(
-        os.path.join(path, "index")
-    ).count()
+    written = spark.read.parquet(os.path.join(path, "index"))
+    manifest["n_rows"] = written.count()
+    manifest["index_schema"] = written.schema.jsonValue()
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -201,6 +205,34 @@ def read_manifest(path: str) -> dict | None:
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def _read_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read {path}/index, tolerating the EMPTY index a full-tombstone
+    compaction legitimately produces (ADVICE r9 #4): an all-rows-deleted
+    compact stages a write with no part files (_SUCCESS only), so plain
+    ``spark.read.parquet`` would fail schema inference. The manifest
+    records the read-side index schema (``index_schema``, stored at
+    build/append/compact time), so an empty directory reads as an empty
+    frame with the right shape instead of erroring."""
+    idx = os.path.join(path, "index")
+    has_files = os.path.isdir(idx) and any(
+        n.startswith("cell=") or n.startswith("part-")
+        for n in os.listdir(idx)
+    )
+    if has_files:
+        return spark.read.parquet(idx)
+    manifest = read_manifest(path)
+    schema_json = (manifest or {}).get("index_schema")
+    if schema_json is None:
+        # pre-r10 manifest with a genuinely missing/empty index: keep the
+        # original (loud) read error rather than guessing a schema
+        return spark.read.parquet(idx)
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema_json, str):
+        schema_json = json.loads(schema_json)
+    return spark.createDataFrame([], StructType.fromJson(schema_json))
 
 
 def search_ivf_index(
@@ -267,7 +299,7 @@ def search_ivf_index(
     # the index scan reads only those cells' partitions (PartitionFilters
     # in the plan; unprobed cells cost zero I/O at any corpus size)
     probed = sorted({r["cell"] for r in routing.select("cell").distinct().collect()})
-    idx = spark.read.parquet(os.path.join(path, "index")).filter(
+    idx = _read_index(spark, path).filter(
         F.col("cell").isin([int(c) for c in probed])
     )
     tomb = _read_tombstones(spark, path)
@@ -410,13 +442,19 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
         # nothing to fold — but a recovery may just have applied the log
         # (dropped-old-index path), so re-sync the manifest counters
         if manifest.get("n_tombstones"):
-            manifest["n_rows"] = spark.read.parquet(idx_path).count()
+            manifest["n_rows"] = _read_index(spark, path).count()
             manifest["n_tombstones"] = 0
             _write_manifest(path, manifest)
         return manifest
-    live = spark.read.parquet(idx_path).join(
-        F.broadcast(tomb), "vec_id", "left_anti"
-    )
+    src = _read_index(spark, path)
+    live = src.join(F.broadcast(tomb), "vec_id", "left_anti")
+    # Persist the read-side schema BEFORE the swap: if every row is
+    # tombstoned the staged write has no part files (_SUCCESS only) and
+    # the empty index is only readable through the manifest schema
+    # (ADVICE r9 #4 — _read_index). Writing it early is safe: the field
+    # is purely descriptive and the counters are re-synced below.
+    manifest["index_schema"] = src.schema.jsonValue()
+    _write_manifest(path, manifest)
     new = os.path.join(path, _INDEX_NEW)
     live.write.mode("overwrite").partitionBy("cell").parquet(new)
     old = os.path.join(path, _INDEX_OLD)
@@ -424,7 +462,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     os.rename(new, idx_path)
     shutil.rmtree(old)
     shutil.rmtree(os.path.join(path, _TOMB_DIR))
-    manifest["n_rows"] = spark.read.parquet(idx_path).count()
+    manifest["n_rows"] = _read_index(spark, path).count()
     manifest["n_tombstones"] = 0
     _write_manifest(path, manifest)
     return manifest
@@ -451,7 +489,7 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
-    idx = spark.read.parquet(os.path.join(path, "index"))
+    idx = _read_index(spark, path)
     cells = idx.groupBy("cell").agg(F.count("*").alias("n")).collect()
     sizes = sorted((int(r["n"]) for r in cells), reverse=True)
     total = sum(sizes)

@@ -154,19 +154,30 @@ def score_bigram_with_model(
     """Score positioned bigram rows against a (ctx, bgc, tot) model —
     the SAME join/fold arithmetic whether the model was built in one
     batch pass or folded from streamed per-delivery count partials
-    (counts are exact integers, so streamed == batch bit-identically)."""
+    (counts are exact integers, so streamed == batch bit-identically).
+
+    The model joins are LEFT joins with counts coalesced to 0: add-one
+    smoothing defines p for bigrams ABSENT from the model as
+    1/(c(v)+V) (and c(v)=0 for an unseen context), so an out-of-model
+    transition scores (c(v)+V)/1 — it must contribute to the per-doc
+    mean, not silently vanish from it (ADVICE r9 #2: the previous
+    inner joins dropped unseen bigrams and made whole out-of-corpus
+    docs disappear). When the model was trained on the scored corpus
+    itself (the oracle queries' shape) every bigram is present and the
+    left joins are row-identical to inner joins — bit-identity with
+    the DuckDB oracles is preserved."""
     j = (
-        bg.join(bgc, ["prev", "cur"])
-        .join(ctx, "prev")
+        bg.join(bgc, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             "pos",
             (
-                (F.col("cv") + F.col("vsz")).cast("double")
-                / (F.col("cvw") + F.lit(1)).cast("double")
+                (F.coalesce(F.col("cv"), F.lit(0).cast("long")) + F.col("vsz")).cast("double")
+                / (F.coalesce(F.col("cvw"), F.lit(0).cast("long")) + F.lit(1)).cast("double")
             ).alias("val"),
-            "cvw",
+            F.coalesce(F.col("cvw"), F.lit(0).cast("long")).alias("cvw"),
         )
     )
     return _pinned_doc_mean(j, "cvw").withColumnRenamed(

@@ -189,5 +189,16 @@ def run_streaming_lm_gated_ingest(
 
 
 def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame:
-    """All deliveries' accepted documents (with batch_id)."""
-    return spark.read.parquet(os.path.join(state_dir, "accepted"))
+    """All deliveries' accepted documents (with batch_id). Explicit
+    schema: under a strict threshold every delivery's accepted partial
+    can be empty, in which case dynamic overwrite writes NO partitions
+    and schema inference would fail — the correct answer is an empty
+    frame with the accepted shape, mirroring read_lm_model's
+    empty-state handling (ADVICE r9 #3)."""
+    path = os.path.join(state_dir, "accepted")
+    if not (
+        os.path.exists(path)
+        and any(n.startswith("batch_id=") for n in os.listdir(path))
+    ):
+        return spark.createDataFrame([], ACCEPTED_SCHEMA)
+    return spark.read.schema(ACCEPTED_SCHEMA).parquet(path)

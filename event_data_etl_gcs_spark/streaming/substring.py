@@ -83,6 +83,18 @@ def substring_ingest_batch(
     post_path = os.path.join(index_dir, "postings")
     out_path = os.path.join(index_dir, "clean")
 
+    # A crash during a compact_every compaction (phases 2-3: manifest
+    # staged, source partitions partly deleted, batch_id=-1 not yet
+    # installed) would otherwise leave a torn postings state that THIS
+    # replayed delivery merge-reads before any later compact call runs
+    # recovery — missing grams would silently under-detect duplicated
+    # spans. Repair first; recover_compaction is a cheap no-op ('clean')
+    # in the common case. Chaos-tested (torn-state-then-replay writer)
+    # in tests/test_chaos_streaming.py.
+    from .compaction import recover_compaction
+
+    recover_compaction(post_path)
+
     grams = _batch_grams(batch_df, k).localCheckpoint(eager=True)
     batch_post = grams.groupBy("gram").agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")

@@ -207,8 +207,9 @@ def test_gated_replay_idempotent(spark, tmp_path):
 def test_bigramless_deliveries_read_as_empty_model(spark, tmp_path):
     """A delivery of only sub-2-token docs writes no bigram partition;
     the model must read as EMPTY bigram table, not missing state, and
-    scoring against it returns no rows (nothing is scorable) rather
-    than crashing."""
+    scoring against it applies add-one smoothing to the (all-unseen)
+    transitions — 1/p = (0+V)/(0+1) = V — instead of crashing or
+    silently dropping the doc (ADVICE r9 #2 contract)."""
     from event_data_etl_gcs_spark.streaming.lm_bigram import (
         lm_ingest_batch,
         read_lm_model,
@@ -225,4 +226,9 @@ def test_bigramless_deliveries_read_as_empty_model(spark, tmp_path):
     docs = spark.createDataFrame(
         [(3, "a b c")], "doc_id long, text string"
     )
-    assert score_against_lm_model(spark, docs, state_dir).count() == 0
+    rows = score_against_lm_model(spark, docs, state_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 3 and r["n_bigrams"] == 2
+    assert r["mean_inv_p"] == 2.0  # V = 2 ('solo', 'x')
+    assert r["min_bigram_count"] == 0
