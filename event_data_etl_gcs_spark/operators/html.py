@@ -1,0 +1,250 @@
+"""HTML/boilerplate text extraction (VERDICT r9 directive #1).
+
+The one standard LLM-pipeline stage the engine lacked: turn raw HTML
+into main-content text, dropping markup AND boilerplate (navigation,
+headers/footers, ad blocks, link farms). The method is the
+trafilatura/jusText family's core, re-expressed as NATIVE Catalyst
+expressions — no per-row Python anywhere:
+
+1. **Strip non-content spans**: ``<script>``/``<style>`` elements and
+   HTML comments removed with non-greedy regexes.
+2. **Block segmentation**: split on block-level tag boundaries
+   (``p div li h1-6 nav footer ...``); inline markup (``a b i span``)
+   stays inside its block.
+3. **Per-block features**: tag-stripped, whitespace-collapsed text;
+   spaceless text length; anchor-text length (the jusText link-density
+   signal).
+4. **Keep rule**: a block survives iff its spaceless text length is
+   >= ``MIN_BLOCK_CHARS`` AND anchor text makes up less than 1/3 of it
+   (``3*link_len < text_len`` — integer comparison, no float
+   threshold). Navigation/ads/footers are link-dense or short; body
+   paragraphs are neither.
+5. **Reassembly**: kept blocks joined in document order.
+
+Every step is integer/string arithmetic with an exact DuckDB
+counterpart (the ``duck_*`` builders), so extraction carries the
+repo's exact-oracle discipline. At 100 TB the operator is map-only:
+one regex pipeline per row, no shuffle, filters/projections on other
+columns still push down, and the whole stage lives in one
+WholeStageCodegen span (plan-pinned in tests/test_html_extract.py).
+
+The raw-HTML input is a deterministic FIXTURE derived in-query from
+the ``documents`` table (``html_fixture_sql``/``duck_html_fixture``):
+each document's text is wrapped into a page with title, nav, header,
+per-doc-variant ad/comment/aside blocks, and a footer — identical
+strings in both engines, so the extraction oracle is end-to-end exact.
+
+Reference: spark-jobs/sparkify_etl.py has no HTML surface; this is
+extension surface mandated by the build brief (LLM-pipeline text
+stack).
+"""
+
+from __future__ import annotations
+
+# Regexes shared by both engines (Java regex and RE2 agree on this
+# subset: inline flags, non-greedy quantifiers, \b, \s, alternation).
+_STRIP_RE = r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->"
+_BLOCK_RE = (
+    r"(?i)</?(?:p|div|ul|ol|li|h[1-6]|br|hr|nav|header|footer|aside|"
+    r"article|section|main|table|thead|tbody|tr|td|th|blockquote|pre|"
+    r"title|head|body|html|form|figure|figcaption)(?:\s[^>]*)?/?>"
+)
+_TAG_RE = r"<[^>]*>"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+_WS_RE = r"\s+"
+
+# Keep thresholds: spaceless chars per block, and the integer form of
+# link-density < 1/3 (3*link_len < text_len).
+MIN_BLOCK_CHARS = 25
+LINK_DENSITY_NUM = 3
+
+
+def _sq(pat: str) -> str:
+    """Escape a regex for a Spark SQL single-quoted literal (backslashes
+    doubled; Spark string literals process escapes)."""
+    return pat.replace("\\", "\\\\")
+
+
+# =========================================================================
+# Spark-SQL expression builders (strings for F.expr)
+# =========================================================================
+
+def strip_nondisplay_sql(col: str) -> str:
+    """Remove script/style elements and comments."""
+    return f"regexp_replace({col}, '{_sq(_STRIP_RE)}', ' ')"
+
+
+def blocks_sql(col: str) -> str:
+    """Split (already script-stripped) HTML into block-level segments."""
+    return f"split({strip_nondisplay_sql(col)}, '{_sq(_BLOCK_RE)}')"
+
+
+def _clean_sql(b: str) -> str:
+    """Tag-strip + whitespace-collapse + trim one block expression."""
+    return (
+        f"trim(regexp_replace(regexp_replace({b}, '{_sq(_TAG_RE)}', ' '), "
+        f"'{_sq(_WS_RE)}', ' '))"
+    )
+
+
+def _linklen_sql(b: str) -> str:
+    """Total spaceless anchor-text length inside one block."""
+    return (
+        f"length(regexp_replace(array_join("
+        f"regexp_extract_all({b}, '{_sq(_ANCHOR_RE)}', 1), ''), "
+        f"'{_sq(_TAG_RE)}|{_sq(_WS_RE)}', ''))"
+    )
+
+
+def _keep_pred_sql(b: str) -> str:
+    """Block-survival predicate (length + link-density gates)."""
+    return (
+        f"element_at(transform(array(length(replace({_clean_sql(b)}, ' ', ''))), "
+        f"tl -> tl >= {MIN_BLOCK_CHARS} "
+        f"AND {LINK_DENSITY_NUM} * {_linklen_sql(b)} < tl), 1)"
+    )
+
+
+def kept_blocks_sql(blocks_col: str) -> str:
+    return f"filter({blocks_col}, b -> {_keep_pred_sql('b')})"
+
+
+def extracted_text_sql(blocks_col: str) -> str:
+    """Main-content text: kept blocks, cleaned, joined in order."""
+    return (
+        f"array_join(transform({kept_blocks_sql(blocks_col)}, "
+        f"b -> {_clean_sql('b')}), ' ')"
+    )
+
+
+def n_blocks_sql(blocks_col: str) -> str:
+    """Count of non-empty text blocks (empty split artifacts excluded —
+    engine split functions differ on empty-string bookkeeping, cleaned
+    non-empty counts do not)."""
+    return (
+        f"size(filter({blocks_col}, b -> length({_clean_sql('b')}) > 0))"
+    )
+
+
+def n_kept_sql(blocks_col: str) -> str:
+    return f"size({kept_blocks_sql(blocks_col)})"
+
+
+def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
+    """Deterministic raw-HTML page for a document row (Spark dialect).
+    Layout varies by doc_id % 3 (ad block / stray comment / link-dense
+    aside) so the keep rule is exercised on every shape. Paragraph
+    breaks are injected at the literal token 'merge ' (plain substring
+    replace — identical left-to-right non-overlap semantics in both
+    engines)."""
+    did = f"CAST({doc_id} AS STRING)"
+    return (
+        f"'<html><head><title>Doc ' || {did} || '</title>'"
+        " || '<style>body { margin: 0; }</style>'"
+        f" || '<script>var t = \"' || {source} || '\"; track(t);</script>'"
+        " || '</head><body>'"
+        " || '<nav><ul><li><a href=\"/\">Home</a></li>"
+        "<li><a href=\"/archive\">Archive section</a></li>"
+        "<li><a href=\"/about\">About this site</a></li></ul></nav>'"
+        f" || '<header><h1>' || {source} || ' feed</h1></header>'"
+        f" || CASE WHEN {doc_id} % 3 = 0 THEN "
+        "'<div class=\"ad\"><a href=\"/buy\">Buy the thing now</a> "
+        "<a href=\"/offer\">Limited time offer</a></div>' ELSE '' END"
+        f" || CASE WHEN {doc_id} % 3 = 1 THEN "
+        "'<!-- rendered by engine v2 <div>ghost block</div> -->' ELSE '' END"
+        f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
+        f" || CASE WHEN {doc_id} % 3 = 2 THEN "
+        "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
+        "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
+        f" || '<footer><p>Copyright 2024 ' || {source} || "
+        "' - <a href=\"/terms\">Terms of use</a> "
+        "<a href=\"/privacy\">Privacy</a></p></footer>'"
+        " || '</body></html>'"
+    )
+
+
+# =========================================================================
+# DuckDB oracle builders (same math, DuckDB syntax: literal backslashes,
+# explicit 'g' flag on replace-all, list_* lambda spellings)
+# =========================================================================
+
+def duck_strip_nondisplay(col: str) -> str:
+    return f"regexp_replace({col}, '{_STRIP_RE}', ' ', 'g')"
+
+
+def duck_blocks(col: str) -> str:
+    return f"string_split_regex({duck_strip_nondisplay(col)}, '{_BLOCK_RE}')"
+
+
+def _duck_clean(b: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({b}, '{_TAG_RE}', ' ', 'g'), "
+        f"'{_WS_RE}', ' ', 'g'))"
+    )
+
+
+def _duck_linklen(b: str) -> str:
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a no-anchor block must score link_len 0
+    return (
+        f"length(regexp_replace(coalesce(array_to_string("
+        f"regexp_extract_all({b}, '{_ANCHOR_RE}', 1), ''), ''), "
+        f"'{_TAG_RE}|{_WS_RE}', '', 'g'))"
+    )
+
+
+def _duck_keep_pred(b: str) -> str:
+    return (
+        f"(list_transform([length(replace({_duck_clean(b)}, ' ', ''))], "
+        f"tl -> tl >= {MIN_BLOCK_CHARS} "
+        f"AND {LINK_DENSITY_NUM} * {_duck_linklen(b)} < tl)[1])"
+    )
+
+
+def duck_kept_blocks(blocks_col: str) -> str:
+    return f"list_filter({blocks_col}, b -> {_duck_keep_pred('b')})"
+
+
+def duck_extracted_text(blocks_col: str) -> str:
+    # coalesce mirrors Spark's array_join([]) == '' (see _duck_linklen)
+    return (
+        f"coalesce(array_to_string(list_transform({duck_kept_blocks(blocks_col)}, "
+        f"b -> {_duck_clean('b')}), ' '), '')"
+    )
+
+
+def duck_n_blocks(blocks_col: str) -> str:
+    return (
+        f"len(list_filter({blocks_col}, b -> length({_duck_clean('b')}) > 0))"
+    )
+
+
+def duck_n_kept(blocks_col: str) -> str:
+    return f"len({duck_kept_blocks(blocks_col)})"
+
+
+def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
+    did = f"CAST({doc_id} AS VARCHAR)"
+    return (
+        f"'<html><head><title>Doc ' || {did} || '</title>'"
+        " || '<style>body { margin: 0; }</style>'"
+        f" || '<script>var t = \"' || {source} || '\"; track(t);</script>'"
+        " || '</head><body>'"
+        " || '<nav><ul><li><a href=\"/\">Home</a></li>"
+        "<li><a href=\"/archive\">Archive section</a></li>"
+        "<li><a href=\"/about\">About this site</a></li></ul></nav>'"
+        f" || '<header><h1>' || {source} || ' feed</h1></header>'"
+        f" || CASE WHEN {doc_id} % 3 = 0 THEN "
+        "'<div class=\"ad\"><a href=\"/buy\">Buy the thing now</a> "
+        "<a href=\"/offer\">Limited time offer</a></div>' ELSE '' END"
+        f" || CASE WHEN {doc_id} % 3 = 1 THEN "
+        "'<!-- rendered by engine v2 <div>ghost block</div> -->' ELSE '' END"
+        f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
+        f" || CASE WHEN {doc_id} % 3 = 2 THEN "
+        "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
+        "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
+        f" || '<footer><p>Copyright 2024 ' || {source} || "
+        "' - <a href=\"/terms\">Terms of use</a> "
+        "<a href=\"/privacy\">Privacy</a></p></footer>'"
+        " || '</body></html>'"
+    )

@@ -47,6 +47,7 @@ from . import pca  # noqa: E402,F401
 from . import ivf_persist  # noqa: E402,F401
 from . import substring_dedup  # noqa: E402,F401
 from . import lm_bigram  # noqa: E402,F401
+from . import html  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -142,6 +143,8 @@ set_priority([
     "ccnet_quality_buckets", "domain_frequency_cap",
     "training_corpus_v6_select", "phrase_search_positional",
     "data_quality_report",
+    # --- round 10 --------------------------------------------------------
+    "extract_text", "extraction_stats", "extract_quality_gate",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

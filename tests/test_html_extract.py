@@ -1,0 +1,136 @@
+"""HTML/boilerplate extraction behavior pins (VERDICT r9 directive #1).
+
+Oracle equality for extract_text / extraction_stats /
+extract_quality_gate runs in test_oracle_queries (auto-enumerated).
+This file pins the extraction SEMANTICS on handcrafted pages and the
+map-only plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.operators.html import (
+    blocks_sql,
+    extracted_text_sql,
+    n_blocks_sql,
+    n_kept_sql,
+)
+from event_data_etl_gcs_spark.queries.html import extract_frame
+
+LONG_PARA = (
+    "This paragraph carries the actual article content and easily "
+    "clears the minimum block length gate."
+)
+SECOND_PARA = (
+    "A second content paragraph follows the first one and must appear "
+    "after it in the extracted text."
+)
+
+
+def _extract_one(spark, html: str):
+    df = (
+        spark.createDataFrame([(html,)], "html string")
+        .withColumn("blocks", F.expr(blocks_sql("html")))
+        .select(
+            F.expr(extracted_text_sql("blocks")).alias("text"),
+            F.expr(n_blocks_sql("blocks")).alias("n_blocks"),
+            F.expr(n_kept_sql("blocks")).alias("n_kept"),
+        )
+    )
+    return df.collect()[0]
+
+
+def test_script_style_comment_stripped(spark):
+    html = (
+        "<html><head><style>p { color: red; }</style>"
+        "<script>var secret = 'leaked content that is quite long indeed';</script>"
+        "</head><body>"
+        "<!-- hidden comment with plenty of characters inside it -->"
+        f"<p>{LONG_PARA}</p></body></html>"
+    )
+    r = _extract_one(spark, html)
+    assert r["text"] == LONG_PARA
+    assert "secret" not in r["text"] and "color" not in r["text"]
+    assert r["n_kept"] == 1
+
+
+def test_boilerplate_blocks_dropped_content_ordered(spark):
+    html = (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/a">Archive pages</a> '
+        '<a href="/b">About this website</a></nav>'
+        f"<article><p>{LONG_PARA}</p><p>{SECOND_PARA}</p></article>"
+        '<div class="ad"><a href="/buy">Buy now for a limited time only '
+        "with this very special discount</a></div>"
+        '<footer>Copyright 2024 <a href="/t">Terms of service</a> '
+        '<a href="/p">Privacy policy</a></footer>'
+        "</body></html>"
+    )
+    r = _extract_one(spark, html)
+    # nav (all links), ad (one huge link), footer (link-dense) all gone
+    assert r["text"] == f"{LONG_PARA} {SECOND_PARA}"
+    assert r["n_kept"] == 2 and r["n_blocks"] == 5
+
+
+def test_short_blocks_dropped_inline_markup_kept(spark):
+    html = (
+        "<body><h1>Tiny title</h1>"
+        f"<p>Content with <b>bold</b> and <i>italics</i> inline markup "
+        f"stays in its block and the tags are stripped cleanly.</p>"
+        "<p>too short</p></body>"
+    )
+    r = _extract_one(spark, html)
+    assert r["text"].startswith("Content with bold and italics")
+    assert "<" not in r["text"]
+    assert r["n_kept"] == 1 and r["n_blocks"] == 3
+
+
+def test_moderate_link_in_long_block_survives(spark):
+    # a genuine content paragraph citing one link must NOT be dropped:
+    # link density 1/3 gate, not link presence
+    html = (
+        f"<body><p>{LONG_PARA} See also "
+        '<a href="/ref">the reference</a> for details on this topic.</p></body>'
+    )
+    r = _extract_one(spark, html)
+    assert r["n_kept"] == 1
+    assert "the reference" in r["text"]
+
+
+def test_empty_and_markup_only_pages(spark):
+    assert _extract_one(spark, "")["text"] == ""
+    r = _extract_one(spark, "<html><body><div></div><p></p></body></html>")
+    assert r["text"] == "" and r["n_blocks"] == 0 and r["n_kept"] == 0
+
+
+def test_fixture_recovers_normalized_text_for_content_heavy_doc(spark):
+    """For a document whose injected paragraphs all clear the gates, the
+    extracted text is exactly the whitespace-normalized original text
+    (boilerplate out, content bit-identical)."""
+    para1 = " ".join(f"first{i}" for i in range(20))
+    para2 = " ".join(f"second{i}" for i in range(20))
+    # one 'merge ' break -> two injected paragraphs, both above the gate
+    text = f"{para1} merge {para2}"
+    docs = spark.createDataFrame(
+        [(7, text, "en", "srcX", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = extract_frame(docs).collect()[0]
+    want = " ".join(text.split())
+    assert r["text_clean"] == want
+    assert r["n_blocks_kept"] == 2
+
+
+def test_extract_text_plan_is_map_only(spark):
+    """No shuffle anywhere in extract_text: the operator must be a single
+    scan -> project pipeline (100 TB posture: embarrassingly parallel)."""
+    from event_data_etl_gcs_spark.queries.html import extract_text
+
+    df = extract_text(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert plan.lstrip().startswith("*("), plan
+    # column pruning reaches the scan: only the three consumed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan, plan
