@@ -107,17 +107,30 @@ def main() -> None:
     # unchanged queries drift ±11% between rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     bench_set = BENCH_QUERIES if tier == "headline" else BENCH_EXTENDED
+    # Self-attribution (VERDICT r9 #5): three rounds of wall-time
+    # disputes were all host noise — record the evidence in-band so any
+    # future regression carries its own attribution data: load averages
+    # around the run, and every per-query run time (the same-code
+    # spread). A quiet host shows load << cpus and tight spreads;
+    # a noisy one indicts itself.
+    load_before = list(os.getloadavg())
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_set:
         spec = specs[name]
-        best = float("inf")
+        all_runs = []
         for _ in range(runs):
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            all_runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(all_runs)
+        spread[name] = all_runs
+    load_after = list(os.getloadavg())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    worst = max(
+        (max(v) / min(v) if min(v) > 0 else 1.0) for v in spread.values()
+    )
     line = json.dumps(
         {
             "metric": f"{tier}_queries_total",
@@ -127,6 +140,13 @@ def main() -> None:
             "runs_per_query": runs,
             "agg": "min",
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "host": {
+                "cpus": os.cpu_count(),
+                "load_before": [round(x, 2) for x in load_before],
+                "load_after": [round(x, 2) for x in load_after],
+            },
+            "runs_spread": spread,
+            "spread_worst_max_over_min": round(worst, 2),
         }
     )
     print(line)

@@ -86,21 +86,46 @@ def write_ivf_index(
     qw=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+    index_version: int = 1,
 ) -> dict:
     """Build and persist the PCA-routed inverted file; returns the
     manifest. Deterministic: centroids are the k smallest-id projected
     vectors (the pca_ivf_cells seed rule), assignment ties break to the
     lower cell id — so the persisted index is bit-identical to the
-    inline build and the search composition keeps its exact oracle."""
+    inline build and the search composition keeps its exact oracle.
+
+    ``lloyd_iters > 0`` refines the deterministic seeds with that many
+    Lloyd rounds in the projected space (quantized-mean recompute —
+    partitioning-independent, so the refined build is still
+    bit-reproducible). This is the centroid quality a RETRAIN restores
+    on a drifted corpus (:func:`retrain_ivf_index` uses it); the
+    default 0 keeps the seed-rule build that the inline
+    ``pca_ivf_topk`` oracle composition pins."""
     spark = emb.sparkSession
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     parr = pca_project_array(vecs, qe)
-    cents = initial_centroids(parr, k=k_cells, id_col="vec_id", vec_col="pvec")
-    assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
-        "vec_id", F.col("cluster_id").alias("cell")
-    )
+    if lloyd_iters > 0:
+        from .clustering import kmeans_iterate
+
+        assigned, cents = kmeans_iterate(
+            parr,
+            k=k_cells,
+            n_iter=lloyd_iters,
+            id_col="vec_id",
+            vec_col="pvec",
+            return_centroids=True,
+        )
+        assign = assigned.select(
+            "vec_id", F.col("cluster_id").alias("cell")
+        )
+    else:
+        cents = initial_centroids(parr, k=k_cells, id_col="vec_id", vec_col="pvec")
+        assign = assign_clusters(parr, cents, id_col="vec_id", vec_col="pvec").select(
+            "vec_id", F.col("cluster_id").alias("cell")
+        )
     inv = (
         vecs.withColumn("nrm", F.expr(norm_sql("embedding")))
         # zero-norm vectors: cosine undefined, never a candidate
@@ -120,6 +145,8 @@ def write_ivf_index(
         "pca_k": int(len(qe)),
         "dim": int(dim),
         "n_rows": written.count(),
+        "index_version": int(index_version),
+        "lloyd_iters": int(lloyd_iters),
         # read-side schema (cell as the inferred partition column) so an
         # all-tombstoned compaction can still be read back (_read_index)
         "index_schema": written.schema.jsonValue(),
@@ -153,6 +180,8 @@ def append_ivf_index(
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_retrain(path)
+    manifest = read_manifest(path)  # a completed install may bump it
     want = model_version(qe, qw)
     if want != manifest["model_version"]:
         raise ValueError(
@@ -260,6 +289,8 @@ def search_ivf_index(
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_retrain(path)
+    manifest = read_manifest(path)  # a completed install may bump it
     want = model_version(qe, qw)
     if want != manifest["model_version"]:
         raise ValueError(
@@ -435,6 +466,8 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_retrain(path)
+    manifest = read_manifest(path)
     recover_ivf_compaction(path)
     idx_path = os.path.join(path, "index")
     tomb = _read_tombstones(spark, path)
@@ -489,6 +522,8 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_retrain(path)
+    manifest = read_manifest(path)
     idx = _read_index(spark, path)
     cells = idx.groupBy("cell").agg(F.count("*").alias("n")).collect()
     sizes = sorted((int(r["n"]) for r in cells), reverse=True)
@@ -506,4 +541,138 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
         "n_tombstones": int(n_tomb),
         "tombstone_fraction": (n_tomb / total) if total else 0.0,
         "model_version": manifest["model_version"],
+        "index_version": int(manifest.get("index_version", 1)),
     }
+
+
+# ---------------------------------------------------------------------
+# Retrain actuator (VERDICT r9 directive #4): consume the stats
+# thresholds, rebuild centroids with Lloyd refinement, reassign every
+# cell, install as a new index_version. Completes the closed loop:
+# stats observe drift -> retrain repairs it.
+# ---------------------------------------------------------------------
+
+_RETRAIN_STAGING = ".retrain_staging"
+_RETRAIN_OLD_SUFFIX = ".retrain_old"
+
+
+def recover_retrain(path: str) -> str:
+    """Repair an interrupted :func:`retrain_ivf_index`. The staged
+    manifest is written LAST, so: staging without a manifest is
+    incomplete garbage (drop it — the live index was never touched);
+    staging WITH a manifest is authoritative (finish installing each
+    piece idempotently). Returns 'clean' / 'dropped' / 'completed'."""
+    import shutil
+
+    staging = os.path.join(path, _RETRAIN_STAGING)
+    if not os.path.isdir(staging):
+        # a crash between installs can leave only the displaced old dirs
+        for name in ("index", "centroids"):
+            old = os.path.join(path, name + _RETRAIN_OLD_SUFFIX)
+            if os.path.isdir(old):
+                if os.path.isdir(os.path.join(path, name)):
+                    shutil.rmtree(old)  # install finished; drop the old copy
+                else:  # staged piece lost mid-install: restore the old one
+                    os.rename(old, os.path.join(path, name))
+        return "clean"
+    staged_manifest = os.path.join(staging, MANIFEST_NAME)
+    if not os.path.exists(staged_manifest):
+        shutil.rmtree(staging)
+        return "dropped"
+    for name in ("index", "centroids"):
+        staged = os.path.join(staging, name)
+        live = os.path.join(path, name)
+        old = live + _RETRAIN_OLD_SUFFIX
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(live, old)
+            os.rename(staged, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    os.replace(staged_manifest, os.path.join(path, MANIFEST_NAME))
+    tomb = os.path.join(path, _TOMB_DIR)
+    if os.path.isdir(tomb):
+        # the staged rebuild was computed from post-compaction live rows;
+        # any tombstone log it displaced is already applied
+        shutil.rmtree(tomb)
+    shutil.rmtree(staging)
+    return "completed"
+
+
+def retrain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    qe,
+    qw=None,
+    lloyd_iters: int = 3,
+    max_cell_fraction: float | None = 0.3,
+    max_imbalance: float | None = 3.0,
+    force: bool = False,
+) -> dict:
+    """Rebuild the inverted file's centroids and cell assignment when
+    the index has drifted out of shape, as a NEW index version.
+
+    The actuator half of :func:`ivf_index_stats`: retraining triggers
+    when ``max_cell_fraction`` or ``imbalance`` exceeds its threshold
+    (or ``force=True``); otherwise it is a cheap no-op returning the
+    stats with ``retrained=False``. On trigger: tombstones are folded
+    first (:func:`compact_ivf_index`), then the LIVE rows are rebuilt
+    through :func:`write_ivf_index` with ``lloyd_iters`` Lloyd rounds
+    in the projected space — deterministic (quantized-mean recompute,
+    smallest-id seeds), so a retrain is BIT-IDENTICAL to a fresh
+    refined build over the same live rows (pinned in
+    tests/test_ivf_store.py). The PCA model is NOT refit: ``qe``/``qw``
+    must match the manifest's model_version (a projection change is a
+    write_ivf_index rebuild, not a retrain).
+
+    Crash-safe install: the rebuild stages into
+    ``{path}/.retrain_staging`` (manifest last), then each piece swaps
+    in via renames; :func:`recover_retrain` (run automatically by every
+    lifecycle entry point) completes or discards a torn install.
+    Single-writer contract, like compaction. Returns the new manifest
+    plus ``retrained``/``trigger`` keys."""
+    manifest = read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    recover_retrain(path)
+    manifest = read_manifest(path)  # a completed install may bump it
+    want = model_version(qe, qw)
+    if want != manifest["model_version"]:
+        raise ValueError(
+            f"PCA model version mismatch: index at {path!r} was built "
+            f"with model {manifest['model_version']} but the caller "
+            f"holds {want} — a retrain keeps the projection; rebuild "
+            "with write_ivf_index for a new model"
+        )
+    stats = ivf_index_stats(spark, path)
+    trigger = []
+    if max_cell_fraction is not None and stats["max_cell_fraction"] > max_cell_fraction:
+        trigger.append("max_cell_fraction")
+    if max_imbalance is not None and stats["imbalance"] > max_imbalance:
+        trigger.append("imbalance")
+    if force:
+        trigger.append("forced")
+    if not trigger:
+        return {"retrained": False, "trigger": [], **stats}
+
+    import shutil
+
+    compact_ivf_index(spark, path)
+    live = _read_index(spark, path).select("vec_id", "embedding")
+    # vec rows must be materialized BEFORE the staged write displaces
+    # the files they lazily read from
+    live = live.localCheckpoint(eager=True)
+    staging = os.path.join(path, _RETRAIN_STAGING)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    new_manifest = write_ivf_index(
+        live,
+        qe,
+        staging,
+        k_cells=int(manifest["k_cells"]),
+        qw=qw,
+        lloyd_iters=lloyd_iters,
+        index_version=int(manifest.get("index_version", 1)) + 1,
+    )
+    recover_retrain(path)  # manifest is staged: install is authoritative
+    return {"retrained": True, "trigger": trigger, **new_manifest}

@@ -371,6 +371,34 @@ def main() -> None:
         df.count()  # let AQE finalize
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", "", note, "", "```", compact(plan), "```", ""]
+
+    # Forced-strategy branch (r9 directive #3): the bigram scoring join
+    # with broadcast disabled — the plan the model takes when it outgrows
+    # the broadcast threshold at scale. Bit-identity between the two
+    # branches is pinned in tests/test_lm_plans.py.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    df = specs["bigram_surprisal_scores"].fn(spark, "/root/testdata/sf0.1")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out += [
+        "## bigram_surprisal_scores — forced SMJ branch "
+        "(autoBroadcastJoinThreshold=-1)",
+        "",
+        "The at-scale shape once the model outgrows broadcast: the "
+        "corpus bigram stream sort-merge-joins the (prev, cur)-keyed "
+        "model tables; hot stopword contexts are AQE skew-split at "
+        "runtime. Scores are bit-identical to the broadcast branch "
+        "(order-pinned fold; pinned in tests/test_lm_plans.py).",
+        "",
+        "```",
+        compact(plan),
+        "```",
+        "",
+    ]
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     open(path, "w").write("\n".join(out) + "\n")
     print(f"wrote {path}")

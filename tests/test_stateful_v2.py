@@ -147,6 +147,69 @@ def test_running_totals_warm_start(spark, tmp_path):
     assert got == {u: full[u] for u in live_users} and len(got) > 0
 
 
+def test_warm_start_distributed_seed_restore_scale(spark, tmp_path):
+    """VERDICT r9 directive #6: a 300k-user seed — far past what a
+    driver dict should carry — rides in-band through
+    stage_seeded_units_source (distributed write, zero driver collect),
+    and the drained totals equal the batch truth over seed+live for
+    every live-touched user, including seeded users, brand-new users,
+    and seeded-but-idle users (absent from the sink, state intact)."""
+    from event_data_etl_gcs_spark.streaming.stateful_v2 import (
+        stage_seeded_units_source,
+    )
+
+    n_seed = 300_000
+    seed = spark.range(n_seed).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 9 + 1).cast("long").alias("n_events"),
+        (F.col("id") * 7 % 100_000).cast("long").alias("value_cents"),
+    )
+    # live: 500 seeded users get more activity, 50 users are brand new
+    live = (
+        spark.range(550)
+        .select(
+            F.when(F.col("id") < 500, F.col("id") * 13 % n_seed)
+            .otherwise(F.col("id") + n_seed)
+            .cast("long")
+            .alias("user_id"),
+            F.lit(1).cast("long").alias("n_units"),
+            (F.col("id") % 250).cast("long").alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)  # pin the modular ids
+    )
+    stream = stage_seeded_units_source(
+        live, seed, str(tmp_path / "units"), max_files_per_trigger=4
+    )
+    _drain_to_memory(running_user_totals(stream), "tws_dseed", "update")
+    got = _final_totals(spark, "tws_dseed")
+
+    live_agg = live.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("ln"),
+        F.sum("value_cents").cast("long").alias("lc"),
+    )
+    want_live = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in seed.join(live_agg, "user_id", "right")
+        .select(
+            "user_id",
+            (F.coalesce("n_events", F.lit(0)) + F.col("ln")).alias("n"),
+            (F.coalesce("value_cents", F.lit(0)) + F.col("lc")).alias("c"),
+        )
+        .collect()
+    }
+    # live-touched users (seeded + brand new): seed exactly folded in
+    assert {u: got[u] for u in want_live} == want_live
+    assert any(u >= n_seed for u in want_live)  # brand-new users covered
+    # the in-band seed touched EVERY seeded user — all 300k surface with
+    # their seeded totals, none of which crossed the driver
+    assert len(got) == n_seed + len(
+        [u for u in want_live if u >= n_seed]
+    )
+    for u in (1, 2, 3, 11, 101):
+        if u not in want_live:  # seeded-but-idle: totals == the seed row
+            assert got[u] == ((u % 9) + 1, (u * 7) % 100_000)
+
+
 def test_idle_flags_fire_for_all_quiet_users(spark, tmp_path):
     """A far-future sentinel pushes the watermark past every real user's
     last_seen + gap: each real user must be flagged idle exactly once,
