@@ -328,6 +328,88 @@ def pagerank(
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
+# Scaled-integer PageRank: rank mass carried as int64 units of 1/PR_SCALE.
+# Every per-iteration step is integer floor arithmetic, so summation
+# order cannot change a single unit — the result is partitioning-
+# independent AND cross-engine exact (the quantized-literal device that
+# made PCA/IVF exact, applied to power iteration). Overflow analysis:
+# total mass never exceeds PR_SCALE (floor losses only shrink it), so
+# in_mass <= 1e12 and the largest intermediate, 17 * in_mass, is
+# <= 1.7e13 << 2^63.
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def pagerank_quantized(
+    edges: DataFrame, iterations: int = 10, scale: int = PR_SCALE
+) -> DataFrame:
+    """Fixed-iteration PageRank in scaled-integer arithmetic:
+    (node, pr_scaled, pagerank) where ``pr_scaled`` is the exact int64
+    rank in units of 1/scale and ``pagerank`` is the single exact
+    double division pr_scaled/scale.
+
+    Same plan shape as :func:`pagerank` (cached adjacency+degree, one
+    shuffle join + groupBy-sum per iteration), but the per-edge
+    contribution is ``r DIV degree`` and the damped update is
+    ``base + (17 * in_mass) DIV 20`` — integer ops whose results are
+    identical under any partitioning, so unlike the float form this has
+    an exact DuckDB oracle (queries/graph.py unrolls the iterations as
+    chained CTEs). Rank error vs the float form is bounded by the floor
+    losses: <= iterations * (max_degree + 1) units of 1/scale, i.e.
+    ~1e-11 at the default scale (pinned vs numpy in test_graph.py)."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    adj = (
+        sym.alias("s")
+        .join(deg.alias("g"), F.col("s.u") == F.col("g.node"))
+        .select(
+            F.col("s.u").alias("src"),
+            F.col("s.v").alias("dst"),
+            F.col("g.degree").alias("degree"),
+        )
+        .cache()
+    )
+    n_nodes = deg.count()
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    ranks = deg.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            adj.alias("a")
+            .join(ranks.alias("rk"), F.col("a.src") == F.col("rk.node"))
+            .select(
+                F.col("a.dst").alias("node"),
+                F.expr("rk.r DIV a.degree").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("long").alias("in_mass"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_mass, 0L)) "
+                        f"DIV {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return ranks.select(
+        "node",
+        F.col("r").alias("pr_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("pagerank"),
+    )
+
+
 # Default skew posture (round-6: DEFAULT-ON, was opt-in). Values are the
 # measured round-5 hybrid operating point (SCALE_r5.md: 100% near-dup
 # recall at bounded wall on the 200k duplicate-heavy corpus, vs 27.8%

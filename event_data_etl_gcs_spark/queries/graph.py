@@ -131,18 +131,67 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(_edges(spark, sf_dir).select("u", "v"), max_hops=BFS_MAX_HOPS)
 
 
+PR_ITERS = 10
+
+
+def _duck_pagerank_sql() -> str:
+    """Exact oracle for the scaled-integer PageRank: the 10 fixed
+    iterations unroll as chained CTEs (pr0..pr10), every step integer
+    floor arithmetic — the same device the kmeans oracle uses to replay
+    Lloyd rounds. base = (scale*(den-num)) // (den*N) matches the Spark
+    side's Python-computed literal integer-for-integer."""
+    from ..operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
+
+    ctes = [
+        _DUCK_EDGE_CTES,
+        "sym AS MATERIALIZED (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed)",
+        "deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS degree "
+        "FROM sym GROUP BY u)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        f"pr0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} // n AS BIGINT) "
+        "AS r FROM deg, nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT d.node, CAST("
+            f"(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) "
+            f"// ({PR_DAMP_DEN} * nn.n)) "
+            f"+ ({PR_DAMP_NUM} * COALESCE(m.mass, 0)) // {PR_DAMP_DEN} "
+            "AS BIGINT) AS r "
+            "FROM deg d CROSS JOIN nn LEFT JOIN ("
+            "SELECT s.v AS node, SUM(p.r // d2.degree) AS mass "
+            f"FROM sym s JOIN pr{i - 1} p ON p.node = s.u "
+            "JOIN deg d2 ON d2.node = s.u GROUP BY s.v) m "
+            "ON m.node = d.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, r AS pr_scaled, "
+        f"CAST(r AS DOUBLE) / {PR_SCALE} AS pagerank FROM pr{PR_ITERS}"
+    )
+
+
 @query(
     "graph_pagerank",
-    oracle=None,  # cross-partition double sums: last-ulp partitioning-
-    # dependent by construction; verified against numpy in test_graph.py.
+    oracle=_duck_pagerank_sql(),
     doc=(
-        "Fixed-iteration (10) damped PageRank over the kNN graph: "
-        "cached adjacency+degree, one shuffle join + groupBy-sum per "
-        "iteration — the standard large-scale power-iteration shape."
+        "Fixed-iteration (10) damped PageRank over the kNN graph in "
+        "SCALED-INTEGER arithmetic (rank mass as int64 units of 1e-12; "
+        "damping 17/20 as exact rationals): cached adjacency+degree, "
+        "one shuffle join + groupBy-sum per iteration — the standard "
+        "large-scale power-iteration shape, now partitioning-independent "
+        "and ORACLE-EXACT (closes the registry's last oracle exemption; "
+        "the float operator remains the production path, numpy-verified "
+        "in test_graph.py, and agrees with this one to ~1e-11)."
     ),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pagerank(_edges(spark, sf_dir).select("u", "v"))
+    from ..operators.graph import pagerank_quantized
+
+    return pagerank_quantized(
+        _edges(spark, sf_dir).select("u", "v"), iterations=PR_ITERS
+    )
 
 
 def duck_banded_cand_ctes(

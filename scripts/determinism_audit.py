@@ -59,8 +59,11 @@ def main() -> None:
     # Documented exceptions: iterative float algorithms whose
     # cross-partition double sums are last-ulp partitioning-dependent BY
     # CONSTRUCTION (registered rows-only, verified against independent
-    # references in pytest instead).
-    EXPECTED_FLOAT_ITERATIVE = {"graph_pagerank", "kmeans_iterated"}
+    # references in pytest instead). graph_pagerank left this set in
+    # round 10: the registered query is now the scaled-integer form
+    # (operators/graph.pagerank_quantized) — partitioning-independent
+    # with an exact unrolled-CTE oracle.
+    EXPECTED_FLOAT_ITERATIVE = {"kmeans_iterated"}
     diffs = {n: hs for n, hs in hashes.items() if len(set(hs.values())) != 1}
     expected = {n: hs for n, hs in diffs.items() if n in EXPECTED_FLOAT_ITERATIVE}
     mismatches = {n: hs for n, hs in diffs.items() if n not in EXPECTED_FLOAT_ITERATIVE}

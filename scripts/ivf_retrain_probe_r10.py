@@ -23,7 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_OLD, N_DRIFT, DIM = 100_000, 50_000, 64
-K_CELLS, N_PROBE, TOP_K = 32, 4, 10
+K_CELLS, TOP_K = 32, 10
+N_PROBES = (1, 2, 4)
 IDX = "/tmp/spark_graft_scale_r10/ivf_drift_idx"
 
 
@@ -50,7 +51,10 @@ def main() -> None:
     old = old_centers[rng.integers(0, 16, N_OLD)] + rng.normal(
         0, 0.35, size=(N_OLD, DIM)
     )
-    drift_centers = rng.normal(0, 1.0, size=(8, DIM)) + 3.0  # new region
+    # drifted region OVERLAPPING the old one (+1.5 offset): its clusters
+    # straddle the frozen cell boundaries, so true neighbors scatter
+    # across cells — the shape that hurts low-n_probe recall
+    drift_centers = rng.normal(0, 1.0, size=(8, DIM)) + 1.5
     drift = drift_centers[rng.integers(0, 8, N_DRIFT)] + rng.normal(
         0, 0.35, size=(N_DRIFT, DIM)
     )
@@ -64,7 +68,11 @@ def main() -> None:
                 "embedding": list(X.astype(np.float32)),
             }
         )
-        return spark.createDataFrame(pdf)
+        # pandas-created frames land in ONE partition — spread them or
+        # every downstream stage runs on a single core
+        return spark.createDataFrame(pdf).repartition(32).localCheckpoint(
+            eager=True
+        )
 
     old_df = frame(old, 0)
     drift_df = frame(drift, N_OLD)
@@ -109,33 +117,35 @@ def main() -> None:
             }
         )
         qdf = spark.createDataFrame(qpdf)
-        t0 = time.time()
-        got = (
-            search_ivf_index(
-                spark, IDX, qdf, qe, qw=qw, top_k=TOP_K, n_probe=N_PROBE
-            )
-            .groupBy("query_id")
-            .agg(F.collect_list("neighbor_id").alias("nbrs"))
-            .collect()
-        )
-        dt = time.time() - t0
-        by_q = {r["query_id"]: set(r["nbrs"]) for r in got}
-        rec = lambda qs: sum(
-            len(by_q.get(q, set()) & truth[q]) for q in qs
-        ) / (TOP_K * len(qs))
         stats = ivf_index_stats(spark, IDX)
-        print(
-            f"| {label} | drift-q recall@{TOP_K} {rec(q_drift):.3f} | "
-            f"old-q recall@{TOP_K} {rec(q_old):.3f} | "
-            f"hot-cell {stats['max_cell_fraction']:.3f} "
-            f"imb {stats['imbalance']:.1f} | v{stats['index_version']} | "
-            f"search {dt:.1f} s |",
-            flush=True,
-        )
+        for n_probe in N_PROBES:
+            t0 = time.time()
+            got = (
+                search_ivf_index(
+                    spark, IDX, qdf, qe, qw=qw, top_k=TOP_K, n_probe=n_probe
+                )
+                .groupBy("query_id")
+                .agg(F.collect_list("neighbor_id").alias("nbrs"))
+                .collect()
+            )
+            dt = time.time() - t0
+            by_q = {r["query_id"]: set(r["nbrs"]) for r in got}
+            rec = lambda qs: sum(
+                len(by_q.get(q, set()) & truth[q]) for q in qs
+            ) / (TOP_K * len(qs))
+            print(
+                f"| {label} | n_probe={n_probe} | "
+                f"drift-q recall@{TOP_K} {rec(q_drift):.3f} | "
+                f"old-q recall@{TOP_K} {rec(q_old):.3f} | "
+                f"hot-cell {stats['max_cell_fraction']:.3f} "
+                f"imb {stats['imbalance']:.1f} | v{stats['index_version']} | "
+                f"search {dt:.1f} s |",
+                flush=True,
+            )
         return stats
 
-    print(f"\n| state | drift recall | old recall | balance | ver | wall |")
-    print("|---|---|---|---|---|---|")
+    print(f"\n| state | n_probe | drift recall | old recall | balance | ver | wall |")
+    print("|---|---|---|---|---|---|---|")
     stats = recall("frozen centroids + drift burst")
     t0 = time.time()
     out = retrain_ivf_index(spark, IDX, qe, qw=qw, lloyd_iters=3)

@@ -66,6 +66,29 @@ def test_pagerank_matches_numpy(spark):
         assert pr[node] == pytest.approx(rank[idx[node]], abs=1e-9)
 
 
+def test_pagerank_quantized_tracks_float(spark):
+    """The scaled-integer form (the oracle-exact registered query) must
+    agree with the float production operator within the floor-loss
+    bound — and be exactly stable under repartitioning (integer sums
+    commute; that is the whole point of the quantization)."""
+    from event_data_etl_gcs_spark.operators.graph import pagerank_quantized
+
+    edges = _edges(spark, SF).select("u", "v")
+    flt = {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+    qrows = pagerank_quantized(edges).collect()
+    qnt = {r["node"]: (r["pr_scaled"], r["pagerank"]) for r in qrows}
+    assert set(flt) == set(qnt)
+    for node, (scaled, pr) in qnt.items():
+        assert pr == scaled / 10**12
+        assert abs(pr - flt[node]) < 1e-9
+    # partitioning independence: same integers under a different shuffle
+    qnt2 = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_quantized(edges.repartition(7)).collect()
+    }
+    assert qnt2 == {n: s for n, (s, _) in qnt.items()}
+
+
 def test_knn_edges_degree_bounded(spark):
     from event_data_etl_gcs_spark.sources.catalog import load_table
 
