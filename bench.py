@@ -67,6 +67,10 @@ BENCH_EXTENDED = [
     "bigram_surprisal_scores",
     "ccnet_quality_buckets",
     "training_corpus_v6_select",
+    # round 10: HTML extraction family + the now-exact PageRank
+    "extract_text",
+    "extract_quality_gate",
+    "graph_pagerank",
 ]
 
 

@@ -145,6 +145,7 @@ set_priority([
     "data_quality_report",
     # --- round 10 --------------------------------------------------------
     "extract_text", "extraction_stats", "extract_quality_gate",
+    "extract_langid",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

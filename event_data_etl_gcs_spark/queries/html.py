@@ -37,7 +37,9 @@ from ..operators.html import (
     n_kept_sql,
 )
 from ..operators.text import (
+    duck_language_id,
     duck_quality_select,
+    language_id_column,
     quality_columns,
     with_tokens,
 )
@@ -190,4 +192,42 @@ def extract_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_columns()
     return staged.select(
         "doc_id", *[c.alias(n) for n, c in q.items()]
+    )
+
+
+_LANGID_SQL = (
+    f"WITH {_DUCK_FIXTURE_CTES}, e AS ("
+    f"  SELECT doc_id, {duck_extracted_text('blocks')} AS text FROM b"
+    "), staged AS MATERIALIZED ("
+    "  SELECT doc_id, "
+    "  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "  ELSE string_split_regex(trim(text), '\\s+') END AS toks"
+    "  FROM e"
+    ") SELECT s.doc_id, d.lang AS lang_true, "
+    f"{duck_language_id('s.toks')} AS lang_pred "
+    "FROM staged s JOIN documents d ON d.doc_id = s.doc_id"
+)
+
+
+@query(
+    "extract_langid",
+    oracle=_LANGID_SQL,
+    doc=(
+        "End-to-end HTML -> main content -> language ID: the marker-"
+        "lexicon argmax runs on the EXTRACTED text (boilerplate markup "
+        "would poison the marker counts on the raw page), alongside the "
+        "labeled language. Map-only; extraction and the langid lambda "
+        "fuse into one codegen span."
+    ),
+)
+def extract_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = extract_frame(docs).select("doc_id", F.col("text_clean").alias("text"))
+    staged = with_tokens(e)
+    return staged.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        language_id_column("toks").alias("lang_pred"),
     )

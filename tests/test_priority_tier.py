@@ -17,8 +17,11 @@ TIER_N = 128
 
 # Rows-only by documented design (non-SQL-expressible): the driver records
 # a weaker rows-only check for these, which tolerates non-atomic columns.
-# (multimodal_decode graduated to an exact oracle in round 5.)
-ROWS_ONLY_OK = {"graph_pagerank"}
+# (multimodal_decode graduated to an exact oracle in round 5;
+# graph_pagerank graduated in round 10 — scaled-integer arithmetic with
+# an unrolled-CTE oracle. The set is now EMPTY: every registered query
+# carries an exact oracle.)
+ROWS_ONLY_OK: set[str] = set()
 
 
 def tier():
