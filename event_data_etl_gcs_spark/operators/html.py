@@ -158,7 +158,10 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
-        "<a href=\"/privacy\">Privacy</a></p></footer>'"
+        "<a href=\"/privacy\">Privacy</a> '"
+        f" || '<a href=\"https://d' || CAST({doc_id} % 17 AS STRING) || "
+        f"'.example.com/ref/' || {did} || '\">related source</a>'"
+        " || '</p></footer>'"
         " || '</body></html>'"
     )
 
@@ -245,6 +248,54 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
-        "<a href=\"/privacy\">Privacy</a></p></footer>'"
+        "<a href=\"/privacy\">Privacy</a> '"
+        f" || '<a href=\"https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
+        f"'.example.com/ref/' || {did} || '\">related source</a>'"
+        " || '</p></footer>'"
         " || '</body></html>'"
     )
+
+
+# =========================================================================
+# Link extraction (round 10, second half): the crawl-frontier / web-graph
+# companion of text extraction — harvest every anchor's href + text from
+# the RAW page (boilerplate links are exactly the ones a link graph
+# wants). Same dual-dialect regex discipline as the text path; map-only.
+# =========================================================================
+
+_ANCHOR_HREF_RE = r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def hrefs_sql(col: str) -> str:
+    """Array of href values, document order."""
+    return f"regexp_extract_all({col}, '{_sq(_ANCHOR_HREF_RE)}', 1)"
+
+
+def anchor_texts_sql(col: str) -> str:
+    """Array of anchor inner texts (tag-stripped, ws-collapsed), aligned
+    index-for-index with :func:`hrefs_sql` (same regex, same matches)."""
+    return (
+        f"transform(regexp_extract_all({col}, '{_sq(_ANCHOR_HREF_RE)}', 2), "
+        f"a -> {_clean_sql('a')})"
+    )
+
+
+def href_host_sql(href: str) -> str:
+    """Host of an absolute http(s) URL; '' for relative links."""
+    return f"regexp_extract({href}, '{_sq(_HOST_RE)}', 1)"
+
+
+def duck_hrefs(col: str) -> str:
+    return f"regexp_extract_all({col}, '{_ANCHOR_HREF_RE}', 1)"
+
+
+def duck_anchor_texts(col: str) -> str:
+    return (
+        f"list_transform(regexp_extract_all({col}, '{_ANCHOR_HREF_RE}', 2), "
+        f"a -> {_duck_clean('a')})"
+    )
+
+
+def duck_href_host(href: str) -> str:
+    return f"regexp_extract({href}, '{_HOST_RE}', 1)"

@@ -48,6 +48,7 @@ from . import ivf_persist  # noqa: E402,F401
 from . import substring_dedup  # noqa: E402,F401
 from . import lm_bigram  # noqa: E402,F401
 from . import html  # noqa: E402,F401
+from . import linkgraph  # noqa: E402,F401
 
 # The correctness driver checks a prefix of the inventory (round 1: the
 # first 50 registered names, which were all parity/analytics because of
@@ -145,7 +146,8 @@ set_priority([
     "data_quality_report",
     # --- round 10 --------------------------------------------------------
     "extract_text", "extraction_stats", "extract_quality_gate",
-    "extract_langid",
+    "extract_langid", "extract_links", "link_graph_edges",
+    "domain_authority",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

@@ -134,16 +134,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 10
 
 
-def _duck_pagerank_sql() -> str:
-    """Exact oracle for the scaled-integer PageRank: the 10 fixed
-    iterations unroll as chained CTEs (pr0..pr10), every step integer
-    floor arithmetic — the same device the kmeans oracle uses to replay
-    Lloyd rounds. base = (scale*(den-num)) // (den*N) matches the Spark
-    side's Python-computed literal integer-for-integer."""
+def duck_pagerank_ctes(edge_ctes: str, iters: int = PR_ITERS) -> str:
+    """Exact-oracle CTE chain for the scaled-integer PageRank over any
+    edge relation: ``edge_ctes`` must end with an ``ed(u, v)`` CTE
+    (undirected u<v bigint edges); the fixed iterations unroll as
+    chained CTEs (pr0..prN), every step integer floor arithmetic — the
+    same device the kmeans oracle uses to replay Lloyd rounds.
+    base = (scale*(den-num)) // (den*N) matches the Spark side's
+    Python-computed literal integer-for-integer. The final CTE is
+    ``pr{iters}(node, r)``."""
     from ..operators.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE
 
     ctes = [
-        _DUCK_EDGE_CTES,
+        edge_ctes,
         "sym AS MATERIALIZED (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed)",
         "deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS degree "
         "FROM sym GROUP BY u)",
@@ -151,7 +154,7 @@ def _duck_pagerank_sql() -> str:
         f"pr0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} // n AS BIGINT) "
         "AS r FROM deg, nn)",
     ]
-    for i in range(1, PR_ITERS + 1):
+    for i in range(1, iters + 1):
         ctes.append(
             f"pr{i} AS MATERIALIZED (SELECT d.node, CAST("
             f"(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) "
@@ -164,10 +167,15 @@ def _duck_pagerank_sql() -> str:
             "JOIN deg d2 ON d2.node = s.u GROUP BY s.v) m "
             "ON m.node = d.node)"
         )
+    return ", ".join(ctes)
+
+
+def _duck_pagerank_sql() -> str:
+    from ..operators.graph import PR_SCALE
+
     return (
-        "WITH "
-        + ", ".join(ctes)
-        + f" SELECT node, r AS pr_scaled, "
+        f"WITH {duck_pagerank_ctes(_DUCK_EDGE_CTES)} "
+        f"SELECT node, r AS pr_scaled, "
         f"CAST(r AS DOUBLE) / {PR_SCALE} AS pagerank FROM pr{PR_ITERS}"
     )
 

@@ -1,0 +1,204 @@
+"""Link graph over extracted anchors (round 10, second half).
+
+The web-graph half of the extraction family: harvest every anchor from
+the raw page (``extract_links``), aggregate external links into a
+domain-level edge list (``link_graph_edges``), and score domains with
+the scaled-integer PageRank (``domain_authority``) — the
+harmonic-centrality/authority signal web-scale curation pipelines use
+to weight crawl quality (the same role as CommonCrawl's domain-level
+ranking). End-to-end exact: link parsing is dual-dialect regex, the
+domain-id assignment is a deterministic ORDER BY dense id, and the
+authority scores reuse the unrolled-CTE PageRank oracle
+(queries/graph.duck_pagerank_ctes).
+
+Scale shape: extract_links is map-only (explode of a per-row regex
+array — linear in page bytes); the edge aggregate is one
+partial-aggregated groupBy on (src, dst) hosts; domain authority runs
+its shuffles on the DOMAIN graph (orders of magnitude smaller than the
+page corpus — domains, not documents, are the nodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graph import PR_SCALE, pagerank_quantized
+from ..operators.html import (
+    anchor_texts_sql,
+    duck_anchor_texts,
+    duck_href_host,
+    duck_hrefs,
+    href_host_sql,
+    hrefs_sql,
+)
+from ..sources.catalog import load_table
+from .graph import PR_ITERS, duck_pagerank_ctes
+from .html import _DUCK_FIXTURE_CTES, with_html_fixture
+from .registry import query
+
+_DUCK_LINK_CTES = (
+    f"{_DUCK_FIXTURE_CTES}, la AS MATERIALIZED ("
+    "  SELECT doc_id, source, "
+    f"  {duck_hrefs('html')} AS hrefs, {duck_anchor_texts('html')} AS atexts"
+    "  FROM h"
+    "), links AS MATERIALIZED ("
+    "  SELECT doc_id, source, CAST(i AS INTEGER) AS link_pos, "
+    "         hrefs[i] AS href, atexts[i] AS anchor_text, "
+    "         hrefs[i] LIKE 'http%' AS is_external, "
+    f"         {duck_href_host('hrefs[i]')} AS host"
+    "  FROM la, unnest(range(1, len(hrefs) + 1)) AS r(i)"
+    ")"
+)
+
+
+def links_frame(docs: DataFrame) -> DataFrame:
+    staged = with_html_fixture(docs).select(
+        "doc_id",
+        "source",
+        F.expr(hrefs_sql("html")).alias("hrefs"),
+        F.expr(anchor_texts_sql("html")).alias("atexts"),
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        F.posexplode("hrefs").alias("pos0", "href"),
+        "atexts",
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).cast("int").alias("link_pos"),
+        "href",
+        F.element_at("atexts", F.col("pos0") + 1).alias("anchor_text"),
+        F.col("href").startswith("http").alias("is_external"),
+        F.expr(href_host_sql("href")).alias("host"),
+    )
+
+
+@query(
+    "extract_links",
+    oracle=(
+        f"WITH {_DUCK_LINK_CTES} "
+        "SELECT doc_id, source, link_pos, href, anchor_text, "
+        "is_external, host FROM links"
+    ),
+    doc=(
+        "Anchor inventory from the RAW page (crawl frontier / web graph "
+        "input): per link, its position, href, cleaned anchor text, "
+        "external flag, and host — one regex pass + posexplode, aligned "
+        "index-for-index across the href/text capture groups. Map-only."
+    ),
+)
+def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return links_frame(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "link_graph_edges",
+    oracle=(
+        f"WITH {_DUCK_LINK_CTES} "
+        "SELECT source || '.example.com' AS src_host, host AS dst_host, "
+        "COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs "
+        "FROM links WHERE is_external AND host <> '' "
+        "GROUP BY src_host, dst_host"
+    ),
+    doc=(
+        "Domain-level link edges: external anchors aggregated to "
+        "(src_host, dst_host, n_links, n_docs) — the web graph's edge "
+        "list, shuffled on host pairs (domain-cardinality, not "
+        "document-cardinality)."
+    ),
+)
+def link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = links_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        links.filter(F.col("is_external") & (F.col("host") != ""))
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+            F.col("host").alias("dst_host"),
+            "doc_id",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_DUCK_AUTHORITY_EDGE_CTES = (
+    f"{_DUCK_LINK_CTES}, pairs AS MATERIALIZED ("
+    "  SELECT DISTINCT source || '.example.com' AS src_host, host AS dst_host"
+    "  FROM links WHERE is_external AND host <> ''"
+    "), doms AS MATERIALIZED ("
+    "  SELECT DISTINCT dom FROM ("
+    "    SELECT src_host AS dom FROM pairs "
+    "    UNION ALL SELECT dst_host FROM pairs)"
+    "), dids AS MATERIALIZED ("
+    "  SELECT dom, CAST(ROW_NUMBER() OVER (ORDER BY dom) - 1 AS BIGINT) "
+    "  AS nid FROM doms"
+    "), ed AS MATERIALIZED ("
+    "  SELECT DISTINCT least(a.nid, b.nid) AS u, greatest(a.nid, b.nid) AS v"
+    "  FROM pairs p JOIN dids a ON a.dom = p.src_host "
+    "  JOIN dids b ON b.dom = p.dst_host WHERE a.nid <> b.nid"
+    ")"
+)
+
+
+@query(
+    "domain_authority",
+    oracle=(
+        f"WITH {duck_pagerank_ctes(_DUCK_AUTHORITY_EDGE_CTES)} "
+        f"SELECT d.dom AS domain, p.r AS pr_scaled, "
+        f"CAST(p.r AS DOUBLE) / {PR_SCALE} AS authority "
+        f"FROM pr{PR_ITERS} p JOIN dids d ON d.nid = p.node"
+    ),
+    doc=(
+        "Domain authority: scaled-integer PageRank over the undirected "
+        "domain link graph (deterministic dense ids by domain name; "
+        "10 unrolled iterations, exact oracle). The quality-weighting "
+        "signal a crawl-curation pipeline joins back onto documents. "
+        "All iteration shuffles run at domain cardinality."
+    ),
+)
+def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        links_frame(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("is_external") & (F.col("host") != ""))
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
+            F.col("host").alias("dst_host"),
+        )
+        .distinct()
+    )
+    doms = (
+        pairs.select(F.col("src_host").alias("dom"))
+        .unionAll(pairs.select(F.col("dst_host").alias("dom")))
+        .distinct()
+    )
+    # domain-cardinality table: the single-partition ordering window is
+    # bounded by the number of DOMAINS, never documents
+    dids = doms.select(
+        "dom",
+        (F.row_number().over(Window.orderBy("dom")) - 1)
+        .cast("long")
+        .alias("nid"),
+    ).localCheckpoint(eager=True)
+    a = dids.select(F.col("dom").alias("src_host"), F.col("nid").alias("anid"))
+    b = dids.select(F.col("dom").alias("dst_host"), F.col("nid").alias("bnid"))
+    edges = (
+        pairs.join(a, "src_host")
+        .join(b, "dst_host")
+        .filter(F.col("anid") != F.col("bnid"))
+        .select(
+            F.least("anid", "bnid").alias("u"),
+            F.greatest("anid", "bnid").alias("v"),
+        )
+        .distinct()
+    )
+    pr = pagerank_quantized(edges, iterations=PR_ITERS)
+    return pr.join(dids, pr["node"] == dids["nid"]).select(
+        F.col("dom").alias("domain"),
+        "pr_scaled",
+        F.col("pagerank").alias("authority"),
+    )

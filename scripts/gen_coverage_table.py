@@ -83,6 +83,7 @@ NON_QUERY = """
 | Differential SQL fuzzing: generated predicate/group-by/aggregate/window AND join-surface queries (USING/ON x inner/left/right/full, NULLIF null keys, EXISTS/IN semi-anti incl. three-valued NOT IN, self band join) run verbatim on Spark AND DuckDB, exact frame equality (derandomized 220-example suite; caught a real LIKE-vs-= precedence divergence) | `tests/test_fuzz_differential.py` | same |
 | Physical-plan regression pins for the LM family (broadcast model joins, array-side bigrams, map-side WindowGroupLimit, forced-SMJ branch bit-identity) | `tests/test_lm_plans.py` | same |
 | HTML/boilerplate main-content extraction: native-expression block segmentation + link-density keep rule over a deterministic in-query raw-HTML fixture; map-only plan pinned | `operators/html.py` `queries/html.py` | `test_html_extract.py` + oracle suite |
+| Link graph from extracted anchors: href/anchor-text harvest (map-only), domain edge aggregate, oracle-exact scaled-integer domain authority (PageRank over the domain graph) | `queries/linkgraph.py` | `test_linkgraph.py` + oracle suite |
 | IVF retrain actuator: stats-threshold trigger, Lloyd-refined centroids (same PCA model), versioned crash-safe install, drift-recall recovery probed | `operators/ivf_store.py` `retrain_ivf_index` | `test_ivf_retrain.py` + SCALE_r10.md §2 |
 | Distributed streaming warm start: seed rides in-band as pre-aggregated unit rows (no driver dict), 300k-user pin vs batch truth | `streaming/stateful_v2.py` `stage_seeded_units_source` | `test_stateful_v2.py` |
 """

@@ -1,0 +1,99 @@
+"""Link-graph family behavior pins (round 10, second half). Value
+equality runs in the oracle suite; this file pins the parsing
+semantics, the plan shape, and the domain-id determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_data_etl_gcs_spark.queries.linkgraph import links_frame
+
+
+def _links(spark, html: str):
+    docs = spark.createDataFrame(
+        [(1, "ignored", "en", "srcX", 7)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    # bypass the fixture: parse a handcrafted page directly
+    from event_data_etl_gcs_spark.operators.html import (
+        anchor_texts_sql,
+        href_host_sql,
+        hrefs_sql,
+    )
+
+    df = (
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+        .select(
+            "doc_id",
+            F.expr(hrefs_sql("html")).alias("hrefs"),
+            F.expr(anchor_texts_sql("html")).alias("atexts"),
+        )
+        .select("doc_id", F.posexplode("hrefs").alias("pos0", "href"), "atexts")
+        .select(
+            (F.col("pos0") + 1).alias("link_pos"),
+            "href",
+            F.element_at("atexts", F.col("pos0") + 1).alias("anchor_text"),
+            F.expr(href_host_sql("href")).alias("host"),
+        )
+    )
+    return df.orderBy("link_pos").collect()
+
+
+def test_href_and_anchor_text_stay_aligned(spark):
+    html = (
+        '<p>See <a href="https://a.example.com/x">the <b>first</b> ref</a> '
+        'and <a href="/local/page">a  local\n page</a> then '
+        '<a class="btn" href="https://b.example.com/y/z">second   ref</a>.</p>'
+    )
+    rows = _links(spark, html)
+    assert [(r["href"], r["anchor_text"], r["host"]) for r in rows] == [
+        ("https://a.example.com/x", "the first ref", "a.example.com"),
+        ("/local/page", "a local page", ""),
+        ("https://b.example.com/y/z", "second ref", "b.example.com"),
+    ]
+
+
+def test_anchor_without_href_ignored(spark):
+    rows = _links(spark, '<a name="top">no href</a> <a href="/ok">ok</a>')
+    assert [(r["href"], r["anchor_text"]) for r in rows] == [("/ok", "ok")]
+
+
+def test_extract_links_plan_is_map_only(spark):
+    from event_data_etl_gcs_spark.queries.linkgraph import extract_links
+
+    df = extract_links(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan, plan
+
+
+def test_domain_ids_deterministic_across_partitionings(spark):
+    from event_data_etl_gcs_spark.queries.linkgraph import domain_authority
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(tuple(r) for r in domain_authority(spark, sf).collect())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = sorted(tuple(r) for r in domain_authority(spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 10
+    # authority mass is conserved up to floor losses: sum <= 1.0 scale
+    total = sum(r[1] for r in a)
+    assert 0.99 * 10**12 < total <= 10**12
+
+
+def test_fixture_links_cover_internal_and_external(spark):
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    links = links_frame(docs)
+    per_doc = links.groupBy("doc_id").agg(
+        F.sum(F.col("is_external").cast("int")).alias("n_ext"),
+        F.count("*").alias("n_all"),
+    )
+    # every page carries exactly one external (footer) link plus the
+    # relative nav/footer links; variants add more relative ones
+    assert per_doc.filter("n_ext != 1").count() == 0
+    assert per_doc.filter("n_all < 6").count() == 0
