@@ -149,26 +149,31 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def score_bigram_with_model(
-    bg: DataFrame, ctx: DataFrame, bgc: DataFrame, tot: DataFrame
+    bg: DataFrame, ctx: DataFrame, bgc: DataFrame, tot: DataFrame,
+    how: str = "left",
 ) -> DataFrame:
     """Score positioned bigram rows against a (ctx, bgc, tot) model —
     the SAME join/fold arithmetic whether the model was built in one
     batch pass or folded from streamed per-delivery count partials
     (counts are exact integers, so streamed == batch bit-identically).
 
-    The model joins are LEFT joins with counts coalesced to 0: add-one
-    smoothing defines p for bigrams ABSENT from the model as
+    The model joins default to LEFT joins with counts coalesced to 0:
+    add-one smoothing defines p for bigrams ABSENT from the model as
     1/(c(v)+V) (and c(v)=0 for an unseen context), so an out-of-model
     transition scores (c(v)+V)/1 — it must contribute to the per-doc
     mean, not silently vanish from it (ADVICE r9 #2: the previous
     inner joins dropped unseen bigrams and made whole out-of-corpus
-    docs disappear). When the model was trained on the scored corpus
-    itself (the oracle queries' shape) every bigram is present and the
-    left joins are row-identical to inner joins — bit-identity with
-    the DuckDB oracles is preserved."""
+    docs disappear).
+
+    ``how='inner'`` is the SELF-TRAINED fast path: when the model was
+    built from the scored corpus itself every bigram is present, the
+    two join modes are row-identical, and inner joins leave Catalyst
+    free to reorder/push through the join chain (outer joins block
+    reordering — measured ~2x on the v6 corpus pipeline). Callers that
+    score frames the model may not cover must keep the default."""
     j = (
-        bg.join(bgc, ["prev", "cur"], "left")
-        .join(ctx, "prev", "left")
+        bg.join(bgc, ["prev", "cur"], how)
+        .join(ctx, "prev", how)
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -194,7 +199,9 @@ def bigram_scores(docs: DataFrame) -> DataFrame:
     tot = tk.agg(
         F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
     )
-    return score_bigram_with_model(bg, ctx, bgc, tot)
+    # self-trained: every scored bigram is in the model, so the inner
+    # fast path is row-identical to the left default (see the scorer)
+    return score_bigram_with_model(bg, ctx, bgc, tot, how="inner")
 
 
 _INTERP_SQL = f"""
