@@ -39,8 +39,17 @@ from pyspark.sql import functions as F
 # ContextCleaner unpersists cached plans once the DataFrames are GC'd.
 # ---------------------------------------------------------------------------
 import threading as _threading
+import weakref as _weakref
 
 _ANN_CACHES = _threading.local()
+# Global weak companion of the thread-local registry (ADVICE r10 #5):
+# a teardown running on a DIFFERENT thread than the builds (driver-wide
+# cleanup, test fixtures) can still reclaim executor storage via
+# release_ann_caches(all_threads=True). Weak refs only — the global set
+# never extends a frame's lifetime, so ContextCleaner semantics are
+# unchanged for threads that simply exit.
+_ANN_CACHES_GLOBAL: "_weakref.WeakSet[DataFrame]" = _weakref.WeakSet()
+_ANN_CACHES_LOCK = _threading.Lock()
 
 
 def _track_ann_cache(df: DataFrame) -> DataFrame:
@@ -48,14 +57,22 @@ def _track_ann_cache(df: DataFrame) -> DataFrame:
     if frames is None:
         frames = _ANN_CACHES.frames = []
     frames.append(df)
+    with _ANN_CACHES_LOCK:
+        _ANN_CACHES_GLOBAL.add(df)
     return df
 
 
-def release_ann_caches() -> None:
+def release_ann_caches(all_threads: bool = False) -> None:
     """Unpersist every intermediate cached by THIS thread's prior
     ANN/embedding-dedup builds. Called automatically at each public
     build entry; callers that materialized their result and want the
-    executor storage back immediately may also call it directly."""
+    executor storage back immediately may also call it directly.
+
+    ``all_threads=True`` additionally unpersists every still-live
+    tracked frame from EVERY thread (via a weak registry) — for
+    driver-wide teardown. Never use it while another thread's build is
+    in flight: unpersisting a live intermediate forces that build to
+    recompute it (correctness is unaffected)."""
     frames = getattr(_ANN_CACHES, "frames", None) or []
     while frames:
         df = frames.pop()
@@ -63,6 +80,15 @@ def release_ann_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped: nothing to release
+    if all_threads:
+        with _ANN_CACHES_LOCK:
+            others = list(_ANN_CACHES_GLOBAL)
+            _ANN_CACHES_GLOBAL.clear()
+        for df in others:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def connected_components(
@@ -300,6 +326,14 @@ def pagerank(
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
     )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty edge list (e.g. a corpus with no external links feeding
+        # domain_authority): an empty rank table, not ZeroDivisionError
+        # (ADVICE r10 #3)
+        return edges.sparkSession.createDataFrame(
+            [], "node long, pagerank double"
+        )
     adj = (
         sym.alias("s")
         .join(deg.alias("g"), F.col("s.u") == F.col("g.node"))
@@ -310,7 +344,6 @@ def pagerank(
         )
         .cache()
     )
-    n_nodes = deg.count()
     base = (1.0 - damping) / n_nodes
     # Each iteration references `ranks` twice (contribs + the node-list
     # left join), so lineage doubles per round — localCheckpoint truncates
@@ -383,6 +416,13 @@ def pagerank_quantized(
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("degree")
     )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty edge list -> empty rank table (ADVICE r10 #3); the DuckDB
+        # oracle agrees by construction (pr0 selects FROM the empty deg)
+        return edges.sparkSession.createDataFrame(
+            [], "node long, pr_scaled long, pagerank double"
+        )
     adj = (
         sym.alias("s")
         .join(deg.alias("g"), F.col("s.u") == F.col("g.node"))
@@ -393,7 +433,6 @@ def pagerank_quantized(
         )
         .cache()
     )
-    n_nodes = deg.count()
     base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
     ranks = deg.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")

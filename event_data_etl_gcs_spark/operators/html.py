@@ -42,16 +42,20 @@ stack).
 from __future__ import annotations
 
 # Regexes shared by both engines (Java regex and RE2 agree on this
-# subset: inline flags, non-greedy quantifiers, \b, \s, alternation).
+# subset: inline flags, non-greedy quantifiers, \b, alternation).
+# Whitespace is spelled as an EXPLICIT class, never \s: Java's \s
+# includes vertical tab (\x0B) while RE2's does not (ADVICE r10 #4) —
+# the explicit class is identical in both engines.
+_WS_CLASS = r"[ \t\n\x0B\f\r]"
 _STRIP_RE = r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->"
 _BLOCK_RE = (
     r"(?i)</?(?:p|div|ul|ol|li|h[1-6]|br|hr|nav|header|footer|aside|"
     r"article|section|main|table|thead|tbody|tr|td|th|blockquote|pre|"
-    r"title|head|body|html|form|figure|figcaption)(?:\s[^>]*)?/?>"
+    r"title|head|body|html|form|figure|figcaption)(?:" + _WS_CLASS + r"[^>]*)?/?>"
 )
 _TAG_RE = r"<[^>]*>"
 _ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
-_WS_RE = r"\s+"
+_WS_RE = _WS_CLASS + r"+"
 
 # Keep thresholds: spaceless chars per block, and the integer form of
 # link-density < 1/3 (3*link_len < text_len).

@@ -289,8 +289,10 @@ def search_ivf_index(
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
-    recover_retrain(path)
-    manifest = read_manifest(path)  # a completed install may bump it
+    # READ-ONLY entry point: never repair (renames/rmtrees would race a
+    # concurrent reader — ADVICE r10 #2); detect a torn retrain install
+    # and fail loudly instead of reading mixed index/centroid versions.
+    _check_no_torn_retrain(path)
     want = model_version(qe, qw)
     if want != manifest["model_version"]:
         raise ValueError(
@@ -390,6 +392,13 @@ def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> dict:
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
+    # ADVICE r10 #1: delete is a WRITE path and must complete a torn
+    # retrain install BEFORE appending tombstones — otherwise the log is
+    # written against the superseded index and a later lifecycle call
+    # installing the staged version would strand (or, pre-fix, delete)
+    # it, silently resurrecting the deleted vectors.
+    recover_retrain(path)
+    manifest = read_manifest(path)  # a completed install may bump it
     if isinstance(ids, DataFrame):
         df = ids.select(F.col("vec_id").cast("long"))
     else:
@@ -522,8 +531,8 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
     manifest = read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no IVF index manifest under {path!r}")
-    recover_retrain(path)
-    manifest = read_manifest(path)
+    # read-only: detect torn installs, never repair (see search_ivf_index)
+    _check_no_torn_retrain(path)
     idx = _read_index(spark, path)
     cells = idx.groupBy("cell").agg(F.count("*").alias("n")).collect()
     sizes = sorted((int(r["n"]) for r in cells), reverse=True)
@@ -554,6 +563,32 @@ def ivf_index_stats(spark: SparkSession, path: str) -> dict:
 
 _RETRAIN_STAGING = ".retrain_staging"
 _RETRAIN_OLD_SUFFIX = ".retrain_old"
+
+
+def _check_no_torn_retrain(path: str) -> None:
+    """Read-side guard (ADVICE r10 #2): raise if a retrain install is
+    torn in a way a reader could observe inconsistently — a staged
+    build whose manifest is written (= authoritative, waiting to
+    install) or a half-swapped install (displaced ``*.retrain_old``
+    dirs). Readers must NOT repair (renames would race other readers);
+    a write-path entry point (append/delete/compact/retrain) or an
+    explicit :func:`recover_retrain` completes the install. Staging
+    WITHOUT a manifest is incomplete garbage that never touched the
+    live index — safe to read through."""
+    staged_manifest = os.path.join(path, _RETRAIN_STAGING, MANIFEST_NAME)
+    displaced = [
+        name + _RETRAIN_OLD_SUFFIX
+        for name in ("index", "centroids")
+        if os.path.isdir(os.path.join(path, name + _RETRAIN_OLD_SUFFIX))
+    ]
+    if os.path.exists(staged_manifest) or displaced:
+        raise RuntimeError(
+            f"IVF index at {path!r} has a torn retrain install "
+            f"(staged manifest present: {os.path.exists(staged_manifest)}, "
+            f"displaced dirs: {displaced or 'none'}); run recover_retrain "
+            "or any write-path entry point (append/delete/compact/"
+            "retrain) to complete it before reading"
+        )
 
 
 def recover_retrain(path: str) -> str:
@@ -590,11 +625,13 @@ def recover_retrain(path: str) -> str:
         if os.path.isdir(old):
             shutil.rmtree(old)
     os.replace(staged_manifest, os.path.join(path, MANIFEST_NAME))
-    tomb = os.path.join(path, _TOMB_DIR)
-    if os.path.isdir(tomb):
-        # the staged rebuild was computed from post-compaction live rows;
-        # any tombstone log it displaced is already applied
-        shutil.rmtree(tomb)
+    # ADVICE r10 #1: PRESERVE any tombstone log. retrain compacts (which
+    # clears the log) before staging, so a log present at install time
+    # can only hold deletes appended AFTER the staged rebuild was
+    # computed — they are NOT folded into the staged index and must keep
+    # anti-joining it (their vec_ids exist in the staged index too, since
+    # appends are barred between staging and install by the single-writer
+    # contract). The pre-fix rmtree here silently resurrected them.
     shutil.rmtree(staging)
     return "completed"
 
@@ -628,7 +665,9 @@ def retrain_ivf_index(
     Crash-safe install: the rebuild stages into
     ``{path}/.retrain_staging`` (manifest last), then each piece swaps
     in via renames; :func:`recover_retrain` (run automatically by every
-    lifecycle entry point) completes or discards a torn install.
+    WRITE-path entry point — append/delete/compact/retrain; read-only
+    entry points detect a torn install and raise instead of repairing)
+    completes or discards a torn install.
     Single-writer contract, like compaction. Returns the new manifest
     plus ``retrained``/``trigger`` keys."""
     manifest = read_manifest(path)

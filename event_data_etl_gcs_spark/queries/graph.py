@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.graph import (
     KNN_ANN_MAX_BUCKET,
     KNN_ANN_RING_CAP,
+    PR_SCALE,
     bfs_hops,
     knn_edges,
     pagerank,
@@ -74,10 +75,11 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges(spark, sf_dir)
 
 
-@query(
-    "graph_triangle_counts",
-    oracle=(
-        f"WITH {_DUCK_EDGE_CTES}, "
+def duck_triangle_sql(edge_ctes: str) -> str:
+    """Triangle-count + lcc oracle over any edge-CTE chain ending in
+    ``ed(u, v)`` — shared by the exact- and ANN-substrate variants."""
+    return (
+        f"WITH {edge_ctes}, "
         "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
         "FROM ed e1 JOIN ed e2 ON e2.u = e1.v "
         "JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v), "
@@ -92,7 +94,28 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN d.degree > 1 THEN 2.0 * COALESCE(t.n_triangles, 0) "
         "/ (d.degree * (d.degree - 1)) ELSE 0.0 END AS lcc "
         "FROM deg d LEFT JOIN tcount t USING (node)"
-    ),
+    )
+
+
+def duck_bfs_sql(edge_ctes: str, max_hops: int) -> str:
+    """Bounded-BFS oracle over any edge-CTE chain ending in ``ed(u, v)``
+    — shared by the exact- and ANN-substrate variants."""
+    return (
+        f"WITH RECURSIVE {edge_ctes}, "
+        "sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed), "
+        "seed AS (SELECT min(u) AS node FROM ed), "
+        "walk(node, hops) AS ("
+        "SELECT node, 0 FROM seed "
+        "UNION ALL "
+        "SELECT s.v, w.hops + 1 FROM walk w JOIN sym s ON s.u = w.node "
+        f"WHERE w.hops < {max_hops}) "
+        "SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node"
+    )
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=duck_triangle_sql(_DUCK_EDGE_CTES),
     doc=(
         "Per-node triangle participation + local clustering coefficient "
         "over the kNN graph. Triangles enumerated once each (a<b<c) via "
@@ -108,17 +131,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_bfs_hops",
-    oracle=(
-        f"WITH RECURSIVE {_DUCK_EDGE_CTES}, "
-        "sym AS (SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed), "
-        "seed AS (SELECT min(u) AS node FROM ed), "
-        "walk(node, hops) AS ("
-        "SELECT node, 0 FROM seed "
-        "UNION ALL "
-        "SELECT s.v, w.hops + 1 FROM walk w JOIN sym s ON s.u = w.node "
-        f"WHERE w.hops < {BFS_MAX_HOPS}) "
-        "SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node"
-    ),
+    oracle=duck_bfs_sql(_DUCK_EDGE_CTES, BFS_MAX_HOPS),
     doc=(
         "Minimum hop distance from the min-id node to everything within "
         f"{BFS_MAX_HOPS} hops of it on the kNN graph: bounded frontier "
@@ -271,18 +284,19 @@ def duck_banded_cand_ctes(
     )
 
 
-def _duck_ann_edges_sql(
+def duck_ann_edge_ctes(
     k: int = K_NN,
     n_bands: int = 4,
     band_bits: int = 4,
     max_bucket: int | None = None,
     ring_cap: int | None = None,
 ) -> str:
-    """DuckDB mirror of operators/graph.py knn_edges_ann: the shared
+    """DuckDB mirror of operators/graph.py knn_edges_ann as a CTE chain
+    ending in ``edges(u, v, cos_sim)`` and ``ed(u, v)`` — the shared
     banded candidate chain + exact-cosine per-node top-k and u<v
-    symmetrization."""
+    symmetrization, spliceable into the pagerank/triangle/BFS oracle
+    builders exactly like ``_DUCK_EDGE_CTES`` (VERDICT r10 #1)."""
     return (
-        "WITH "
         f"{duck_banded_cand_ctes(n_bands, band_bits, max_bucket, ring_cap)}, "
         "scored AS (SELECT ida, idb, "
         f"{duck_dot('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm) AS cos_sim "
@@ -291,9 +305,23 @@ def _duck_ann_edges_sql(
         "sym2 AS (SELECT ida AS query_id, idb AS neighbor_id, cos_sim FROM scored "
         "UNION ALL SELECT idb, ida, cos_sim FROM scored), "
         "topk AS (SELECT * FROM sym2 QUALIFY row_number() OVER "
-        f"(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {k}) "
-        "SELECT DISTINCT least(query_id, neighbor_id) AS u, "
-        "greatest(query_id, neighbor_id) AS v, cos_sim FROM topk"
+        f"(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {k}), "
+        "edges AS MATERIALIZED (SELECT DISTINCT least(query_id, neighbor_id) AS u, "
+        "greatest(query_id, neighbor_id) AS v, cos_sim FROM topk), "
+        "ed AS (SELECT u, v FROM edges)"
+    )
+
+
+def _duck_ann_edges_sql(
+    k: int = K_NN,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    max_bucket: int | None = None,
+    ring_cap: int | None = None,
+) -> str:
+    return (
+        f"WITH {duck_ann_edge_ctes(k, n_bands, band_bits, max_bucket, ring_cap)} "
+        "SELECT u, v, cos_sim FROM edges"
     )
 
 
@@ -343,3 +371,84 @@ def knn_graph_edges_ann_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_edges_ann(emb, k=K_NN, band_bits=4, max_bucket=64, ring_cap=32)
+
+
+# =========================================================================
+# ANN-substrate graph family (VERDICT r10 directive #1): the SAME graph
+# analytics, composed on the banded-SRP candidate build instead of the
+# quadratic exact kNN. This is the form a user actually runs at 100 TB —
+# the exact substrate broadcasts the full embeddings table and scores
+# all pairs, while knn_edges_ann shuffles candidates on (band, bucket)
+# with hybrid skew caps and never materializes the cross product. The
+# oracles splice duck_ann_edge_ctes into the same pagerank/triangle/BFS
+# CTE builders the exact family uses, so the composed semantics stay
+# oracle-EXACT end to end (candidate generation included).
+# =========================================================================
+
+# Mirrors the DEFAULT knn_edges_ann call (auto band_bits resolves to 4
+# on every test corpus; hybrid caps engage on sf0.1's hot bucket — see
+# knn_graph_edges_ann above, whose oracle pins the same chain).
+_DUCK_ANN_EDGE_CTES = duck_ann_edge_ctes(
+    max_bucket=KNN_ANN_MAX_BUCKET, ring_cap=KNN_ANN_RING_CAP
+)
+
+
+def _ann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import knn_edges_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_edges_ann(emb, k=K_NN)
+
+
+@query(
+    "graph_pagerank_ann",
+    oracle=(
+        f"WITH {duck_pagerank_ctes(_DUCK_ANN_EDGE_CTES)} "
+        f"SELECT node, r AS pr_scaled, "
+        f"CAST(r AS DOUBLE) / {PR_SCALE} AS pagerank FROM pr{PR_ITERS}"
+    ),
+    doc=(
+        "Scaled-integer PageRank over the ANN-built kNN graph: the "
+        "banded-SRP candidate path (equi-join on (band, bucket), hybrid "
+        "skew caps, no corpus broadcast) feeds the same "
+        "partitioning-independent int64 power iteration as "
+        "graph_pagerank — this is the registered 100 TB form; the exact "
+        "variant remains as the small-corpus/recall yardstick. Oracle = "
+        "the banded candidate CTE chain spliced into the unrolled "
+        "pagerank CTEs, exact end to end."
+    ),
+)
+def graph_pagerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_quantized
+
+    return pagerank_quantized(
+        _ann_edges(spark, sf_dir).select("u", "v"), iterations=PR_ITERS
+    )
+
+
+@query(
+    "graph_triangle_counts_ann",
+    oracle=duck_triangle_sql(_DUCK_ANN_EDGE_CTES),
+    doc=(
+        "Per-node triangle participation + local clustering coefficient "
+        "over the ANN-built kNN graph — same integer-exact enumeration "
+        "as graph_triangle_counts, sub-quadratic substrate."
+    ),
+)
+def graph_triangle_counts_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts(_ann_edges(spark, sf_dir).select("u", "v"))
+
+
+@query(
+    "graph_bfs_hops_ann",
+    oracle=duck_bfs_sql(_DUCK_ANN_EDGE_CTES, BFS_MAX_HOPS),
+    doc=(
+        "Bounded-depth BFS hop distances over the ANN-built kNN graph — "
+        "same integer-exact frontier expansion as graph_bfs_hops, "
+        "sub-quadratic substrate."
+    ),
+)
+def graph_bfs_hops_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_hops(
+        _ann_edges(spark, sf_dir).select("u", "v"), max_hops=BFS_MAX_HOPS
+    )

@@ -148,7 +148,16 @@ def test_retrain_install_crash_recovery(spark, tmp_path, crash):
             os.path.join(path, "index.retrain_old"),
         )
         os.rename(os.path.join(staging, "index"), os.path.join(path, "index"))
-    # any lifecycle reader completes the install
+    # READ-ONLY entry points must NOT repair (concurrent-reader rename
+    # race, ADVICE r10 #2): they detect the torn install and raise
+    with pytest.raises(RuntimeError, match="torn retrain install"):
+        ivf_index_stats(spark, path)
+    with pytest.raises(RuntimeError, match="torn retrain install"):
+        search_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") < 3), qe, qw=qw
+        )
+    # a WRITE-path entry (or explicit recovery) completes the install
+    assert recover_retrain(path) in ("completed", "clean")
     stats = ivf_index_stats(spark, path)
     assert stats["index_version"] == 2
     assert not os.path.isdir(staging)

@@ -74,6 +74,38 @@ def test_bigram_model_join_smj_branch_bit_identical(spark):
     assert got == want
 
 
+def test_bigram_inner_equals_left_on_self_trained_corpus(spark):
+    """Direct frame-equality pin (VERDICT r10 directive #5): on a
+    SELF-TRAINED corpus every scored bigram is in the model, so the
+    how='inner' fast path must equal the how='left' default
+    row-for-row — pinning the fast path against future semantic
+    drift in one assertion."""
+    from pyspark.sql import functions as F
+
+    from event_data_etl_gcs_spark.queries.lm_bigram import (
+        bigram_rows,
+        score_bigram_with_model,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    tk, bg = bigram_rows(docs)
+    bgc = bg.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    ctx = bgc.groupBy("prev").agg(F.sum("cvw").cast("long").alias("cv"))
+    tot = tk.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("vsz")
+    )
+    inner = sorted(
+        tuple(r)
+        for r in score_bigram_with_model(bg, ctx, bgc, tot, how="inner").collect()
+    )
+    left = sorted(
+        tuple(r)
+        for r in score_bigram_with_model(bg, ctx, bgc, tot, how="left").collect()
+    )
+    assert inner == left
+
+
 def test_phrase_search_broadcasts_the_phrase(spark):
     """The 1-row phrase table broadcasts into the postings join — the
     bigram occurrence stream stays in place."""
