@@ -71,6 +71,9 @@ BENCH_EXTENDED = [
     "extract_text",
     "extract_quality_gate",
     "graph_pagerank",
+    # round 11: the ANN-substrate PageRank (VERDICT r10 #1) — the form a
+    # user runs at scale; the exact row above stays as the yardstick
+    "graph_pagerank_ann",
 ]
 
 
@@ -110,6 +113,14 @@ def main() -> None:
     # timed runs (ADVICE r4) cut min-of-2 scheduler noise that made
     # unchanged queries drift ±11% between rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Heavy rows converge instead of stopping at a fixed count (VERDICT
+    # r10 #3): a >2 s query still descending at run 3 records an upper
+    # bound, not a measurement (r10's semdedup_prune spread [9.79, 5.50,
+    # 4.44]). After the minimum runs, rows whose best exceeds HEAVY_SEC
+    # keep running until the latest run is within ~10% of the previous
+    # one (no longer descending), capped at max_runs.
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "6"))
+    heavy_sec = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0"))
     bench_set = BENCH_QUERIES if tier == "headline" else BENCH_EXTENDED
     # Self-attribution (VERDICT r9 #5): three rounds of wall-time
     # disputes were all host noise — record the evidence in-band so any
@@ -123,10 +134,17 @@ def main() -> None:
     for name in bench_set:
         spec = specs[name]
         all_runs = []
-        for _ in range(runs):
+        while True:
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
             all_runs.append(round(time.perf_counter() - t0, 3))
+            n = len(all_runs)
+            if n < runs:
+                continue
+            if min(all_runs) <= heavy_sec or n >= max_runs:
+                break
+            if all_runs[-1] >= 0.9 * all_runs[-2]:
+                break  # converged: no longer descending by >10%
         timings[name] = min(all_runs)
         spread[name] = all_runs
     load_after = list(os.getloadavg())
@@ -143,6 +161,7 @@ def main() -> None:
             "queries": timings,
             "runs_per_query": runs,
             "agg": "min",
+            "heavy_converge": {"heavy_sec": heavy_sec, "max_runs": max_runs},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "host": {
                 "cpus": os.cpu_count(),

@@ -65,8 +65,15 @@ LINK_DENSITY_NUM = 3
 
 def _sq(pat: str) -> str:
     """Escape a regex for a Spark SQL single-quoted literal (backslashes
-    doubled; Spark string literals process escapes)."""
-    return pat.replace("\\", "\\\\")
+    doubled, quotes backslash-escaped; Spark string literals process
+    escapes)."""
+    return pat.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _dq(pat: str) -> str:
+    """Escape a regex for a DuckDB single-quoted literal (quotes doubled;
+    DuckDB literals do NOT process backslash escapes)."""
+    return pat.replace("'", "''")
 
 
 # =========================================================================
@@ -83,12 +90,61 @@ def blocks_sql(col: str) -> str:
     return f"split({strip_nondisplay_sql(col)}, '{_sq(_BLOCK_RE)}')"
 
 
-def _clean_sql(b: str) -> str:
-    """Tag-strip + whitespace-collapse + trim one block expression."""
-    return (
-        f"trim(regexp_replace(regexp_replace({b}, '{_sq(_TAG_RE)}', ' '), "
-        f"'{_sq(_WS_RE)}', ' '))"
+# -------------------------------------------------------------------------
+# HTML entity decoding (VERDICT r10 directive #2): extracted text must not
+# carry raw entities (&amp;, &#39;, ...) into downstream token/quality/
+# langid features. Decoded dual-dialect, in ONE logical pass approximated
+# by a chain whose ampersand-producing steps run LAST (so '&amp;lt;'
+# decodes to the literal text '&lt;', never to '<'):
+#   1. decimal numeric entities &#NN; for printable ASCII 32..126,
+#      EXCLUDING 38 ('&' — deferred to step 3). Codes outside the range
+#      (multi-byte codepoints: Spark's chr() wraps mod 256 where DuckDB's
+#      is a real codepoint) are kept as literal text, documented.
+#   2. the named set &lt; &gt; &quot; &apos; &nbsp;
+#   3. &amp; and &#38; (the only decodes that can CREATE an ampersand).
+# Hex entities (&#xNN;) are out of scope (kept literal in both engines).
+# -------------------------------------------------------------------------
+
+_NUMENT_SPLIT_RE = r"&#[0-9]+;"
+_NUMENT_CAP_RE = r"&#([0-9]+);"
+
+
+def _decode_entities_sql(s: str) -> str:
+    """Spark: decode HTML entities in one string expression. ``s`` is
+    bound ONCE via a 1-element transform (the tl-binding trick the keep
+    predicate uses), so the tag-strip feeding it is not recomputed."""
+    num = (
+        f"element_at(transform(array({s}), s0 -> "
+        "element_at(transform(array(named_struct("
+        f"'p', split(s0, '{_NUMENT_SPLIT_RE}', -1), "
+        f"'c', regexp_extract_all(s0, '{_NUMENT_CAP_RE}', 1))), z -> "
+        "CASE WHEN size(z.c) = 0 THEN s0 ELSE concat(element_at(z.p, 1), "
+        "aggregate(sequence(1, size(z.c)), '', (acc, i) -> concat(acc, "
+        "CASE WHEN coalesce(try_cast(element_at(z.c, i) AS INT), -1) "
+        "BETWEEN 32 AND 126 AND try_cast(element_at(z.c, i) AS INT) != 38 "
+        "THEN char(try_cast(element_at(z.c, i) AS INT)) "
+        "ELSE concat('&#', element_at(z.c, i), ';') END, "
+        "element_at(z.p, i + 1)))) END), 1)), 1)"
     )
+    out = num
+    for ent, rep in (
+        ("&lt;", "'<'"),
+        ("&gt;", "'>'"),
+        ("&quot;", "'\"'"),
+        ("&apos;", "char(39)"),
+        ("&nbsp;", "' '"),
+    ):
+        out = f"replace({out}, '{ent}', {rep})"
+    return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+
+
+def _clean_sql(b: str) -> str:
+    """Tag-strip + entity-decode + whitespace-collapse + trim one block
+    expression. Decoding runs AFTER the tag strip (entity-encoded markup
+    is text, not markup) and BEFORE the whitespace collapse (&nbsp;
+    becomes a regular space and folds)."""
+    decoded = _decode_entities_sql(f"regexp_replace({b}, '{_sq(_TAG_RE)}', ' ')")
+    return f"trim(regexp_replace({decoded}, '{_sq(_WS_RE)}', ' '))"
 
 
 def _linklen_sql(b: str) -> str:
@@ -136,11 +192,15 @@ def n_kept_sql(blocks_col: str) -> str:
 
 def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
     """Deterministic raw-HTML page for a document row (Spark dialect).
-    Layout varies by doc_id % 3 (ad block / stray comment / link-dense
-    aside) so the keep rule is exercised on every shape. Paragraph
-    breaks are injected at the literal token 'merge ' (plain substring
-    replace — identical left-to-right non-overlap semantics in both
-    engines)."""
+    Layout varies by doc_id % 3 (ad block / stray comment + an unclosed
+    tag / link-dense aside) so the keep rule is exercised on every
+    shape. Paragraph breaks are injected at the literal token 'merge '
+    (plain substring replace — identical left-to-right non-overlap
+    semantics in both engines). Round 11 adversarial variants (VERDICT
+    r10 directive #2): the nav mixes the three href quote styles, the
+    external footer link is UNQUOTED on even doc_ids, the aside uses a
+    single-quoted href, and every page carries an entity-laden content
+    paragraph (named + decimal + out-of-range entities)."""
     did = f"CAST({doc_id} AS STRING)"
     return (
         f"'<html><head><title>Doc ' || {did} || '</title>'"
@@ -148,23 +208,30 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         f" || '<script>var t = \"' || {source} || '\"; track(t);</script>'"
         " || '</head><body>'"
         " || '<nav><ul><li><a href=\"/\">Home</a></li>"
-        "<li><a href=\"/archive\">Archive section</a></li>"
-        "<li><a href=\"/about\">About this site</a></li></ul></nav>'"
+        "<li><a href=\\'/archive\\'>Archive section</a></li>"
+        "<li><a href=/about>About this site</a></li></ul></nav>'"
         f" || '<header><h1>' || {source} || ' feed</h1></header>'"
         f" || CASE WHEN {doc_id} % 3 = 0 THEN "
         "'<div class=\"ad\"><a href=\"/buy\">Buy the thing now</a> "
         "<a href=\"/offer\">Limited time offer</a></div>' ELSE '' END"
         f" || CASE WHEN {doc_id} % 3 = 1 THEN "
-        "'<!-- rendered by engine v2 <div>ghost block</div> -->' ELSE '' END"
+        "'<!-- rendered by engine v2 <div>ghost block</div> -->"
+        "<div>trailing unclosed <b>emphasis that never closes in this block' "
+        "ELSE '' END"
         f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
+        " || '<p>Q&amp;A entities &#101;ncoded here: &lt;angle&gt; "
+        "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
-        "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
+        "<a href=\\'/rel2\\'>related story two</a></p></aside>' ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
         "<a href=\"/privacy\">Privacy</a> '"
-        f" || '<a href=\"https://d' || CAST({doc_id} % 17 AS STRING) || "
-        f"'.example.com/ref/' || {did} || '\">related source</a>'"
+        f" || CASE WHEN {doc_id} % 2 = 0 THEN "
+        f"'<a href=https://d' || CAST({doc_id} % 17 AS STRING) || "
+        f"'.example.com/ref/' || {did} || '>related source</a>' ELSE "
+        f"'<a href=\"https://d' || CAST({doc_id} % 17 AS STRING) || "
+        f"'.example.com/ref/' || {did} || '\">related source</a>' END"
         " || '</p></footer>'"
         " || '</body></html>'"
     )
@@ -183,11 +250,41 @@ def duck_blocks(col: str) -> str:
     return f"string_split_regex({duck_strip_nondisplay(col)}, '{_BLOCK_RE}')"
 
 
-def _duck_clean(b: str) -> str:
-    return (
-        f"trim(regexp_replace(regexp_replace({b}, '{_TAG_RE}', ' ', 'g'), "
-        f"'{_WS_RE}', ' ', 'g'))"
+def _duck_decode_entities(s: str) -> str:
+    """DuckDB mirror of :func:`_decode_entities_sql` — same chain, list
+    lambdas + struct binding, chr() agreeing with Spark's char() on the
+    decoded 32..126 range."""
+    num = (
+        f"list_transform([{s}], s0 -> "
+        "list_transform([{"
+        f"'p': string_split_regex(s0, '{_NUMENT_SPLIT_RE}'), "
+        f"'c': regexp_extract_all(s0, '{_NUMENT_CAP_RE}', 1)"
+        "}], z -> "
+        "CASE WHEN len(z.c) = 0 THEN s0 ELSE z.p[1] || "
+        "coalesce(array_to_string(list_transform(generate_series(1, len(z.c)), "
+        "i -> CASE WHEN coalesce(try_cast(z.c[i] AS INT), -1) "
+        "BETWEEN 32 AND 126 AND try_cast(z.c[i] AS INT) != 38 "
+        "THEN chr(try_cast(z.c[i] AS INT)) "
+        "ELSE '&#' || z.c[i] || ';' END || z.p[i + 1]), ''), '') "
+        "END)[1])[1]"
     )
+    out = num
+    for ent, rep in (
+        ("&lt;", "'<'"),
+        ("&gt;", "'>'"),
+        ("&quot;", "'\"'"),
+        ("&apos;", "chr(39)"),
+        ("&nbsp;", "' '"),
+    ):
+        out = f"replace({out}, '{ent}', {rep})"
+    return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+
+
+def _duck_clean(b: str) -> str:
+    decoded = _duck_decode_entities(
+        f"regexp_replace({b}, '{_TAG_RE}', ' ', 'g')"
+    )
+    return f"trim(regexp_replace({decoded}, '{_WS_RE}', ' ', 'g'))"
 
 
 def _duck_linklen(b: str) -> str:
@@ -238,23 +335,30 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         f" || '<script>var t = \"' || {source} || '\"; track(t);</script>'"
         " || '</head><body>'"
         " || '<nav><ul><li><a href=\"/\">Home</a></li>"
-        "<li><a href=\"/archive\">Archive section</a></li>"
-        "<li><a href=\"/about\">About this site</a></li></ul></nav>'"
+        "<li><a href=''/archive''>Archive section</a></li>"
+        "<li><a href=/about>About this site</a></li></ul></nav>'"
         f" || '<header><h1>' || {source} || ' feed</h1></header>'"
         f" || CASE WHEN {doc_id} % 3 = 0 THEN "
         "'<div class=\"ad\"><a href=\"/buy\">Buy the thing now</a> "
         "<a href=\"/offer\">Limited time offer</a></div>' ELSE '' END"
         f" || CASE WHEN {doc_id} % 3 = 1 THEN "
-        "'<!-- rendered by engine v2 <div>ghost block</div> -->' ELSE '' END"
+        "'<!-- rendered by engine v2 <div>ghost block</div> -->"
+        "<div>trailing unclosed <b>emphasis that never closes in this block' "
+        "ELSE '' END"
         f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
+        " || '<p>Q&amp;A entities &#101;ncoded here: &lt;angle&gt; "
+        "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
-        "<a href=\"/rel2\">related story two</a></p></aside>' ELSE '' END"
+        "<a href=''/rel2''>related story two</a></p></aside>' ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
         "<a href=\"/privacy\">Privacy</a> '"
-        f" || '<a href=\"https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
-        f"'.example.com/ref/' || {did} || '\">related source</a>'"
+        f" || CASE WHEN {doc_id} % 2 = 0 THEN "
+        f"'<a href=https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
+        f"'.example.com/ref/' || {did} || '>related source</a>' ELSE "
+        f"'<a href=\"https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
+        f"'.example.com/ref/' || {did} || '\">related source</a>' END"
         " || '</p></footer>'"
         " || '</body></html>'"
     )
@@ -267,21 +371,57 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
 # wants). Same dual-dialect regex discipline as the text path; map-only.
 # =========================================================================
 
-_ANCHOR_HREF_RE = r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+# Real-world crawls quote href values three ways (VERDICT r10 directive
+# #2): double-quoted, single-quoted (href='/x'), and unquoted (href=/x).
+# Rather than a 3-branch extraction regex (regexp_extract_all reads ONE
+# capture group), both dialects NORMALIZE single-quoted and unquoted
+# href values into double-quoted form first — two replace-all passes,
+# map-only — and extract with the one double-quoted pattern. \b before
+# href would match inside data-href (word boundary after '-'), so the
+# patterns require actual whitespace before the attribute name.
+_HREF_SQ_RE = (
+    r"(?is)(<a\b[^>]*?" + _WS_CLASS + r"href" + _WS_CLASS + r"*=" + _WS_CLASS
+    + r"*)'([^']*)'"
+)
+_HREF_UQ_RE = (
+    r"(?is)(<a\b[^>]*?" + _WS_CLASS + r"href" + _WS_CLASS + r"*=" + _WS_CLASS
+    + r"*)([^'\" \t\n\x0B\f\r>][^ \t\n\x0B\f\r>]*)"
+)
+_ANCHOR_HREF_RE = (
+    r"(?is)<a\b[^>]*?" + _WS_CLASS + r"href" + _WS_CLASS + r"*=" + _WS_CLASS
+    + r'*"([^"]*)"[^>]*>(.*?)</a>'
+)
 _HOST_RE = r"^https?://([^/]+)"
 
 
+def normalize_hrefs_sql(col: str) -> str:
+    """Rewrite single-quoted then unquoted href values to double-quoted
+    form (the unquoted pass skips already-quoted values — its first
+    char class excludes both quote characters)."""
+    sq = f"regexp_replace({col}, '{_sq(_HREF_SQ_RE)}', '$1\"$2\"')"
+    return f"regexp_replace({sq}, '{_sq(_HREF_UQ_RE)}', '$1\"$2\"')"
+
+
+def duck_normalize_hrefs(col: str) -> str:
+    sq = f"regexp_replace({col}, '{_dq(_HREF_SQ_RE)}', '\\1\"\\2\"', 'g')"
+    return f"regexp_replace({sq}, '{_dq(_HREF_UQ_RE)}', '\\1\"\\2\"', 'g')"
+
+
 def hrefs_sql(col: str) -> str:
-    """Array of href values, document order."""
-    return f"regexp_extract_all({col}, '{_sq(_ANCHOR_HREF_RE)}', 1)"
+    """Array of href values, document order (all three quote styles)."""
+    return (
+        f"regexp_extract_all({normalize_hrefs_sql(col)}, "
+        f"'{_sq(_ANCHOR_HREF_RE)}', 1)"
+    )
 
 
 def anchor_texts_sql(col: str) -> str:
-    """Array of anchor inner texts (tag-stripped, ws-collapsed), aligned
-    index-for-index with :func:`hrefs_sql` (same regex, same matches)."""
+    """Array of anchor inner texts (tag-stripped, entity-decoded,
+    ws-collapsed), aligned index-for-index with :func:`hrefs_sql`
+    (same normalized input, same regex, same matches)."""
     return (
-        f"transform(regexp_extract_all({col}, '{_sq(_ANCHOR_HREF_RE)}', 2), "
-        f"a -> {_clean_sql('a')})"
+        f"transform(regexp_extract_all({normalize_hrefs_sql(col)}, "
+        f"'{_sq(_ANCHOR_HREF_RE)}', 2), a -> {_clean_sql('a')})"
     )
 
 
@@ -291,13 +431,16 @@ def href_host_sql(href: str) -> str:
 
 
 def duck_hrefs(col: str) -> str:
-    return f"regexp_extract_all({col}, '{_ANCHOR_HREF_RE}', 1)"
+    return (
+        f"regexp_extract_all({duck_normalize_hrefs(col)}, "
+        f"'{_ANCHOR_HREF_RE}', 1)"
+    )
 
 
 def duck_anchor_texts(col: str) -> str:
     return (
-        f"list_transform(regexp_extract_all({col}, '{_ANCHOR_HREF_RE}', 2), "
-        f"a -> {_duck_clean('a')})"
+        f"list_transform(regexp_extract_all({duck_normalize_hrefs(col)}, "
+        f"'{_ANCHOR_HREF_RE}', 2), a -> {_duck_clean('a')})"
     )
 
 

@@ -171,6 +171,15 @@ def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return authority_from_pairs(pairs)
+
+
+def authority_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(domain, pr_scaled, authority) from a distinct (src_host,
+    dst_host) pair frame — the composition domain_authority registers,
+    factored so the STREAMED link-graph state (streaming/linkgraph.py)
+    recomputes authority over its merged domain graph through the
+    identical deterministic id assignment + integer PageRank."""
     doms = (
         pairs.select(F.col("src_host").alias("dom"))
         .unionAll(pairs.select(F.col("dst_host").alias("dom")))

@@ -162,8 +162,20 @@ def _lm_gated_writer(spark, root):
     return ingest, ["uni", "bi", "accepted"], _docs
 
 
+def _linkgraph_writer(spark, root):
+    from event_data_etl_gcs_spark.streaming.linkgraph import (
+        linkgraph_ingest_batch,
+    )
+
+    def ingest(bdf, bid):
+        linkgraph_ingest_batch(bdf, bid, root)
+
+    return ingest, ["edges"], _docs
+
+
 WRITERS = {
     "corpus": _corpus_writer,
+    "linkgraph": _linkgraph_writer,
     "lm_bigram": _lm_bigram_writer,
     "lm_gated": _lm_gated_writer,
     "substring": _substring_writer,

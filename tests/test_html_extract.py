@@ -98,6 +98,39 @@ def test_moderate_link_in_long_block_survives(spark):
     assert "the reference" in r["text"]
 
 
+def test_entities_decoded_in_extracted_text(spark):
+    """VERDICT r10 directive #2: named + decimal entities decode in the
+    extracted text (they previously poisoned downstream token/quality/
+    langid features); double-encoded, out-of-range, and hex entities
+    stay literal — the documented single-pass approximation."""
+    html = (
+        "<body><p>Q&amp;A entities &#101;ncoded &lt;angle&gt; "
+        "&quot;quoted&quot; and&nbsp;joined text clears the length gate</p>"
+        "<p>double &amp;lt; encoded and &#38;gt; too plus &#8212; dash "
+        "and &#x41; hex all stay literal in this block</p></body>"
+    )
+    r = _extract_one(spark, html)
+    assert (
+        'Q&A entities encoded <angle> "quoted" and joined text' in r["text"]
+    )
+    assert "&amp;" not in r["text"] and "&nbsp;" not in r["text"]
+    # ampersand-producing decodes run last: no double-decode
+    assert "double &lt; encoded and &gt; too" in r["text"]
+    assert "&#8212;" in r["text"] and "&#x41;" in r["text"]
+
+
+def test_unclosed_tag_block_still_segments(spark):
+    """An unclosed inline tag must not swallow the rest of the page:
+    block segmentation is boundary-driven, not balance-driven."""
+    html = (
+        "<body><div>trailing unclosed <b>emphasis that never closes "
+        f"in this block<p>{LONG_PARA}</p></body>"
+    )
+    r = _extract_one(spark, html)
+    assert r["n_kept"] == 2
+    assert r["text"].endswith(LONG_PARA)
+
+
 def test_empty_and_markup_only_pages(spark):
     assert _extract_one(spark, "")["text"] == ""
     r = _extract_one(spark, "<html><body><div></div><p></p></body></html>")
@@ -112,14 +145,22 @@ def test_fixture_recovers_normalized_text_for_content_heavy_doc(spark):
     para2 = " ".join(f"second{i}" for i in range(20))
     # one 'merge ' break -> two injected paragraphs, both above the gate
     text = f"{para1} merge {para2}"
+    # doc_id 9 -> %3 == 0 variant (link-dense ad block, dropped): the
+    # %3 == 1 unclosed-tag block and %3 == 2 aside would add kept text
     docs = spark.createDataFrame(
-        [(7, text, "en", "srcX", len(text))],
+        [(9, text, "en", "srcX", len(text))],
         "doc_id long, text string, lang string, source string, n_chars int",
     )
     r = extract_frame(docs).collect()[0]
     want = " ".join(text.split())
-    assert r["text_clean"] == want
-    assert r["n_blocks_kept"] == 2
+    # the injected content comes back bit-identical (normalized), then
+    # the fixture's always-present entity paragraph, decoded (r11)
+    assert r["text_clean"].startswith(want + " ")
+    assert r["text_clean"] == (
+        want + ' Q&A entities encoded here: <angle> "quoted" text joined '
+        "plus &#8212; dash kept literal"
+    )
+    assert r["n_blocks_kept"] == 3
 
 
 def test_extract_text_plan_is_map_only(spark):

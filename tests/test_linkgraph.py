@@ -58,6 +58,51 @@ def test_anchor_without_href_ignored(spark):
     assert [(r["href"], r["anchor_text"]) for r in rows] == [("/ok", "ok")]
 
 
+def test_quote_styles_hand_counted_page(spark):
+    """VERDICT r10 directive #2: a hand-written page mixing all three
+    href quote styles (double, single, unquoted — the latter two common
+    in real crawls and silently dropped pre-r11) plus spacing around
+    '=', a data-href decoy, and entity-laden anchor text. Exactly 6
+    links, in document order, every href and host recovered."""
+    html = (
+        '<body><nav><a href="https://dq.example.com/a">double</a>'
+        " <a href='https://sq.example.com/b'>single</a>"
+        " <a href=https://uq.example.com/c>unquoted</a></nav>"
+        '<p><a data-href="/decoy" name="x">decoy only</a>'
+        " <a href = '/rel-sq'>rel single</a>"
+        " <a href= /rel-uq>rel unquoted</a>"
+        ' <a href="/entity">Q&amp;A &#77;ix &lt;t&gt;</a></p></body>'
+    )
+    rows = _links(spark, html)
+    assert [(r["href"], r["anchor_text"], r["host"]) for r in rows] == [
+        ("https://dq.example.com/a", "double", "dq.example.com"),
+        ("https://sq.example.com/b", "single", "sq.example.com"),
+        ("https://uq.example.com/c", "unquoted", "uq.example.com"),
+        ("/rel-sq", "rel single", ""),
+        ("/rel-uq", "rel unquoted", ""),
+        ("/entity", 'Q&A Mix <t>', ""),
+    ]
+
+
+def test_fixture_quote_variants_all_harvested(spark):
+    """The fixture's single-quoted nav link, unquoted nav link, and the
+    even-doc unquoted EXTERNAL footer link must all be harvested — the
+    edge list cannot depend on the crawl's quoting habits."""
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    links = links_frame(docs)
+    n_docs = docs.count()
+    # every page: nav /archive (single-quoted) + /about (unquoted)
+    assert links.filter(F.col("href") == "/archive").count() == n_docs
+    assert links.filter(F.col("href") == "/about").count() == n_docs
+    # even docs carry the UNQUOTED external link; hosts still resolve
+    ext = links.filter(F.col("is_external"))
+    assert ext.count() == n_docs
+    assert ext.filter(F.col("host") == "").count() == 0
+    assert ext.filter(F.col("doc_id") % 2 == 0).count() == (n_docs + 1) // 2
+
+
 def test_extract_links_plan_is_map_only(spark):
     from event_data_etl_gcs_spark.queries.linkgraph import extract_links
 
