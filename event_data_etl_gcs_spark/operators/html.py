@@ -223,7 +223,9 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
-        "<a href=\\'/rel2\\'>related story two</a></p></aside>' ELSE '' END"
+        "<a href=\\'/rel2\\'>related story two</a> "
+        "<a href=//cdn.example.net/mirror>cached mirror</a></p></aside>' "
+        "ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
         "<a href=\"/privacy\">Privacy</a> '"
@@ -350,7 +352,9 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
-        "<a href=''/rel2''>related story two</a></p></aside>' ELSE '' END"
+        "<a href=''/rel2''>related story two</a> "
+        "<a href=//cdn.example.net/mirror>cached mirror</a></p></aside>' "
+        "ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
         "<a href=\"/privacy\">Privacy</a> '"
@@ -391,7 +395,9 @@ _ANCHOR_HREF_RE = (
     r"(?is)<a\b[^>]*?" + _WS_CLASS + r"href" + _WS_CLASS + r"*=" + _WS_CLASS
     + r'*"([^"]*)"[^>]*>(.*?)</a>'
 )
-_HOST_RE = r"^https?://([^/]+)"
+# Absolute http(s) OR protocol-relative (//cdn.example.net/x — common
+# in real crawls; round 11): both carry a host and are external links.
+_HOST_RE = r"^(?:https?:)?//([^/]+)"
 
 
 def normalize_hrefs_sql(col: str) -> str:

@@ -45,7 +45,9 @@ _DUCK_LINK_CTES = (
     "), links AS MATERIALIZED ("
     "  SELECT doc_id, source, CAST(i AS INTEGER) AS link_pos, "
     "         hrefs[i] AS href, atexts[i] AS anchor_text, "
-    "         hrefs[i] LIKE 'http%' AS is_external, "
+    # external = the href carries a host: absolute http(s) OR
+    # protocol-relative //host/... (round 11; was LIKE 'http%')
+    f"         {duck_href_host('hrefs[i]')} <> '' AS is_external, "
     f"         {duck_href_host('hrefs[i]')} AS host"
     "  FROM la, unnest(range(1, len(hrefs) + 1)) AS r(i)"
     ")"
@@ -70,7 +72,8 @@ def links_frame(docs: DataFrame) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("link_pos"),
         "href",
         F.element_at("atexts", F.col("pos0") + 1).alias("anchor_text"),
-        F.col("href").startswith("http").alias("is_external"),
+        # external = the href carries a host (absolute OR //-relative)
+        (F.expr(href_host_sql("href")) != F.lit("")).alias("is_external"),
         F.expr(href_host_sql("href")).alias("host"),
     )
 

@@ -62,8 +62,9 @@ def test_quote_styles_hand_counted_page(spark):
     """VERDICT r10 directive #2: a hand-written page mixing all three
     href quote styles (double, single, unquoted — the latter two common
     in real crawls and silently dropped pre-r11) plus spacing around
-    '=', a data-href decoy, and entity-laden anchor text. Exactly 6
-    links, in document order, every href and host recovered."""
+    '=', a data-href decoy, a protocol-relative URL, and entity-laden
+    anchor text. Exactly 7 links, in document order, every href and
+    host recovered."""
     html = (
         '<body><nav><a href="https://dq.example.com/a">double</a>'
         " <a href='https://sq.example.com/b'>single</a>"
@@ -71,6 +72,7 @@ def test_quote_styles_hand_counted_page(spark):
         '<p><a data-href="/decoy" name="x">decoy only</a>'
         " <a href = '/rel-sq'>rel single</a>"
         " <a href= /rel-uq>rel unquoted</a>"
+        ' <a href="//pr.example.com/lib">proto relative</a>'
         ' <a href="/entity">Q&amp;A &#77;ix &lt;t&gt;</a></p></body>'
     )
     rows = _links(spark, html)
@@ -80,6 +82,7 @@ def test_quote_styles_hand_counted_page(spark):
         ("https://uq.example.com/c", "unquoted", "uq.example.com"),
         ("/rel-sq", "rel single", ""),
         ("/rel-uq", "rel unquoted", ""),
+        ("//pr.example.com/lib", "proto relative", "pr.example.com"),
         ("/entity", 'Q&A Mix <t>', ""),
     ]
 
@@ -96,11 +99,23 @@ def test_fixture_quote_variants_all_harvested(spark):
     # every page: nav /archive (single-quoted) + /about (unquoted)
     assert links.filter(F.col("href") == "/archive").count() == n_docs
     assert links.filter(F.col("href") == "/about").count() == n_docs
-    # even docs carry the UNQUOTED external link; hosts still resolve
+    # every external carries a host (unquoted + protocol-relative incl.)
     ext = links.filter(F.col("is_external"))
-    assert ext.count() == n_docs
     assert ext.filter(F.col("host") == "").count() == 0
-    assert ext.filter(F.col("doc_id") % 2 == 0).count() == (n_docs + 1) // 2
+    # the footer external (absolute https) appears once per page, the
+    # even-doc half via the UNQUOTED spelling
+    footer = ext.filter(F.col("href").startswith("https://"))
+    assert footer.count() == n_docs
+    assert footer.filter(F.col("doc_id") % 2 == 0).count() == (n_docs + 1) // 2
+    # protocol-relative CDN link: one per %3==2 page, host resolved
+    from pyspark.sql import Row
+
+    cdn = ext.filter(F.col("href") == "//cdn.example.net/mirror")
+    n_aside = docs.filter(F.col("doc_id") % 3 == 2).count()
+    assert cdn.count() == n_aside and n_aside > 0
+    assert cdn.select("host").distinct().collect() == [
+        Row(host="cdn.example.net")
+    ]
 
 
 def test_extract_links_plan_is_map_only(spark):
@@ -138,7 +153,12 @@ def test_fixture_links_cover_internal_and_external(spark):
         F.sum(F.col("is_external").cast("int")).alias("n_ext"),
         F.count("*").alias("n_all"),
     )
-    # every page carries exactly one external (footer) link plus the
-    # relative nav/footer links; variants add more relative ones
-    assert per_doc.filter("n_ext != 1").count() == 0
+    # every page: one external footer link; %3==2 pages add the
+    # protocol-relative CDN link (r11 — external: it carries a host)
+    assert per_doc.filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("n_ext") != 2)
+    ).count() == 0
+    assert per_doc.filter(
+        (F.col("doc_id") % 3 != 2) & (F.col("n_ext") != 1)
+    ).count() == 0
     assert per_doc.filter("n_all < 6").count() == 0
