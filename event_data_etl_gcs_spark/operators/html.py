@@ -231,9 +231,11 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         "<a href=\"/privacy\">Privacy</a> '"
         f" || CASE WHEN {doc_id} % 2 = 0 THEN "
         f"'<a href=https://d' || CAST({doc_id} % 17 AS STRING) || "
-        f"'.example.com/ref/' || {did} || '>related source</a>' ELSE "
+        f"'.example.com/ref/' || {did} || '?gclid=x&id=' || {did} || "
+        "'>related source</a>' ELSE "
         f"'<a href=\"https://d' || CAST({doc_id} % 17 AS STRING) || "
-        f"'.example.com/ref/' || {did} || '\">related source</a>' END"
+        f"'.example.com/ref/' || {did} || '?utm_source=' || {source} || "
+        "'&ref=a#sec\">related source</a>' END"
         " || '</p></footer>'"
         " || '</body></html>'"
     )
@@ -360,9 +362,11 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         "<a href=\"/privacy\">Privacy</a> '"
         f" || CASE WHEN {doc_id} % 2 = 0 THEN "
         f"'<a href=https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
-        f"'.example.com/ref/' || {did} || '>related source</a>' ELSE "
+        f"'.example.com/ref/' || {did} || '?gclid=x&id=' || {did} || "
+        "'>related source</a>' ELSE "
         f"'<a href=\"https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
-        f"'.example.com/ref/' || {did} || '\">related source</a>' END"
+        f"'.example.com/ref/' || {did} || '?utm_source=' || {source} || "
+        "'&ref=a#sec\">related source</a>' END"
         " || '</p></footer>'"
         " || '</body></html>'"
     )
@@ -452,3 +456,83 @@ def duck_anchor_texts(col: str) -> str:
 
 def duck_href_host(href: str) -> str:
     return f"regexp_extract({href}, '{_HOST_RE}', 1)"
+
+
+# =========================================================================
+# URL canonicalization (round 11): the normalization a crawl pipeline
+# applies BEFORE frontier dedup / graph building — resolve relative
+# references against the page host, lowercase the scheme+authority
+# (case-insensitive per RFC 3986; paths stay case-sensitive), strip the
+# fragment, and drop tracking parameters (utm_*, gclid, fbclid). Pure
+# string expressions, map-only, dual-dialect exact. Non-http(s) schemes
+# (mailto:, javascript:, ...) canonicalize to NULL — they are not crawl
+# frontier entries. No lookaheads anywhere (RE2 has none).
+# =========================================================================
+
+_AUTH_RE = r"^[^/]*//[^/?]*"
+_TRACKING_RE = r"^(utm_|gclid=|fbclid=)"
+
+
+def _resolved_url_sql(href: str, src_host: str, dialect: str) -> str:
+    rl = (
+        (lambda e, p: f"{e} RLIKE '{p}'")
+        if dialect == "spark"
+        else (lambda e, p: f"regexp_matches({e}, '{p}')")
+    )
+    return (
+        f"CASE WHEN {href} IS NULL OR {href} = '' THEN NULL "
+        f"WHEN {rl(href, '(?i)^https?://')} THEN {href} "
+        f"WHEN {rl(href, '^//')} THEN 'https:' || {href} "
+        # any other explicit scheme (mailto:, javascript:, tel:, data:)
+        f"WHEN {rl(href, '^[A-Za-z][A-Za-z0-9+.-]*:')} THEN NULL "
+        f"WHEN {rl(href, '^/')} THEN 'https://' || {src_host} || {href} "
+        f"ELSE 'https://' || {src_host} || '/' || {href} END"
+    )
+
+
+def canonical_url_sql(href: str, src_host: str) -> str:
+    """Spark expression: canonical absolute URL of ``href`` found on a
+    page whose host is ``src_host`` (NULL for empty/non-http hrefs)."""
+    resolved = _resolved_url_sql(href, src_host, "spark")
+    auth = f"regexp_extract(u1, '{_sq(_AUTH_RE)}', 0)"
+    lowered = f"lower({auth}) || substring(u1, length({auth}) + 1)"
+    pre = "CASE WHEN instr(w, '?') > 0 THEN substring(w, 1, instr(w, '?') - 1) ELSE w END"
+    q = "CASE WHEN instr(w, '?') > 0 THEN substring(w, instr(w, '?') + 1) ELSE '' END"
+    final = (
+        "z.pre || CASE WHEN size(filter(split(z.q, '&'), "
+        f"p -> p != '' AND NOT p RLIKE '{_sq(_TRACKING_RE)}')) = 0 THEN '' "
+        "ELSE '?' || array_join(filter(split(z.q, '&'), "
+        f"p -> p != '' AND NOT p RLIKE '{_sq(_TRACKING_RE)}'), '&') END"
+    )
+    return (
+        f"element_at(transform(array({resolved}), u0 -> "
+        "element_at(transform(array(regexp_replace(u0, '#.*', '')), u1 -> "
+        f"element_at(transform(array({lowered}), w -> "
+        f"element_at(transform(array(named_struct('pre', {pre}, 'q', {q})), "
+        f"z -> {final}), 1)), 1)), 1)), 1)"
+    )
+
+
+def duck_canonical_url(href: str, src_host: str) -> str:
+    """DuckDB mirror of :func:`canonical_url_sql` — same resolution,
+    lowering, fragment strip, and tracking-param filter."""
+    resolved = _resolved_url_sql(href, src_host, "duck")
+    auth = f"regexp_extract(u1, '{_AUTH_RE}', 0)"
+    lowered = f"lower({auth}) || substring(u1, length({auth}) + 1)"
+    pre = "CASE WHEN instr(w, '?') > 0 THEN substring(w, 1, instr(w, '?') - 1) ELSE w END"
+    q = "CASE WHEN instr(w, '?') > 0 THEN substring(w, instr(w, '?') + 1) ELSE '' END"
+    keep = (
+        "list_filter(string_split(z.q, '&'), "
+        f"p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))"
+    )
+    final = (
+        f"z.pre || CASE WHEN len({keep}) = 0 THEN '' "
+        f"ELSE '?' || array_to_string({keep}, '&') END"
+    )
+    return (
+        f"list_transform([{resolved}], u0 -> "
+        "list_transform([regexp_replace(u0, '#.*', '', 'g')], u1 -> "
+        f"list_transform([{lowered}], w -> "
+        "list_transform([{'pre': " + pre + ", 'q': " + q + "}], "
+        f"z -> {final})[1])[1])[1])[1]"
+    )

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 from ..operators.graph import PR_SCALE, pagerank_quantized
 from ..operators.html import (
     anchor_texts_sql,
+    canonical_url_sql,
     duck_anchor_texts,
+    duck_canonical_url,
     duck_href_host,
     duck_hrefs,
     href_host_sql,
@@ -125,6 +127,90 @@ def link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_links"),
             F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# Canonical-URL layer (round 11): resolve + normalize every harvested
+# href against the page host, then dedup the crawl frontier on the
+# canonical form — the normalization step real pipelines run before
+# frontier scheduling and link-graph construction (tracking params and
+# fragments otherwise explode the frontier with aliases of one page).
+_DUCK_SRC_HOST = "(source || '.example.com')"
+_DUCK_CANON_CTES = (
+    f"{_DUCK_LINK_CTES}, canon AS MATERIALIZED ("
+    "  SELECT doc_id, source, link_pos, href, anchor_text, is_external, host, "
+    f"  {duck_canonical_url('href', _DUCK_SRC_HOST)} AS canonical_url"
+    "  FROM links"
+    ")"
+)
+
+
+def canonical_links_frame(docs: DataFrame) -> DataFrame:
+    links = links_frame(docs)
+    return links.withColumn(
+        "canonical_url",
+        F.expr(canonical_url_sql("href", "(source || '.example.com')")),
+    )
+
+
+@query(
+    "canonical_links",
+    oracle=(
+        f"WITH {_DUCK_CANON_CTES} "
+        "SELECT doc_id, link_pos, href, canonical_url, is_external, host "
+        "FROM canon"
+    ),
+    doc=(
+        "Per-link canonical URL: relative references resolved against "
+        "the page host, scheme+authority lowercased (RFC 3986 case "
+        "rules; path case preserved), fragment stripped, tracking "
+        "params (utm_*/gclid/fbclid) dropped, non-http schemes -> NULL. "
+        "Pure string expressions on the harvested anchor table — "
+        "map-only at any corpus size."
+    ),
+)
+def canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_links_frame(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "link_pos", "href", "canonical_url", "is_external", "host"
+    )
+
+
+@query(
+    "crawl_frontier",
+    oracle=(
+        f"WITH {_DUCK_CANON_CTES} "
+        "SELECT canonical_url, "
+        f"{duck_href_host('canonical_url')} AS dst_host, "
+        "COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs, "
+        "MIN(doc_id) AS first_doc "
+        "FROM canon WHERE canonical_url IS NOT NULL "
+        "GROUP BY canonical_url"
+    ),
+    doc=(
+        "Crawl-frontier dedup: one row per DISTINCT canonical URL "
+        "(internal + external; mailto/javascript excluded as NULL) with "
+        "reference counts and the first referencing doc — the dedup a "
+        "frontier scheduler runs so ?utm_source= aliases of one page "
+        "enqueue once. One groupBy at distinct-URL cardinality after "
+        "the map-only canonicalization."
+    ),
+)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    return (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn(
+            "dst_host", F.expr(href_host_sql("canonical_url"))
+        )
+        .select(
+            "canonical_url", "dst_host", "n_refs", "n_docs", "first_doc"
         )
     )
 

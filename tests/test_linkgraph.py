@@ -118,6 +118,59 @@ def test_fixture_quote_variants_all_harvested(spark):
     ]
 
 
+def test_canonical_url_semantics_on_fixture(spark):
+    """Round 11: canonicalization strips tracking params + fragments,
+    keeps real params, resolves relative hrefs against the page host,
+    and nulls non-http schemes — pinned on the fixture's own links."""
+    from event_data_etl_gcs_spark.queries.linkgraph import (
+        canonical_links_frame,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id").isin([1, 2])
+    )
+    rows = {
+        (r["doc_id"], r["href"]): r["canonical_url"]
+        for r in canonical_links_frame(docs).collect()
+    }
+    ext = {
+        k: v for k, v in rows.items() if k[1].startswith("http")
+    }
+    assert len(ext) == 2
+    for (doc_id, href), canon in ext.items():
+        assert "#" not in canon and "utm_" not in canon and "gclid" not in canon
+        if doc_id % 2 == 0:  # unquoted variant carried ?gclid=x&id=N
+            assert canon.endswith(f"/ref/{doc_id}?id={doc_id}"), canon
+        else:  # double-quoted variant carried ?utm_source=..&ref=a#sec
+            assert canon.endswith(f"/ref/{doc_id}?ref=a"), canon
+    # relative nav links resolve against the page host
+    rel = {k: v for k, v in rows.items() if k[1] == "/about"}
+    for (_, _), canon in rel.items():
+        assert canon.startswith("https://src") and canon.endswith(
+            ".example.com/about"
+        )
+
+
+def test_crawl_frontier_dedups_aliases(spark):
+    """All docs of one source reference /about via different raw pages;
+    the frontier holds ONE canonical row for it, with n_docs equal to
+    the source's doc count."""
+    from event_data_etl_gcs_spark.queries.linkgraph import crawl_frontier
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    one_source = docs.groupBy("source").count().orderBy("source").first()
+    url = f"https://{one_source['source']}.example.com/about"
+    row = crawl_frontier(spark, sf).filter(
+        F.col("canonical_url") == url
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["n_docs"] == one_source["count"]
+    assert row[0]["dst_host"] == f"{one_source['source']}.example.com"
+
+
 def test_extract_links_plan_is_map_only(spark):
     from event_data_etl_gcs_spark.queries.linkgraph import extract_links
 
