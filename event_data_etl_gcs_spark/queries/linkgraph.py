@@ -263,6 +263,56 @@ def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return authority_from_pairs(pairs)
 
 
+@query(
+    "doc_outlink_authority",
+    oracle=(
+        f"WITH {duck_pagerank_ctes(_DUCK_AUTHORITY_EDGE_CTES)}, "
+        "auth AS (SELECT d.dom AS domain, p.r FROM "
+        f"pr{PR_ITERS} p JOIN dids d ON d.nid = p.node), "
+        "dl AS (SELECT DISTINCT doc_id, host FROM links "
+        "WHERE is_external AND host <> '') "
+        "SELECT dl.doc_id, COUNT(*) AS n_domains, "
+        "CAST(SUM(a.r) AS BIGINT) AS auth_sum_scaled, "
+        f"CAST(SUM(a.r) AS DOUBLE) / (COUNT(*) * {PR_SCALE}) "
+        "AS mean_authority "
+        "FROM dl JOIN auth a ON a.domain = dl.host GROUP BY dl.doc_id"
+    ),
+    doc=(
+        "Authority joined BACK onto documents — the curation signal the "
+        "link graph exists to produce: per doc, the count of distinct "
+        "external target domains, the exact int64 sum of their scaled "
+        "authority, and the mean authority (one exact double division). "
+        "The authority table is domain-cardinality, so the join-back "
+        "broadcasts onto the doc-link table; everything upstream of it "
+        "is the map-only harvest + domain-sized PageRank."
+    ),
+)
+def doc_outlink_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auth = domain_authority(spark, sf_dir).select(
+        F.col("domain").alias("host"), "pr_scaled"
+    )
+    dl = (
+        links_frame(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("is_external") & (F.col("host") != ""))
+        .select("doc_id", "host")
+        .distinct()
+    )
+    return (
+        dl.join(F.broadcast(auth), "host")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_domains"),
+            F.sum("pr_scaled").cast("bigint").alias("auth_sum_scaled"),
+        )
+        .withColumn(
+            "mean_authority",
+            F.col("auth_sum_scaled").cast("double")
+            / (F.col("n_domains") * F.lit(PR_SCALE)).cast("double"),
+        )
+        .select("doc_id", "n_domains", "auth_sum_scaled", "mean_authority")
+    )
+
+
 def authority_from_pairs(pairs: DataFrame) -> DataFrame:
     """(domain, pr_scaled, authority) from a distinct (src_host,
     dst_host) pair frame — the composition domain_authority registers,

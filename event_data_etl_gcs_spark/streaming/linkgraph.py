@@ -39,7 +39,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.linkgraph import authority_from_pairs, links_frame
+from ..queries.linkgraph import (
+    authority_from_pairs,
+    canonical_links_frame,
+    links_frame,
+)
 from .compaction import recover_compaction
 from .corpus import _append_state
 
@@ -47,17 +51,23 @@ EDGE_STATE_SCHEMA = (
     "src_host STRING, dst_host STRING, n_links LONG, n_docs LONG, "
     "batch_id LONG"
 )
+FRONTIER_STATE_SCHEMA = (
+    "canonical_url STRING, dst_host STRING, n_refs LONG, n_docs LONG, "
+    "first_doc LONG, batch_id LONG"
+)
 
 
 def linkgraph_ingest_batch(
     batch_df: DataFrame, batch_id: int, state_dir: str
 ) -> None:
-    """One increment: the delivery's external-anchor aggregate appended
-    under its own batch_id partition. ``batch_df`` is a documents-shaped
-    frame (doc_id, text, source, ...)."""
+    """One increment: the delivery's external-anchor edge aggregate AND
+    its canonical-URL frontier partial, each appended under its own
+    batch_id partition (two writes — the crash between them is the
+    chaos matrix's territory; replay rewrites both deterministically).
+    ``batch_df`` is a documents-shaped frame (doc_id, text, source)."""
+    canon = canonical_links_frame(batch_df).localCheckpoint(eager=True)
     edges = (
-        links_frame(batch_df)
-        .filter(F.col("is_external") & (F.col("host") != ""))
+        canon.filter(F.col("is_external") & (F.col("host") != ""))
         .select(
             F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
             F.col("host").alias("dst_host"),
@@ -70,6 +80,20 @@ def linkgraph_ingest_batch(
         )
     )
     _append_state(edges, os.path.join(state_dir, "edges"), batch_id)
+    from ..operators.html import href_host_sql
+
+    frontier = (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn("dst_host", F.expr(href_host_sql("canonical_url")))
+        .select("canonical_url", "dst_host", "n_refs", "n_docs", "first_doc")
+    )
+    _append_state(frontier, os.path.join(state_dir, "frontier"), batch_id)
 
 
 def edges_merge(df: DataFrame) -> DataFrame:
@@ -80,6 +104,40 @@ def edges_merge(df: DataFrame) -> DataFrame:
     return df.groupBy("src_host", "dst_host").agg(
         F.sum("n_links").cast("long").alias("n_links"),
         F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def frontier_merge(df: DataFrame) -> DataFrame:
+    """Canned compaction reduction for the frontier state: SUM the
+    counters, MIN the first-doc per canonical URL. Sum-merged like
+    :func:`edges_merge` — compact only with ``checkpoint_dir``."""
+    return df.groupBy("canonical_url", "dst_host").agg(
+        F.sum("n_refs").cast("long").alias("n_refs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("first_doc").alias("first_doc"),
+    )
+
+
+def read_crawl_frontier(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained frontier, batch partials folded — column-identical
+    to the batch ``crawl_frontier`` over the union of deliveries."""
+    path = os.path.join(state_dir, "frontier")
+    recover_compaction(path)
+    if not (
+        os.path.exists(path)
+        and any(n.startswith("batch_id=") for n in os.listdir(path))
+    ):
+        return spark.createDataFrame([], FRONTIER_STATE_SCHEMA).drop("batch_id")
+    return (
+        spark.read.schema(FRONTIER_STATE_SCHEMA)
+        .parquet(path)
+        .groupBy("canonical_url", "dst_host")
+        .agg(
+            F.sum("n_refs").cast("long").alias("n_refs"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.min("first_doc").alias("first_doc"),
+        )
+        .select("canonical_url", "dst_host", "n_refs", "n_docs", "first_doc")
     )
 
 

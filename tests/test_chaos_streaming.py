@@ -170,7 +170,7 @@ def _linkgraph_writer(spark, root):
     def ingest(bdf, bid):
         linkgraph_ingest_batch(bdf, bid, root)
 
-    return ingest, ["edges"], _docs
+    return ingest, ["edges", "frontier"], _docs
 
 
 WRITERS = {

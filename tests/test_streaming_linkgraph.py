@@ -62,6 +62,21 @@ def test_replay_rewrites_own_partition(spark, tmp_path):
     assert _rows(read_link_graph_edges(spark, root)) == before
 
 
+def test_streamed_frontier_equals_batch(spark, tmp_path):
+    from event_data_etl_gcs_spark.queries.linkgraph import crawl_frontier
+    from event_data_etl_gcs_spark.streaming.linkgraph import (
+        read_crawl_frontier,
+    )
+
+    _, parts = _deliveries(spark)
+    root = str(tmp_path / "lg")
+    for bid, part in enumerate(parts):
+        linkgraph_ingest_batch(part, bid, root)
+    got = _rows(read_crawl_frontier(spark, root))
+    want = _rows(crawl_frontier(spark, SF))
+    assert got == want and len(got) > 0
+
+
 def test_streamed_authority_equals_batch(spark, tmp_path):
     _, parts = _deliveries(spark)
     root = str(tmp_path / "lg")
