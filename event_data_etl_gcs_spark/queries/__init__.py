@@ -148,6 +148,9 @@ set_priority([
     "extract_text", "extraction_stats", "extract_quality_gate",
     "extract_langid", "extract_links", "link_graph_edges",
     "domain_authority",
+    # --- round 11 --------------------------------------------------------
+    "graph_pagerank_ann", "graph_triangle_counts_ann", "graph_bfs_hops_ann",
+    "canonical_links", "crawl_frontier", "doc_outlink_authority",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]

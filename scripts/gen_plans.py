@@ -329,6 +329,50 @@ SHOW = [
         "per-language rank window; the DSIR tail is unchanged "
         "(explode -> 4096-row broadcast join -> doc aggregate).",
     ),
+    (
+        "extract_text",
+        "HTML extraction (round 10; r11 added entity decoding): one "
+        "regex/lambda Project over the scan — NO Exchange at any corpus "
+        "size, one WholeStageCodegen span, 3-column pruned ReadSchema. "
+        "The entity decode is more expression tree inside the SAME "
+        "map-only span, not a new stage.",
+    ),
+    (
+        "extract_links",
+        "Anchor harvest (round 10; r11 added quote-style normalization): "
+        "href normalization is two more regexp_replace calls inside the "
+        "same map-only Project; one regex pass + posexplode, no "
+        "Exchange.",
+    ),
+    (
+        "canonical_links",
+        "URL canonicalization (round 11): resolution, lowering, fragment "
+        "strip and tracking-param filter are pure string expressions "
+        "fused into the harvest's map-only Project — still zero "
+        "Exchange.",
+    ),
+    (
+        "crawl_frontier",
+        "Frontier dedup (round 11): ONE partial-aggregated "
+        "groupBy(canonical_url) after the map-only canonicalization — "
+        "shuffle bounded by distinct-URL cardinality, never page bytes.",
+    ),
+    (
+        "graph_pagerank_ann",
+        "ANN-substrate PageRank (round 11): candidates from the banded-"
+        "SRP equi-join on (band, bucket) — no corpus broadcast, no "
+        "all-pairs — then the cached-adjacency integer power iteration "
+        "(one shuffle join + one groupBy-sum per iteration). The "
+        "registered 100 TB form; the exact variant stays as the "
+        "yardstick.",
+    ),
+    (
+        "doc_outlink_authority",
+        "Authority join-back (round 11): the domain-cardinality "
+        "authority table BROADCASTS onto the per-doc link table; one "
+        "groupBy(doc_id) of exact int64 mass — document-sized work only "
+        "at the very last step.",
+    ),
 ]
 
 KEY = re.compile(

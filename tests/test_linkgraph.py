@@ -180,6 +180,28 @@ def test_extract_links_plan_is_map_only(spark):
     assert "Generate explode" in plan or "Generate posexplode" in plan, plan
 
 
+def test_canonical_links_plan_is_map_only(spark):
+    from event_data_etl_gcs_spark.queries.linkgraph import canonical_links
+
+    df = canonical_links(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_outlink_authority_broadcasts_authority(spark):
+    """The domain-sized authority table must broadcast into the per-doc
+    link join — the doc-link stream is never hash-repartitioned on host
+    to meet a domain-cardinality table."""
+    from event_data_etl_gcs_spark.queries.linkgraph import (
+        doc_outlink_authority,
+    )
+
+    df = doc_outlink_authority(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [host" in plan, plan
+
+
 def test_domain_ids_deterministic_across_partitionings(spark):
     from event_data_etl_gcs_spark.queries.linkgraph import domain_authority
 
