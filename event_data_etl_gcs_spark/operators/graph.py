@@ -102,7 +102,13 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().cache()
+    # localCheckpoint, not cache (round 11): `sym` appears in EVERY
+    # iteration's plan, and cache keeps the upstream lineage riding in
+    # each stage's serialized task binary — for expression-heavy edge
+    # inputs (the banded-SRP ANN build) that's ~8 MB per stage binary
+    # plus the codegen for it, measured as the 1 GiB-driver OOM class.
+    # Checkpointing truncates the plan once; upstream runs ONCE.
+    sym = sym.distinct().localCheckpoint(eager=True)
 
     # localCheckpoint (not cache) per generation: ``labels`` appears
     # TWICE in each iteration's plan (own labels ∪ neighbor labels), so
@@ -225,7 +231,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     compact-forward bound. kNN graphs are degree-bounded by 2k, so the
     plain orientation is already tight here.
     """
-    e = edges.select("u", "v")
+    # Materialize the edge list ONCE (round 11): the triangle join
+    # references it THREE times, and without lineage truncation the
+    # upstream edge construction (e.g. the ANN candidate build) executes
+    # once per reference and its full plan rides in every task binary.
+    e = edges.select("u", "v").localCheckpoint(eager=True)
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     e3 = e.alias("e3")
@@ -274,9 +284,12 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
     needed. Caching per level, previous generation unpersisted (same
     discipline as :func:`connected_components`).
     """
-    sym = symmetrize(edges).cache()
+    # localCheckpoint, not cache (round 11): same task-binary-bloat
+    # rationale as connected_components — `sym` feeds every level's join
+    # and must not carry the upstream edge build's plan along.
+    sym = symmetrize(edges).localCheckpoint(eager=True)
     # u < v on every input row, so min(u) is the global min node id.
-    seed = edges.agg(F.min("u").alias("node"))
+    seed = sym.agg(F.min("u").alias("node"))
     dist = seed.withColumn("hops", F.lit(0).cast("int")).cache()
     dist.count()
     for h in range(1, max_hops + 1):
