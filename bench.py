@@ -4,8 +4,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion with a count() action (results are
-not collected to the driver — we measure engine time, not IPC)."""
+Each query is executed to completion with a WORK-FORCING action
+(VERDICT r11 #1): every output column is folded into one single-row
+aggregate of max(xxhash64(cast(col AS string))), so Catalyst cannot
+prune the per-row expression work of map-only queries the way a bare
+count() did (judge-measured undercounts at sf0.1: train_test_split
+9.5x, extract_text 5.3x, dedup_simhash 4.4x). Only the one checksum
+row reaches the driver — we still measure engine time, not IPC. The
+pre-r12 count() numbers are NOT comparable for map-only rows; the
+old-vs-new attribution table lives in BUILDER_NOTES.md (round 12)."""
 
 from __future__ import annotations
 
@@ -77,6 +84,24 @@ BENCH_EXTENDED = [
 ]
 
 
+def force_result(df) -> None:
+    """Execute ``df`` with every output column forced: one single-row
+    aggregate of max(xxhash64(cast(col AS string))) per column (the
+    probes' checksum-fold pattern, SCALE_r11.md). The cast-to-string
+    handles arrays/structs/binary uniformly; the agg is a two-stage
+    partial+final at one row, so the action's own overhead is tiny
+    (judge-measured ~6% on the mapInPandas row, where pruning can't
+    happen anyway)."""
+    from pyspark.sql import functions as F
+
+    df.agg(
+        *[
+            F.max(F.xxhash64(df[c].cast("string"))).alias(f"h{i}")
+            for i, c in enumerate(df.columns)
+        ]
+    ).collect()
+
+
 def main() -> None:
     # Validate the tier BEFORE paying session startup: any other value
     # (e.g. the typo 'headlines') used to silently select the extended
@@ -120,7 +145,10 @@ def main() -> None:
     # keep running until the latest run is within ~10% of the previous
     # one (no longer descending), capped at max_runs.
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "6"))
-    heavy_sec = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0"))
+    # 0.5 s (was 2.0, VERDICT r11 #5): nearly every row now converges
+    # min-of-N-until-stable instead of stopping at a fixed count, which
+    # shrinks the host-noise floor of the recorded minimum.
+    heavy_sec = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "0.5"))
     bench_set = BENCH_QUERIES if tier == "headline" else BENCH_EXTENDED
     # Self-attribution (VERDICT r9 #5): three rounds of wall-time
     # disputes were all host noise — record the evidence in-band so any
@@ -136,14 +164,16 @@ def main() -> None:
         all_runs = []
         while True:
             t0 = time.perf_counter()
-            spec.fn(spark, SF_DIR).count()
+            force_result(spec.fn(spark, SF_DIR))
             all_runs.append(round(time.perf_counter() - t0, 3))
             n = len(all_runs)
             if n < runs:
                 continue
             if min(all_runs) <= heavy_sec or n >= max_runs:
                 break
-            if all_runs[-1] >= 0.9 * all_runs[-2]:
+            # n >= 2 guard (ADVICE r11): with SPARK_GRAFT_BENCH_RUNS=1 a
+            # heavy query reaches this check at n=1, where [-2] raises.
+            if n >= 2 and all_runs[-1] >= 0.9 * all_runs[-2]:
                 break  # converged: no longer descending by >10%
         timings[name] = min(all_runs)
         spread[name] = all_runs
@@ -161,6 +191,9 @@ def main() -> None:
             "queries": timings,
             "runs_per_query": runs,
             "agg": "min",
+            # in-band discontinuity marker (VERDICT r11 #1): rounds <=11
+            # used a prunable count(); r12+ force every output column.
+            "action": "checksum_fold",
             "heavy_converge": {"heavy_sec": heavy_sec, "max_runs": max_runs},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "host": {
