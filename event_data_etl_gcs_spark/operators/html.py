@@ -101,12 +101,51 @@ def blocks_sql(col: str) -> str:
 #      (multi-byte codepoints: Spark's chr() wraps mod 256 where DuckDB's
 #      is a real codepoint) are kept as literal text, documented.
 #   2. the named set &lt; &gt; &quot; &apos; &nbsp;
+#   2b. the TYPOGRAPHIC set real pages are full of (round 12, VERDICT
+#      r11 #2): en/em dash, curly quotes, ellipsis, middot, copy, trade
+#      — named AND canonical decimal AND hex (&#xNN;) spellings, decoded
+#      by chained replace() with literal UTF-8 replacement strings (no
+#      chr()/char(), so no Spark-wraps-mod-256 vs DuckDB-real-codepoint
+#      divergence). Hex forms with uppercase hex digits are covered for
+#      the codes that contain letters; other numeric entities outside
+#      the curated set stay literal in BOTH engines, documented.
 #   3. &amp; and &#38; (the only decodes that can CREATE an ampersand).
-# Hex entities (&#xNN;) are out of scope (kept literal in both engines).
 # -------------------------------------------------------------------------
 
 _NUMENT_SPLIT_RE = r"&#[0-9]+;"
 _NUMENT_CAP_RE = r"&#([0-9]+);"
+
+# (name, decimal digits, lowercase hex digits, replacement char)
+_TYPO_CHARS = (
+    ("ndash", "8211", "2013", "–"),
+    ("mdash", "8212", "2014", "—"),
+    ("lsquo", "8216", "2018", "‘"),
+    ("rsquo", "8217", "2019", "’"),
+    ("ldquo", "8220", "201c", "“"),
+    ("rdquo", "8221", "201d", "”"),
+    ("hellip", "8230", "2026", "…"),
+    ("middot", "183", "b7", "·"),
+    ("copy", "169", "a9", "©"),
+    ("trade", "8482", "2122", "™"),
+)
+
+
+def _typo_entity_forms() -> list[tuple[str, str]]:
+    """Every decoded spelling of the typographic set: &name;, &#NNNN;,
+    &#xhhhh; (plus the uppercase-hex-digit variant where the code
+    contains letters). Plain substring replaces — entity spellings end
+    in ';' so no form is a prefix of a longer undecoded entity."""
+    forms: list[tuple[str, str]] = []
+    for name, dec, hx, ch in _TYPO_CHARS:
+        forms.append((f"&{name};", ch))
+        forms.append((f"&#{dec};", ch))
+        forms.append((f"&#x{hx};", ch))
+        if hx != hx.upper():
+            forms.append((f"&#x{hx.upper()};", ch))
+    return forms
+
+
+_TYPO_ENTITY_FORMS = _typo_entity_forms()
 
 
 def _decode_entities_sql(s: str) -> str:
@@ -135,6 +174,10 @@ def _decode_entities_sql(s: str) -> str:
         ("&nbsp;", "' '"),
     ):
         out = f"replace({out}, '{ent}', {rep})"
+    # typographic set (round 12) — still BEFORE the ampersand-producing
+    # decodes, so '&amp;mdash;' yields the literal text '&mdash;'
+    for ent, ch in _TYPO_ENTITY_FORMS:
+        out = f"replace({out}, '{ent}', '{ch}')"
     return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
 
 
@@ -220,7 +263,10 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         "ELSE '' END"
         f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
         " || '<p>Q&amp;A entities &#101;ncoded here: &lt;angle&gt; "
-        "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
+        "&quot;quoted&quot; text&nbsp;joined &ndash; typographic &#8212; dash "
+        "&#x2019;curly&#x201C; quoted&#x201D; forms &hellip; &#8230; &middot; "
+        "&copy; &#169; &trade; decoded while &amp;mdash; and &#9731; "
+        "stay literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
         "<a href=\\'/rel2\\'>related story two</a> "
@@ -281,6 +327,8 @@ def _duck_decode_entities(s: str) -> str:
         ("&nbsp;", "' '"),
     ):
         out = f"replace({out}, '{ent}', {rep})"
+    for ent, ch in _TYPO_ENTITY_FORMS:
+        out = f"replace({out}, '{ent}', '{ch}')"
     return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
 
 
@@ -351,7 +399,10 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         "ELSE '' END"
         f" || '<article><p>' || replace({text}, 'merge ', 'merge</p><p>') || '</p></article>'"
         " || '<p>Q&amp;A entities &#101;ncoded here: &lt;angle&gt; "
-        "&quot;quoted&quot; text&nbsp;joined plus &#8212; dash kept literal</p>'"
+        "&quot;quoted&quot; text&nbsp;joined &ndash; typographic &#8212; dash "
+        "&#x2019;curly&#x201C; quoted&#x201D; forms &hellip; &#8230; &middot; "
+        "&copy; &#169; &trade; decoded while &amp;mdash; and &#9731; "
+        "stay literal</p>'"
         f" || CASE WHEN {doc_id} % 3 = 2 THEN "
         "'<aside><p>Read more: <a href=\"/rel1\">related story one</a> "
         "<a href=''/rel2''>related story two</a> "

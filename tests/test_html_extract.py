@@ -99,15 +99,18 @@ def test_moderate_link_in_long_block_survives(spark):
 
 
 def test_entities_decoded_in_extracted_text(spark):
-    """VERDICT r10 directive #2: named + decimal entities decode in the
-    extracted text (they previously poisoned downstream token/quality/
-    langid features); double-encoded, out-of-range, and hex entities
-    stay literal — the documented single-pass approximation."""
+    """VERDICT r10 directive #2 + r11 #2: named + decimal-ASCII +
+    typographic (named/decimal/hex) entities decode in the extracted
+    text; double-encoded and out-of-curated-set numeric entities stay
+    literal — the documented single-pass approximation."""
     html = (
         "<body><p>Q&amp;A entities &#101;ncoded &lt;angle&gt; "
         "&quot;quoted&quot; and&nbsp;joined text clears the length gate</p>"
-        "<p>double &amp;lt; encoded and &#38;gt; too plus &#8212; dash "
-        "and &#x41; hex all stay literal in this block</p></body>"
+        "<p>double &amp;lt; encoded and &#38;gt; too plus &amp;mdash; "
+        "and &#x41; hex and &#9731; all stay literal in this block</p>"
+        "<p>typographic &ndash; set &#8212; here &#x2019;s curly "
+        "&#x201C;quotes&#x201D; an ellipsis &hellip; and &#8230; "
+        "&middot; &copy; &#169; &trade; marks decode to UTF-8</p></body>"
     )
     r = _extract_one(spark, html)
     assert (
@@ -116,7 +119,13 @@ def test_entities_decoded_in_extracted_text(spark):
     assert "&amp;" not in r["text"] and "&nbsp;" not in r["text"]
     # ampersand-producing decodes run last: no double-decode
     assert "double &lt; encoded and &gt; too" in r["text"]
-    assert "&#8212;" in r["text"] and "&#x41;" in r["text"]
+    assert "&mdash;" in r["text"]  # the &amp;mdash; double encoding
+    # non-curated numerics (hex &#x41;, snowman &#9731;) stay literal
+    assert "&#x41;" in r["text"] and "&#9731;" in r["text"]
+    # typographic set, every spelling (named / decimal / hex lower /
+    # hex with uppercase hex digits) -> the real codepoint
+    assert "typographic – set — here ’s curly “quotes” an ellipsis " in r["text"]
+    assert "… and … · © © ™ marks decode" in r["text"]
 
 
 def test_unclosed_tag_block_still_segments(spark):
@@ -158,7 +167,8 @@ def test_fixture_recovers_normalized_text_for_content_heavy_doc(spark):
     assert r["text_clean"].startswith(want + " ")
     assert r["text_clean"] == (
         want + ' Q&A entities encoded here: <angle> "quoted" text joined '
-        "plus &#8212; dash kept literal"
+        "– typographic — dash ’curly“ quoted” forms … … · © © ™ decoded "
+        "while &mdash; and &#9731; stay literal"
     )
     assert r["n_blocks_kept"] == 3
 
