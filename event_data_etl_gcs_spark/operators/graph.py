@@ -310,8 +310,14 @@ def bfs_hops(edges: DataFrame, max_hops: int = 4) -> DataFrame:
         new_dist.count()
         dist.unpersist()
         dist = new_dist
+    # Truncate lineage BEFORE releasing sym (ADVICE r11): the cached
+    # dist's lineage passes through the localCheckpoint'd sym, so a
+    # lost cached block could not be recomputed once sym is gone; the
+    # checkpointed result is node-cardinality (tiny) and recoverable.
+    out = dist.localCheckpoint(eager=True)
+    dist.unpersist()
     sym.unpersist()
-    return dist
+    return out
 
 
 def pagerank(
