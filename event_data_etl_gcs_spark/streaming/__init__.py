@@ -17,6 +17,14 @@ from .neardedup import (
     run_streaming_knn_maintenance,
     run_streaming_near_dedup,
 )
+from .anngraph import (
+    ann_graph_ingest_batch,
+    run_streaming_ann_graph,
+    streamed_bfs_hops_ann,
+    streamed_knn_edges,
+    streamed_pagerank_ann,
+    streamed_triangle_counts_ann,
+)
 from .dsir import (
     read_dsir_model,
     run_streaming_dsir_maintenance,
