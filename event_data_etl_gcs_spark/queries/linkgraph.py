@@ -215,6 +215,114 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-host politeness budget: how many frontier URLs a scheduler may
+# enqueue per target host per cycle (crawl-rate limiting).
+HOST_BUDGET = 4
+
+
+@query(
+    "anchor_text_profile",
+    oracle=(
+        f"WITH {_DUCK_CANON_CTES}, at AS MATERIALIZED ("
+        "  SELECT canonical_url, anchor_text, COUNT(*) AS cnt"
+        "  FROM canon WHERE canonical_url IS NOT NULL"
+        "  GROUP BY canonical_url, anchor_text"
+        "), ranked AS ("
+        "  SELECT canonical_url, anchor_text, cnt, "
+        "         ROW_NUMBER() OVER (PARTITION BY canonical_url "
+        "            ORDER BY cnt DESC, anchor_text) AS rn, "
+        "         SUM(cnt) OVER (PARTITION BY canonical_url) AS n_refs, "
+        "         COUNT(*) OVER (PARTITION BY canonical_url) AS n_texts"
+        "  FROM at) "
+        "SELECT canonical_url, CAST(n_refs AS BIGINT) AS n_refs, "
+        "CAST(n_texts AS BIGINT) AS n_texts, anchor_text AS top_text, "
+        "CAST(cnt AS BIGINT) AS top_text_refs FROM ranked WHERE rn = 1"
+    ),
+    doc=(
+        "Anchor-text profile per canonical target URL: total reference "
+        "count, distinct anchor-text count, and the most common anchor "
+        "text (ties broken lexicographically) — the classic link-text "
+        "relevance/ranking signal, aggregated on the DEDUPED canonical "
+        "form so '?utm_source=' aliases pool their text evidence. Two "
+        "partial-aggregated groupBys ((url, text) then url via window) "
+        "— shuffles bounded by distinct-(url, text) cardinality, never "
+        "page bytes."
+    ),
+)
+def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    at = (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url", "anchor_text")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wu = Window.partitionBy("canonical_url")
+    wr = wu.orderBy(F.col("cnt").desc(), "anchor_text")
+    return (
+        at.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_refs", F.sum("cnt").over(wu))
+        .withColumn("n_texts", F.count("*").over(wu))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_url",
+            F.col("n_refs").cast("long").alias("n_refs"),
+            F.col("n_texts").cast("long").alias("n_texts"),
+            F.col("anchor_text").alias("top_text"),
+            F.col("cnt").cast("long").alias("top_text_refs"),
+        )
+    )
+
+
+@query(
+    "frontier_host_budget",
+    oracle=(
+        f"WITH {_DUCK_CANON_CTES}, f AS MATERIALIZED ("
+        "  SELECT canonical_url, "
+        f"  {duck_href_host('canonical_url')} AS dst_host, "
+        "  COUNT(*) AS n_refs"
+        "  FROM canon WHERE canonical_url IS NOT NULL"
+        "  GROUP BY canonical_url"
+        ") SELECT * FROM ("
+        "  SELECT canonical_url, dst_host, CAST(n_refs AS BIGINT) AS n_refs, "
+        "         CAST(ROW_NUMBER() OVER (PARTITION BY dst_host "
+        "            ORDER BY n_refs DESC, canonical_url) AS INT) AS crawl_rank"
+        f"  FROM f) WHERE crawl_rank <= {HOST_BUDGET}"
+    ),
+    doc=(
+        "Per-host crawl budget: the frontier's URLs ranked within each "
+        "target host by reference count (ties lexicographic), top "
+        f"{HOST_BUDGET} kept — the politeness-bounded enqueue set a "
+        "frontier scheduler emits per cycle so no host is hammered. "
+        "One groupBy at distinct-URL cardinality, then a per-host "
+        "window whose partitions are host-sized (hosts are the "
+        "scheduler's natural parallel unit); skew on a mega-host is "
+        "bounded because rank>budget rows are dropped, not sorted "
+        "globally."
+    ),
+)
+def frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    f = (
+        canon.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_refs"))
+        .withColumn("dst_host", F.expr(href_host_sql("canonical_url")))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_refs").desc(), "canonical_url"
+    )
+    return (
+        f.withColumn("crawl_rank", F.row_number().over(w))
+        .filter(F.col("crawl_rank") <= HOST_BUDGET)
+        .select(
+            "canonical_url",
+            "dst_host",
+            F.col("n_refs").cast("long").alias("n_refs"),
+            F.col("crawl_rank").cast("int").alias("crawl_rank"),
+        )
+    )
+
+
 _DUCK_AUTHORITY_EDGE_CTES = (
     f"{_DUCK_LINK_CTES}, pairs AS MATERIALIZED ("
     "  SELECT DISTINCT source || '.example.com' AS src_host, host AS dst_host"

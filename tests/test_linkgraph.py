@@ -209,6 +209,48 @@ def test_uppercase_scheme_href_classified_external(spark):
     ]
 
 
+def test_anchor_profile_pools_alias_text_and_budget_bounds_hosts(spark):
+    """Round 12: the alias spellings pool their anchor-text evidence on
+    the canonical form (4 texts across 2 canonical URLs), and the
+    frontier budget emits at most HOST_BUDGET URLs per host."""
+    from event_data_etl_gcs_spark.queries.linkgraph import (
+        HOST_BUDGET,
+        anchor_text_profile,
+        frontier_host_budget,
+    )
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = load_table(spark, sf, "documents").count()
+    prof = {
+        r["canonical_url"]: r
+        for r in anchor_text_profile(spark, sf)
+        .filter(F.col("canonical_url").contains("alias.example.net"))
+        .collect()
+    }
+    a = prof["https://alias.example.net/x/%2Fy?id=7"]
+    # 'alias one' + 'alias two' pooled: 2 texts, lexicographic min wins
+    # the cnt tie
+    assert a["n_refs"] == 2 * n_docs and a["n_texts"] == 2
+    assert a["top_text"] == "alias one" and a["top_text_refs"] == n_docs
+    b = prof["http://alias.example.net/plain"]
+    assert b["n_texts"] == 2 and b["top_text"] == "alias four"
+    per_host = (
+        frontier_host_budget(spark, sf)
+        .groupBy("dst_host")
+        .agg(F.count("*").alias("n"), F.max("crawl_rank").alias("maxr"))
+    )
+    assert per_host.filter(F.col("n") > HOST_BUDGET).count() == 0
+    assert per_host.filter(F.col("maxr") > HOST_BUDGET).count() == 0
+    # the alias host offers exactly its two canonical URLs
+    assert (
+        frontier_host_budget(spark, sf)
+        .filter(F.col("dst_host") == "alias.example.net")
+        .count()
+        == 2
+    )
+
+
 def test_extract_links_plan_is_map_only(spark):
     from event_data_etl_gcs_spark.queries.linkgraph import extract_links
 
