@@ -81,6 +81,9 @@ BENCH_EXTENDED = [
     # round 11: the ANN-substrate PageRank (VERDICT r10 #1) — the form a
     # user runs at scale; the exact row above stays as the yardstick
     "graph_pagerank_ann",
+    # round 12: the canonical-URL frontier family representatives
+    "crawl_frontier",
+    "anchor_text_profile",
 ]
 
 
