@@ -151,6 +151,8 @@ set_priority([
     # --- round 11 --------------------------------------------------------
     "graph_pagerank_ann", "graph_triangle_counts_ann", "graph_bfs_hops_ann",
     "canonical_links", "crawl_frontier", "doc_outlink_authority",
+    # --- round 12 --------------------------------------------------------
+    "anchor_text_profile", "frontier_host_budget",
 ])
 
 __all__ = ["QuerySpec", "all_queries", "get_query", "query", "set_priority"]
