@@ -151,9 +151,12 @@ _TYPO_ENTITY_FORMS = _typo_entity_forms()
 def _decode_entities_sql(s: str) -> str:
     """Spark: decode HTML entities in one string expression. ``s`` is
     bound ONCE via a 1-element transform (the tl-binding trick the keep
-    predicate uses), so the tag-strip feeding it is not recomputed."""
-    num = (
-        f"element_at(transform(array({s}), s0 -> "
+    predicate uses), so the tag-strip feeding it is not recomputed.
+    The whole chain sits behind an ``instr(s0, '&') = 0`` fast path
+    (round 12): every entity spelling contains '&', so ampersand-free
+    text — the overwhelming block majority in real pages — skips the
+    numeric machinery and the full replace chain."""
+    out = (
         "element_at(transform(array(named_struct("
         f"'p', split(s0, '{_NUMENT_SPLIT_RE}', -1), "
         f"'c', regexp_extract_all(s0, '{_NUMENT_CAP_RE}', 1))), z -> "
@@ -163,9 +166,8 @@ def _decode_entities_sql(s: str) -> str:
         "BETWEEN 32 AND 126 AND try_cast(element_at(z.c, i) AS INT) != 38 "
         "THEN char(try_cast(element_at(z.c, i) AS INT)) "
         "ELSE concat('&#', element_at(z.c, i), ';') END, "
-        "element_at(z.p, i + 1)))) END), 1)), 1)"
+        "element_at(z.p, i + 1)))) END), 1)"
     )
-    out = num
     for ent, rep in (
         ("&lt;", "'<'"),
         ("&gt;", "'>'"),
@@ -178,7 +180,11 @@ def _decode_entities_sql(s: str) -> str:
     # decodes, so '&amp;mdash;' yields the literal text '&mdash;'
     for ent, ch in _TYPO_ENTITY_FORMS:
         out = f"replace({out}, '{ent}', '{ch}')"
-    return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+    out = f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+    return (
+        f"element_at(transform(array({s}), s0 -> "
+        f"CASE WHEN instr(s0, '&') = 0 THEN s0 ELSE {out} END), 1)"
+    )
 
 
 def _clean_sql(b: str) -> str:
@@ -310,9 +316,8 @@ def duck_blocks(col: str) -> str:
 def _duck_decode_entities(s: str) -> str:
     """DuckDB mirror of :func:`_decode_entities_sql` — same chain, list
     lambdas + struct binding, chr() agreeing with Spark's char() on the
-    decoded 32..126 range."""
-    num = (
-        f"list_transform([{s}], s0 -> "
+    decoded 32..126 range, same instr-gated ampersand fast path."""
+    out = (
         "list_transform([{"
         f"'p': string_split_regex(s0, '{_NUMENT_SPLIT_RE}'), "
         f"'c': regexp_extract_all(s0, '{_NUMENT_CAP_RE}', 1)"
@@ -323,9 +328,8 @@ def _duck_decode_entities(s: str) -> str:
         "BETWEEN 32 AND 126 AND try_cast(z.c[i] AS INT) != 38 "
         "THEN chr(try_cast(z.c[i] AS INT)) "
         "ELSE '&#' || z.c[i] || ';' END || z.p[i + 1]), ''), '') "
-        "END)[1])[1]"
+        "END)[1]"
     )
-    out = num
     for ent, rep in (
         ("&lt;", "'<'"),
         ("&gt;", "'>'"),
@@ -336,7 +340,11 @@ def _duck_decode_entities(s: str) -> str:
         out = f"replace({out}, '{ent}', {rep})"
     for ent, ch in _TYPO_ENTITY_FORMS:
         out = f"replace({out}, '{ent}', '{ch}')"
-    return f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+    out = f"replace(replace({out}, '&amp;', '&'), '&#38;', '&')"
+    return (
+        f"list_transform([{s}], s0 -> "
+        f"CASE WHEN instr(s0, '&') = 0 THEN s0 ELSE {out} END)[1]"
+    )
 
 
 def _duck_clean(b: str) -> str:
