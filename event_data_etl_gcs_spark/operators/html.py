@@ -218,6 +218,34 @@ def kept_blocks_sql(blocks_col: str) -> str:
     return f"filter({blocks_col}, b -> {_keep_pred_sql('b')})"
 
 
+def block_features_sql(blocks_col: str) -> str:
+    """Per-block struct array ``(c, k)``: the cleaned text and the keep
+    flag, with the clean chain (tag strip + entity decode + whitespace
+    collapse) evaluated ONCE per block.
+
+    Round-12 fusion: ``extract_frame``'s three outputs (n_blocks,
+    n_blocks_kept, text_clean) each re-derived the cleaned text from the
+    raw block — the keep predicate appeared in two of them and the clean
+    chain in all three plus the final transform, so every block paid the
+    regex+replace pipeline 3-4x. Staging this array as a real column
+    lets all consumers read ``f.c``/``f.k`` instead (Catalyst keeps the
+    column staged: CollapseProject declines to inline non-cheap
+    expressions referenced more than once). The keep math is unchanged
+    from :func:`_keep_pred_sql` — same spaceless-length let binding,
+    same short-circuited link-density term — so results are identical.
+    """
+    keep = (
+        f"element_at(transform(array(length(replace(c, ' ', ''))), "
+        f"tl -> tl >= {MIN_BLOCK_CHARS} "
+        f"AND {LINK_DENSITY_NUM} * {_linklen_sql('b')} < tl), 1)"
+    )
+    return (
+        f"transform({blocks_col}, b -> "
+        f"element_at(transform(array({_clean_sql('b')}), c -> "
+        f"named_struct('c', c, 'k', {keep})), 1))"
+    )
+
+
 def extracted_text_sql(blocks_col: str) -> str:
     """Main-content text: kept blocks, cleaned, joined in order."""
     return (
@@ -515,6 +543,38 @@ def anchor_texts_sql(col: str) -> str:
 def href_host_sql(href: str) -> str:
     """Host of an absolute http(s) URL; '' for relative links."""
     return f"regexp_extract({href}, '{_sq(_HOST_RE)}', 1)"
+
+
+def anchors_sql(col: str) -> str:
+    """Array of FULL anchor matches (capture group 0) from the
+    normalized page — ONE page-scale regex pass (round-12 fusion).
+
+    ``hrefs_sql`` + ``anchor_texts_sql`` each re-ran the two
+    normalization replaces AND the anchor extraction over the whole
+    page (4 page-scale regex passes per row); extracting the full
+    match once and re-deriving href/text per anchor does the page-
+    scale work once, then only anchor-sized regexes. Each element is a
+    leftmost-first match of the same pattern, so re-matching the
+    pattern against the element reproduces the original group spans
+    exactly — the derived href/text arrays are identical."""
+    return (
+        f"regexp_extract_all({normalize_hrefs_sql(col)}, "
+        f"'{_sq(_ANCHOR_HREF_RE)}', 0)"
+    )
+
+
+def anchor_href_sql(anchor: str) -> str:
+    """href value of one full anchor match (group 1 re-extracted)."""
+    return f"regexp_extract({anchor}, '{_sq(_ANCHOR_HREF_RE)}', 1)"
+
+
+def anchor_text_sql(anchor: str) -> str:
+    """Cleaned inner text of one full anchor match (group 2
+    re-extracted, then tag-stripped/entity-decoded/ws-collapsed
+    exactly like :func:`anchor_texts_sql`)."""
+    return _clean_sql(
+        f"regexp_extract({anchor}, '{_sq(_ANCHOR_HREF_RE)}', 2)"
+    )
 
 
 def duck_hrefs(col: str) -> str:

@@ -25,16 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.html import (
+    block_features_sql,
     blocks_sql,
     duck_blocks,
     duck_extracted_text,
     duck_html_fixture,
     duck_n_blocks,
     duck_n_kept,
-    extracted_text_sql,
     html_fixture_sql,
-    n_blocks_sql,
-    n_kept_sql,
 )
 from ..operators.text import (
     duck_language_id,
@@ -66,14 +64,23 @@ def with_html_fixture(docs: DataFrame) -> DataFrame:
 
 
 def extract_frame(docs: DataFrame) -> DataFrame:
-    staged = with_html_fixture(docs)
+    # feats stages (cleaned text, keep flag) per block ONCE; the three
+    # consumers below read struct fields instead of re-running the clean
+    # chain (round-12 fusion — see operators/html.block_features_sql).
+    staged = with_html_fixture(docs).withColumn(
+        "feats", F.expr(block_features_sql("blocks"))
+    )
     return staged.select(
         "doc_id",
         "source",
-        F.expr(n_blocks_sql("blocks")).cast("int").alias("n_blocks"),
-        F.expr(n_kept_sql("blocks")).cast("int").alias("n_blocks_kept"),
+        F.expr("size(filter(feats, f -> length(f.c) > 0))")
+        .cast("int")
+        .alias("n_blocks"),
+        F.expr("size(filter(feats, f -> f.k))").cast("int").alias("n_blocks_kept"),
         F.length("html").cast("bigint").alias("n_chars_html"),
-        F.expr(extracted_text_sql("blocks")).alias("text_clean"),
+        F.expr("array_join(transform(filter(feats, f -> f.k), f -> f.c), ' ')").alias(
+            "text_clean"
+        ),
     ).withColumn("n_chars_text", F.length("text_clean").cast("bigint"))
 
 

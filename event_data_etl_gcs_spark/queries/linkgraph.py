@@ -25,14 +25,15 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import PR_SCALE, pagerank_quantized
 from ..operators.html import (
-    anchor_texts_sql,
+    anchor_href_sql,
+    anchor_text_sql,
+    anchors_sql,
     canonical_url_sql,
     duck_anchor_texts,
     duck_canonical_url,
     duck_href_host,
     duck_hrefs,
     href_host_sql,
-    hrefs_sql,
 )
 from ..sources.catalog import load_table
 from .graph import PR_ITERS, duck_pagerank_ctes
@@ -57,26 +58,38 @@ _DUCK_LINK_CTES = (
 
 
 def links_frame(docs: DataFrame) -> DataFrame:
+    # Round-12 fusion: ONE page-scale pass (normalize + full-match
+    # extraction), then anchor-sized regexes per link. The previous
+    # shape ran the normalization replaces and the anchor scan twice
+    # (once for hrefs, once for texts) and carried the whole atexts
+    # array through the explode; href/text/host are now derived from
+    # the exploded anchor row — identical values (see anchors_sql).
     staged = with_html_fixture(docs).select(
         "doc_id",
         "source",
-        F.expr(hrefs_sql("html")).alias("hrefs"),
-        F.expr(anchor_texts_sql("html")).alias("atexts"),
+        F.expr(anchors_sql("html")).alias("anchors"),
     )
-    return staged.select(
+    base = staged.select(
         "doc_id",
         "source",
-        F.posexplode("hrefs").alias("pos0", "href"),
-        "atexts",
+        F.posexplode("anchors").alias("pos0", "anchor"),
     ).select(
         "doc_id",
         "source",
         (F.col("pos0") + 1).cast("int").alias("link_pos"),
+        F.expr(anchor_href_sql("anchor")).alias("href"),
+        F.expr(anchor_text_sql("anchor")).alias("anchor_text"),
+    )
+    # host staged once; is_external derives from it (was two regexes)
+    return base.withColumn("host", F.expr(href_host_sql("href"))).select(
+        "doc_id",
+        "source",
+        "link_pos",
         "href",
-        F.element_at("atexts", F.col("pos0") + 1).alias("anchor_text"),
+        "anchor_text",
         # external = the href carries a host (absolute OR //-relative)
-        (F.expr(href_host_sql("href")) != F.lit("")).alias("is_external"),
-        F.expr(href_host_sql("href")).alias("host"),
+        (F.col("host") != F.lit("")).alias("is_external"),
+        "host",
     )
 
 
