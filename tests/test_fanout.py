@@ -1,0 +1,69 @@
+"""The conditional scan fan-out in sources/catalog.load_table
+(optimization guide §2.5: an unsplittable single-row-group file leaves
+every pre-exchange operator on one core).
+
+Contract pinned here:
+  * a single-file table >= FANOUT_MIN_BYTES whose scan yields fewer
+    partitions than the session parallelism is round-robin repartitioned
+    to the session parallelism;
+  * tiny dimension tables (below the floor) keep their raw scan — no
+    exchange is added where a broadcast build would only be delayed;
+  * SPARK_GRAFT_FANOUT=off disables the rewrite entirely;
+  * results are unchanged (same rows either way — the exchange is
+    round-robin, and every registered query is partitioning-independent
+    per the determinism audit).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from event_data_etl_gcs_spark.sources import catalog
+
+SF01 = "/root/testdata/sf0.1"
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def fanout_env(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT", raising=False)
+
+
+def test_large_single_file_fans_out(spark, fanout_env):
+    df = catalog.load_table(spark, SF01, "documents")
+    assert (
+        df.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_tiny_dimension_keeps_raw_scan(spark, fanout_env):
+    # nation.parquet is ~2.7 KB — far below the floor at every SF
+    df = catalog.load_table(spark, SF01, "nation")
+    assert df.rdd.getNumPartitions() == 1
+    # sf0.001 documents (~64 KB) also stays unsplit: the map-only plan
+    # pins (test_html_extract / test_linkgraph) rely on this
+    small = catalog.load_table(spark, SF0001, "documents")
+    assert small.rdd.getNumPartitions() == 1
+
+
+def test_fanout_off_switch(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT", "off")
+    df = catalog.load_table(spark, SF01, "documents")
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_fanout_preserves_rows(spark, fanout_env):
+    fanned = catalog.load_table(spark, SF01, "documents")
+    monkeypatch_rows = fanned.count()
+    os.environ["SPARK_GRAFT_FANOUT"] = "off"
+    try:
+        raw = catalog.load_table(spark, SF01, "documents")
+        assert monkeypatch_rows == raw.count()
+        assert fanned.select("doc_id").exceptAll(
+            raw.select("doc_id")
+        ).count() == 0
+    finally:
+        os.environ.pop("SPARK_GRAFT_FANOUT", None)
