@@ -31,16 +31,49 @@ LSH_MOD = 97
 LSH_HALF = 48
 
 
+# Fixed widths unrolled in dot_sql: the embeddings fixture is 64-dim at
+# every SF (queries/pca._EMB_DIM) and the PCA subspace is 8-dim. Other
+# widths fall back to the generic fold.
+DOT_UNROLL_DIMS = (64, 8)
+
+
+def _dot_fold_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def dot_sql(a: str, b: str) -> str:
     """Double-precision dot product of two float-array columns.
 
     Casting each element to double before multiply/add makes the result
     bit-identical to any engine that sums left-to-right in double.
-    """
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
+
+    Catalyst evaluates higher-order-function lambdas interpreted (codegen
+    fallback), which made the fold the hot spot of every brute-force /
+    candidate-verify distance pass (27.5 s for 4M 64-dim pairs in one
+    task at sf0.1). For the fixed widths the engine actually ships
+    (DOT_UNROLL_DIMS), emit an explicitly left-associated unrolled chain
+    ``(((0 + a[0]*b[0]) + a[1]*b[1]) + ...)`` instead — plain codegen-able
+    arithmetic with the SAME evaluation order, null semantics and
+    floating-point result bit-for-bit (measured 5.5x on the same task;
+    oracle hashes identical). Arrays of any other width take the generic
+    fold branch. ``a``/``b`` must be simple column references (every call
+    site passes one), so repeating them per element costs nothing."""
+    fold = _dot_fold_sql(a, b)
+    branches = []
+    for dim in DOT_UNROLL_DIMS:
+        chain = "CAST(0 AS DOUBLE)"
+        for i in range(dim):
+            chain = (
+                f"({chain} + (CAST({a}[{i}] AS DOUBLE) * "
+                f"CAST({b}[{i}] AS DOUBLE)))"
+            )
+        branches.append(
+            f"WHEN size({a}) = {dim} AND size({b}) = {dim} THEN {chain}"
+        )
+    return f"(CASE {' '.join(branches)} ELSE {fold} END)"
 
 
 def norm_sql(a: str) -> str:
