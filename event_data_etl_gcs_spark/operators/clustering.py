@@ -252,6 +252,13 @@ def _semdedup_members(
         .withColumn("nrm", F.expr(norm_sql("v")))
         # zero-norm vectors: cosine undefined, engines disagree on 0/0
         .filter(F.col("nrm") > 0)
+        # localCheckpoint (round 12): base feeds the identical-collapse
+        # window, the seed/centroid branch, the assignment join and —
+        # through reps — half a dozen verify join-backs; without
+        # truncation every reference re-executes the scan (and its
+        # fan-out exchange) and re-plans the upstream tree. Same
+        # "upstream runs ONCE" posture as the graph operators.
+        .localCheckpoint(eager=True)
     )
     if collapse_identical:
         mem = base.withColumn(

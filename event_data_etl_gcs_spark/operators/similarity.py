@@ -44,24 +44,34 @@ def _dot_fold_sql(a: str, b: str) -> str:
     )
 
 
-def dot_sql(a: str, b: str) -> str:
+def dot_sql(a: str, b: str, unroll: bool = False) -> str:
     """Double-precision dot product of two float-array columns.
 
     Casting each element to double before multiply/add makes the result
     bit-identical to any engine that sums left-to-right in double.
 
-    Catalyst evaluates higher-order-function lambdas interpreted (codegen
-    fallback), which made the fold the hot spot of every brute-force /
-    candidate-verify distance pass (27.5 s for 4M 64-dim pairs in one
-    task at sf0.1). For the fixed widths the engine actually ships
-    (DOT_UNROLL_DIMS), emit an explicitly left-associated unrolled chain
-    ``(((0 + a[0]*b[0]) + a[1]*b[1]) + ...)`` instead — plain codegen-able
-    arithmetic with the SAME evaluation order, null semantics and
-    floating-point result bit-for-bit (measured 5.5x on the same task;
-    oracle hashes identical). Arrays of any other width take the generic
-    fold branch. ``a``/``b`` must be simple column references (every call
-    site passes one), so repeating them per element costs nothing."""
+    ``unroll=True`` (round 12): Catalyst evaluates higher-order-function
+    lambdas interpreted (codegen fallback), which made the fold the hot
+    spot of the brute-force distance pass (27.5 s for 4M 64-dim pairs in
+    one task at sf0.1). For the fixed widths the engine actually ships
+    (DOT_UNROLL_DIMS), the unrolled form emits an explicitly
+    left-associated chain ``(((0 + a[0]*b[0]) + a[1]*b[1]) + ...)`` —
+    plain codegen-able arithmetic with the SAME evaluation order, null
+    semantics and floating-point result bit-for-bit (xxhash64 checksums
+    identical over all 4M pairs; 5.5x on the brute-force pass). Other
+    widths fall back to the generic fold via a size() guard.
+
+    It stays OPT-IN because it is not universally a win: in the
+    clustering/kmeans paths, where dot_sql lands inside much larger
+    generated functions, the ~300-node unrolled tree pushed stages past
+    codegen limits into interpreted evaluation and semdedup_prune
+    DOUBLED (4.2 s -> 8.7 s measured). Use it only where a measurement
+    shows the fold is the hot spot. ``a``/``b`` must be simple column
+    references when unrolling (every call site passes one), so repeating
+    them per element costs nothing."""
     fold = _dot_fold_sql(a, b)
+    if not unroll:
+        return fold
     branches = []
     for dim in DOT_UNROLL_DIMS:
         chain = "CAST(0 AS DOUBLE)"
@@ -171,7 +181,12 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            F.expr(dot_sql("qv", "cv")) / (F.col("qnorm") * F.col("cnorm")),
+            # unroll=True: this projection IS the whole stage (scan ->
+            # nested-loop join -> project), so the codegen-able chain
+            # wins 5.5x with no risk of blowing a larger function past
+            # codegen limits (see dot_sql docstring).
+            F.expr(dot_sql("qv", "cv", unroll=True))
+            / (F.col("qnorm") * F.col("cnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

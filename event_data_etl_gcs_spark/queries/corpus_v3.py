@@ -188,7 +188,18 @@ def _v3_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     gated = quality_gate(d3).select("doc_id", "source", "text")
-    return exact_dedup_keep_min(gated)
+    # localCheckpoint (round 12): every consumer references this head
+    # several times (the DSIR tail reads it twice, v4's containment
+    # stage five times, v6's LM stage four) — without lineage truncation
+    # the multi-shuffle head is RE-PLANNED per reference and the
+    # composed initial plans carried 26 (v3) / 349 (v4) / 140 (v6)
+    # Exchange nodes with 12 MiB task binaries. Truncating here runs
+    # the head ONCE per invocation (inside the timed region — nothing
+    # is reused across runs) and shrinks every downstream plan to its
+    # own stage count. cache() is NOT equivalent: it dedupes execution
+    # but leaves the full lineage in every stage's task binary (the
+    # r10/r11 graph-operator lesson).
+    return exact_dedup_keep_min(gated).localCheckpoint(eager=True)
 
 
 @query(
@@ -217,9 +228,11 @@ def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses it; Jaccard-tuned MinHash under-samples it; DSIR scores it
     like its container)."""
     from ..operators.dedup import containment_pairs
-    from ..operators.graph import _track_ann_cache
 
-    uniq = _track_ann_cache(_v3_unique_docs(spark, sf_dir).cache())
+    # _v3_unique_docs is already localCheckpoint-materialized (lineage
+    # truncated); the old cache() on top only added a second copy of
+    # the same rows to storage.
+    uniq = _v3_unique_docs(spark, sf_dir)
     # pairs + sizes off ONE cached shingle frame (no re-shingling)
     pairs, sizes = containment_pairs(
         uniq, threshold_num=4, threshold_den=5, return_sizes=True
@@ -295,7 +308,9 @@ def _v5_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.col("text_clean").alias("text")
     )
     gated = quality_gate(d5).select("doc_id", "source", "text")
-    return exact_dedup_keep_min(gated)
+    # Same lineage-truncation rationale as _v3_unique_docs: the DSIR
+    # tail reads this head twice.
+    return exact_dedup_keep_min(gated).localCheckpoint(eager=True)
 
 
 @query(

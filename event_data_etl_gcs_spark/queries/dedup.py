@@ -83,7 +83,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the signature IS the map work (token hash + 64 weighted
+    # bit sums per doc); measured 3.44 s -> 0.49 s at sf0.1.
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return with_simhash(docs).select("doc_id", "simhash", "band_lo", "band_hi")
 
 
@@ -109,7 +111,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     sh = with_simhash(docs).select("doc_id", "simhash", "band_lo", "band_hi")
     bands = sh.select(
         "doc_id", "simhash", F.lit(0).alias("band_id"), F.col("band_lo").alias("key")

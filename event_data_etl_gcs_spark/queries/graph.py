@@ -56,7 +56,10 @@ _DUCK_EDGE_CTES = (
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the exact substrate's crossJoin amplifies every corpus row
+    # 2000x, so scan parallelism is the whole wall (15.6 s -> 6.6 s for
+    # graph_pagerank at sf0.1).
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return knn_edges(emb, k=K_NN)
 
 

@@ -113,7 +113,7 @@ FROM e
     ),
 )
 def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_frame(load_table(spark, sf_dir, "documents"))
+    return extract_frame(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 _STATS_SQL = f"""
@@ -150,7 +150,7 @@ FROM e GROUP BY source
     ),
 )
 def extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = extract_frame(load_table(spark, sf_dir, "documents"))
+    e = extract_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     return e.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_blocks").cast("bigint").alias("sum_blocks"),
@@ -193,7 +193,7 @@ _GATE_SQL = (
     ),
 )
 def extract_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     e = extract_frame(docs).select("doc_id", F.col("text_clean").alias("text"))
     staged = with_tokens(e)
     q = quality_columns()
@@ -228,7 +228,7 @@ _LANGID_SQL = (
     ),
 )
 def extract_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     e = extract_frame(docs).select("doc_id", F.col("text_clean").alias("text"))
     staged = with_tokens(e)
     return staged.join(

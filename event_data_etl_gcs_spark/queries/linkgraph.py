@@ -108,7 +108,7 @@ def links_frame(docs: DataFrame) -> DataFrame:
     ),
 )
 def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return links_frame(load_table(spark, sf_dir, "documents"))
+    return links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
 
 
 @query(
@@ -128,7 +128,7 @@ def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def link_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    links = links_frame(load_table(spark, sf_dir, "documents"))
+    links = links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     return (
         links.filter(F.col("is_external") & (F.col("host") != ""))
         .select(
@@ -184,7 +184,7 @@ def canonical_links_frame(docs: DataFrame) -> DataFrame:
     ),
 )
 def canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return canonical_links_frame(load_table(spark, sf_dir, "documents")).select(
+    return canonical_links_frame(load_table(spark, sf_dir, "documents", fan_out=True)).select(
         "doc_id", "link_pos", "href", "canonical_url", "is_external", "host"
     )
 
@@ -210,7 +210,7 @@ def canonical_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     return (
         canon.filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
@@ -263,7 +263,7 @@ HOST_BUDGET = 4
     ),
 )
 def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     at = (
         canon.filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url", "anchor_text")
@@ -314,7 +314,7 @@ def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def frontier_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    canon = canonical_links_frame(load_table(spark, sf_dir, "documents"))
+    canon = canonical_links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
     f = (
         canon.filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
@@ -373,7 +373,7 @@ _DUCK_AUTHORITY_EDGE_CTES = (
 )
 def domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
-        links_frame(load_table(spark, sf_dir, "documents"))
+        links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
         .filter(F.col("is_external") & (F.col("host") != ""))
         .select(
             F.concat(F.col("source"), F.lit(".example.com")).alias("src_host"),
@@ -413,7 +413,7 @@ def doc_outlink_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("domain").alias("host"), "pr_scaled"
     )
     dl = (
-        links_frame(load_table(spark, sf_dir, "documents"))
+        links_frame(load_table(spark, sf_dir, "documents", fan_out=True))
         .filter(F.col("is_external") & (F.col("host") != ""))
         .select("doc_id", "host")
         .distinct()

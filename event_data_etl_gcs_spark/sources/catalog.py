@@ -124,24 +124,39 @@ def _fan_out(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     keyed shuffle or extra pass is ever added at cluster scale. The
     round-robin exchange is deterministic (sortBeforeRepartition is on by
     default) and every registered query is partitioning-independent
-    (determinism audit). Disable with SPARK_GRAFT_FANOUT=off."""
+    (determinism audit). Disable with SPARK_GRAFT_FANOUT=off.
+
+    OPT-IN per load site (round-12 measurement): fan-out pays exactly
+    when the per-row map work below the first exchange is heavy (HTML
+    extraction 4.9 s -> 0.6 s, simhash 3.4 -> 0.5, split hashing
+    3.2 -> 0.45, exact-kNN crossJoin 15.6 -> 6.6); where a query is a
+    cascade of many small stages the added exchange and 32-way tiny
+    stages cost more than the scan parallelism returns (semdedup_prune
+    3.8 -> 7.4, containment 2.1 -> 5.8, asof_join 0.70 -> 1.56 measured
+    with it forced on globally). So the default is OFF and the measured
+    map-heavy call sites pass fan_out=True."""
     if os.environ.get("SPARK_GRAFT_FANOUT", "auto") == "off":
         return df
+    # Single-FILE tables only: a production table is a directory (many
+    # files / row groups -> the scan already parallelizes), so the
+    # isfile gate alone makes this a no-op at cluster scale. The scan
+    # partition count is deliberately NOT probed via df.rdd — that
+    # forces full physical planning (and, under AQE, query-stage
+    # materialization) per load_table call, which measured as +0.3-0.4 s
+    # of driver time per table inside every timed query.
     if not os.path.isfile(path) or os.path.getsize(path) < FANOUT_MIN_BYTES:
         return df
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     _ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    return _fan_out(
-        normalize_event_time(df, TS_NANO_COLS.get(name, ())), spark, path
-    )
+    df = normalize_event_time(df, TS_NANO_COLS.get(name, ()))
+    return _fan_out(df, spark, path) if fan_out else df
 
 
 def read_parquet_evolving(
@@ -175,7 +190,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+# session id -> sf_dir the views currently point at. Re-registering the
+# same directory into the same session is pure overhead (10 fresh
+# parquet file indexes per call, ~0.3 s of driver time inside every
+# timed SQL query); views are lazy metadata, so skipping the re-read
+# computes nothing early — every action still scans the files.
+_VIEWS_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
+    key = id(spark.sparkContext)
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
+        return
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_REGISTERED[key] = sf_dir
