@@ -402,7 +402,17 @@ def pagerank(
             )
         )
         if (i + 1) % ckpt_every == 0 or i == iterations - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=(ckpt_every == 1))
+            # FINAL iteration checkpoints eagerly (ADVICE r12): with the
+            # every-2nd-round lazy cadence no job runs inside the loop,
+            # so an unconditional unpersist below would evict the cached
+            # adjacency BEFORE anything materializes and every iteration
+            # would recompute the sym-join-deg — measured 3.4-4.6 s for
+            # the 10-round sf0.1 loop vs ~1.8 s with the adjacency held.
+            # The eager final cut materializes all rounds while adj is
+            # still persisted; the in-loop cuts stay lazy (the r12 win).
+            new_ranks = new_ranks.localCheckpoint(
+                eager=(ckpt_every == 1 or i == iterations - 1)
+            )
         ranks = new_ranks
     adj.unpersist()
     return ranks.select("node", F.col("rank").alias("pagerank"))
@@ -419,9 +429,68 @@ def pagerank(
 PR_SCALE = 10**12
 PR_DAMP_NUM, PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
 
+# Small-graph strategy switch for pagerank_quantized (round 13): below
+# this node count the whole symmetrized edge list fits one Arrow task
+# (kNN graphs bound degree by 2k, web-ish graphs by the crawl budget;
+# 65k nodes x a few hundred edges each is tens of MB), and TEN
+# distributed iterations — each a join + groupBy + left join, i.e. ~30
+# tiny shuffle stages whose scheduling dominates — collapse into one
+# numpy loop INSIDE a task. Integer floor arithmetic is summation-order
+# independent, so the result is bit-identical to the distributed loop
+# (pinned by tests/test_graph.py::test_pagerank_quantized_local_parity);
+# above the bound the shuffle loop is the only thing that scales and
+# runs unchanged. Same family of size switch as SCORING_FOLD_MAX_N and
+# the broadcast join-back bound.
+PR_LOCAL_MAX_NODES = 65_536
+
+
+def _pagerank_quantized_local(
+    sym: DataFrame, n_nodes: int, iterations: int, scale: int
+) -> DataFrame:
+    """One-task numpy power iteration over the (small) symmetrized edge
+    list: (node, r). Arithmetic is exactly the distributed loop's —
+    r0 = scale DIV n, contrib = r DIV degree summed per dst (int64),
+    r' = base + (17 * in_mass) DIV 20 — all non-negative int64, so
+    numpy floor division and np.add.at reproduce it bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    r0 = scale // n_nodes
+    damp_num, damp_den = PR_DAMP_NUM, PR_DAMP_DEN
+
+    def run(batches):
+        us, vs = [], []
+        for pdf in batches:
+            if len(pdf):
+                us.append(pdf["u"].to_numpy(np.int64))
+                vs.append(pdf["v"].to_numpy(np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        # sym carries both directions, so every node appears as u;
+        # degree(node) = its row count as source.
+        nodes, src_idx = np.unique(u, return_inverse=True)
+        deg = np.bincount(src_idx).astype(np.int64)
+        dst_idx = np.searchsorted(nodes, v)
+        r = np.full(len(nodes), r0, dtype=np.int64)
+        for _ in range(iterations):
+            contrib = r[src_idx] // deg[src_idx]
+            in_mass = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(in_mass, dst_idx, contrib)
+            r = base + (damp_num * in_mass) // damp_den
+        yield pd.DataFrame({"node": nodes, "r": r})
+
+    # coalesce (narrow) the checkpointed sym into the one task.
+    return sym.coalesce(1).mapInPandas(run, "node long, r long")
+
 
 def pagerank_quantized(
-    edges: DataFrame, iterations: int = 10, scale: int = PR_SCALE
+    edges: DataFrame,
+    iterations: int = 10,
+    scale: int = PR_SCALE,
+    local_max_nodes: int = PR_LOCAL_MAX_NODES,
 ) -> DataFrame:
     """Fixed-iteration PageRank in scaled-integer arithmetic:
     (node, pr_scaled, pagerank) where ``pr_scaled`` is the exact int64
@@ -451,6 +520,15 @@ def pagerank_quantized(
         # oracle agrees by construction (pr0 selects FROM the empty deg)
         return edges.sparkSession.createDataFrame(
             [], "node long, pr_scaled long, pagerank double"
+        )
+    if n_nodes <= local_max_nodes:
+        # small-graph strategy (see PR_LOCAL_MAX_NODES): one Arrow task
+        # replaces ~3 shuffle stages per iteration; bit-identical output.
+        ranks = _pagerank_quantized_local(sym, n_nodes, iterations, scale)
+        return ranks.select(
+            "node",
+            F.col("r").alias("pr_scaled"),
+            (F.col("r").cast("double") / F.lit(float(scale))).alias("pagerank"),
         )
     adj = (
         sym.alias("s")
@@ -497,7 +575,11 @@ def pagerank_quantized(
             )
         )
         if (i + 1) % ckpt_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=(ckpt_every == 1))
+            # eager on the FINAL iteration (ADVICE r12): materialize the
+            # loop while adj is still persisted — see pagerank above.
+            ranks = ranks.localCheckpoint(
+                eager=(ckpt_every == 1 or i == iterations - 1)
+            )
     adj.unpersist()
     return ranks.select(
         "node",
