@@ -22,7 +22,15 @@ from ..schemas import TESTDATA_TABLES
 TS_NANO_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-_PACKAGE_SHIPPED: set[int] = set()
+_PACKAGE_SHIPPED: set[str] = set()
+
+
+def _context_key(spark: SparkSession) -> str:
+    """Stable per-SparkContext memo key (ADVICE r12): id() of a stopped
+    and GC'd context can be reused by a new allocation, silently
+    skipping per-context setup; applicationId + startTime cannot."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
 
 
 def _ensure_package_on_workers(spark: SparkSession) -> None:
@@ -34,7 +42,7 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     runs from another cwd (sys.path tweaks don't propagate to workers),
     that import fails — shipping a zip of the package makes every
     operator work regardless of the host process's environment."""
-    key = id(spark.sparkContext)
+    key = _context_key(spark)
     if key in _PACKAGE_SHIPPED:
         return
     import tempfile
@@ -114,8 +122,11 @@ def _fan_out(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     however small ``spark.sql.files.maxPartitionBytes`` is set, every
     scan yields exactly one non-empty partition and all map-side work
     before the first exchange runs on one core (measured at sf0.1:
-    extract_text 4.87 s -> 0.64 s, dedup_simhash 3.44 -> 0.49,
-    q1_pricing_summary 5.92 -> 1.46 under the column-forcing action).
+    extract_text 4.87 s -> 0.64 s, dedup_simhash 3.44 -> 0.49 under the
+    column-forcing action; the round-12 q1 "5.92 -> 1.46" number was a
+    cold-vs-warm artifact — the round-13 interleaved steady-state A/B
+    puts q1 at raw 1.63-1.78 vs fanned 1.41-1.45, and q3/q5/q6/rollup
+    raw-faster or a wash).
 
     Scale posture: the fan-out triggers ONLY when the scan has fewer
     partitions than the session's default parallelism AND the input is a
@@ -190,18 +201,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
-# session id -> sf_dir the views currently point at. Re-registering the
-# same directory into the same session is pure overhead (10 fresh
+# context key -> sf_dir the views currently point at. Re-registering
+# the same directory into the same session is pure overhead (10 fresh
 # parquet file indexes per call, ~0.3 s of driver time inside every
 # timed SQL query); views are lazy metadata, so skipping the re-read
 # computes nothing early — every action still scans the files.
-_VIEWS_REGISTERED: dict[int, str] = {}
+_VIEWS_REGISTERED: dict[str, str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
-    key = id(spark.sparkContext)
-    if _VIEWS_REGISTERED.get(key) == sf_dir:
+    key = _context_key(spark)
+    # cheap existence re-check (ADVICE r12): a caller that dropped or
+    # replaced a temp view in between invalidates the memo silently —
+    # verify one view before skipping.
+    if _VIEWS_REGISTERED.get(key) == sf_dir and spark.catalog.tableExists(
+        TESTDATA_TABLES[0]
+    ):
         return
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Round-13 directive #3 (VERDICT r12): settle the q-series fan-out
+contradiction — catalog.py's docstring claims q1 5.92->1.46 fanned under
+the fold action, the r12 ledger calls it a JIT-warm wash. Same-session
+interleaved raw/fan arms on q1 + q5 + q3 (lineitem+orders fanned in the
+fan arm via a load_table monkeypatch on the query module)."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def checksum(df) -> tuple:
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count("*").alias("n"),
+        *[
+            F.max(F.xxhash64(df[c].cast("string"))).alias(f"h{i}")
+            for i, c in enumerate(df.columns)
+        ],
+    ).collect()[0]
+    return tuple(row)
+
+
+def main() -> None:
+    import event_data_etl_gcs_spark.queries.analytics as qan
+    import event_data_etl_gcs_spark.queries.tpch5 as qt5
+    from event_data_etl_gcs_spark.queries import all_queries
+    from event_data_etl_gcs_spark.session import get_spark
+    from event_data_etl_gcs_spark.sources.catalog import load_table
+
+    spark = get_spark(app_name="probe_qseries_fanout_r13")
+    sc = spark.sparkContext
+    specs = all_queries()
+
+    def fan_loader(s, d, name, fan_out=False):
+        return load_table(s, d, name, fan_out=name in ("lineitem", "orders"))
+
+    mods = [qan, qt5]
+
+    def set_fan(on: bool):
+        for m in mods:
+            if hasattr(m, "load_table"):
+                m.load_table = fan_loader if on else load_table
+
+    for qname in ("q1_pricing_summary", "q5_nation_revenue", "q3_top_orders"):
+        spec = specs[qname]
+        times: dict[str, list[float]] = {"raw": [], "fan": []}
+        chks = set()
+        for arm in ("raw", "fan", "raw", "fan", "raw", "fan", "raw", "fan"):
+            set_fan(arm == "fan")
+            sc.setJobDescription(f"{qname} [{arm}]")
+            t0 = time.perf_counter()
+            chk = checksum(spec.fn(spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            times[arm].append(dt)
+            chks.add(chk)
+        set_fan(False)
+        print(
+            f"{qname}: raw={[round(x,3) for x in times['raw']]} "
+            f"fan={[round(x,3) for x in times['fan']]} "
+            f"identical={len(chks) == 1}",
+            flush=True,
+        )
+    sc.setJobDescription(None)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
