@@ -258,7 +258,11 @@ def _semdedup_members(
         # truncation every reference re-executes the scan (and its
         # fan-out exchange) and re-plans the upstream tree. Same
         # "upstream runs ONCE" posture as the graph operators.
-        .localCheckpoint(eager=True)
+        # eager=False (ADVICE r12): merely CONSTRUCTING the frame
+        # (explain/plan-capture/schema-only paths) must not execute the
+        # upstream scan; the first consuming job materializes it once
+        # with the same truncation benefit.
+        .localCheckpoint(eager=False)
     )
     if collapse_identical:
         mem = base.withColumn(
